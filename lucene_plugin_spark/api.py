@@ -1,0 +1,150 @@
+"""LuceneFacade-equivalent public API.
+
+Mirrors the reference's six-method facade (LuceneFacade.java:17-81 /
+LuceneFacadeImpl.java): ``index_file``, ``index_text``, ``index_map``,
+``search``, ``delete``, ``clear`` — plus the same input validation
+(LuceneFacadeImpl.java:97-130) and collection-name sanitization
+(LuceneIndexBean.java:553-586).
+
+Semantics (SURVEY.md §2.7): upsert = last-write-wins by (collection, id);
+collection isolation; search returns up to ``limit`` (default 255, the
+reference's hardcoded service-path depth, LuceneReaderImpl.java:104) hits
+ordered (score desc, doc_id asc).
+
+Visibility model: the reference soft-commits after ≥16 docs or 1 s
+(LuceneIndexBean.java:78-79).  Batch-Spark makes this strict instead:
+mutations buffer on the driver and are committed (index rebuilt at a new
+snapshot) lazily before the next search — the analogue of commit+reopen at
+SearcherUpdateServiceImpl.java:117-127.  ``commit()`` forces it.
+
+Each hit is a ``LuceneEntry(id, score, external_id)`` —
+client/src/main/java/com/caucho/lucene/LuceneEntry.java:3-28.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Row, SparkSession
+
+from lucene_plugin_spark.index.builder import IndexBuilder
+from lucene_plugin_spark.query.executor import SearchEngine
+from lucene_plugin_spark.query.parser import sanitize_collection
+from lucene_plugin_spark.storage.catalog import Catalog
+
+
+class LuceneException(Exception):
+    """Mirrors com.caucho.lucene.LuceneException."""
+
+
+@dataclass(frozen=True)
+class LuceneEntry:
+    id: int
+    score: float
+    external_id: str
+
+
+class LuceneFacade:
+    def __init__(self, spark: SparkSession, warehouse: str, mode: str = "kernel"):
+        self.spark = spark
+        self.catalog = Catalog(warehouse)
+        self.builder = IndexBuilder(spark, self.catalog)
+        self.mode = mode
+        # (collection, id) -> row dict or None (deleted); insertion-ordered
+        self._live: dict[tuple[str, str], dict | None] = {}
+        self._dirty = False
+        self._engine: SearchEngine | None = None
+
+    # ------------------------------------------------------------ validation
+    @staticmethod
+    def _check(value, what: str):
+        if value is None or (isinstance(value, str) and not value):
+            raise LuceneException(f"{what} cannot be null or empty")
+
+    # --------------------------------------------------------------- writes
+    def index_text(self, collection: str, ext_id: str, text: str) -> bool:
+        self._check(collection, "collection")
+        self._check(ext_id, "id")
+        if text is None:
+            raise LuceneException("text cannot be null")
+        collection = sanitize_collection(collection)
+        self._live[(collection, ext_id)] = {
+            "repo": collection, "path": ext_id, "commit": "0" * 8,
+            "lang": "text", "content": text, "fields": None}
+        self._dirty = True
+        return True
+
+    def index_map(self, collection: str, ext_id: str, m: dict[str, object]) -> bool:
+        self._check(collection, "collection")
+        self._check(ext_id, "id")
+        if m is None or not m:
+            raise LuceneException("map cannot be null or empty")
+        collection = sanitize_collection(collection)
+        # reference: only the FIRST value of multi-valued entries is indexed
+        # (LuceneIndexBean.java:338-341); all values coerced to strings (:746)
+        fields = {}
+        for k, v in m.items():
+            if isinstance(v, (list, tuple)):
+                v = v[0] if v else ""
+            fields[str(k)] = str(v)
+        self._live[(collection, ext_id)] = {
+            "repo": collection, "path": ext_id, "commit": "0" * 8,
+            "lang": "map", "content": "", "fields": fields}
+        self._dirty = True
+        return True
+
+    def index_file(self, collection: str, path: str) -> bool:
+        """Reference reads the file from BFS and Tika-extracts text
+        (LuceneIndexBean.java:200-228).  Our corpus is already text: read the
+        local file as UTF-8; external_id = the path, like the reference."""
+        self._check(collection, "collection")
+        self._check(path, "path")
+        with open(path, encoding="utf-8", errors="replace") as f:
+            text = f.read()
+        return self.index_text(collection, path, text)
+
+    def delete(self, collection: str, ext_id: str) -> bool:
+        self._check(collection, "collection")
+        self._check(ext_id, "id")
+        collection = sanitize_collection(collection)
+        self._live[(collection, ext_id)] = None
+        self._dirty = True
+        return True
+
+    def clear(self, collection: str) -> None:
+        self._check(collection, "collection")
+        collection = sanitize_collection(collection)
+        for key in [k for k in self._live if k[0] == collection]:
+            self._live[key] = None
+        self._dirty = True
+
+    # --------------------------------------------------------------- commit
+    def commit(self) -> None:
+        """Rebuild the index at a new snapshot from the live doc set
+        (IndexWriter.commit + searcher reopen analogue)."""
+        if not self._dirty:
+            return
+        rows = [Row(repo=v["repo"], path=v["path"], commit=v["commit"],
+                    lang=v["lang"], content=v["content"], fields=v["fields"])
+                for v in self._live.values() if v is not None]
+        schema = ("repo string, path string, commit string, lang string, "
+                  "content string, fields map<string,string>")
+        src = self.spark.createDataFrame(rows, schema=schema) if rows else \
+            self.spark.createDataFrame([], schema=schema)
+        self.builder.build(src, fields_map_col="fields")
+        self._engine = SearchEngine(self.spark, self.catalog)
+        self._dirty = False
+
+    # --------------------------------------------------------------- search
+    def search(self, collection: str, query: str, limit: int = 255) -> list[LuceneEntry]:
+        self._check(collection, "collection")
+        self._check(query, "query")
+        self.commit()
+        if self._engine is None:
+            self._engine = SearchEngine(self.spark, self.catalog)
+        if not self.catalog.table("docs_meta").exists():
+            return []
+        df = self._engine.search(sanitize_collection(collection), query,
+                                 limit=limit, mode=self.mode)
+        return [LuceneEntry(id=r["doc_id"], score=r["score"], external_id=r["path"])
+                for r in df.collect()]

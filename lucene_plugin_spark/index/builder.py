@@ -1,0 +1,320 @@
+"""Inverted-index build pipeline (the analogue of Lucene's IndexWriter path,
+LuceneIndexBean.java:664-691 + indexStream :230-277, rebuilt Spark-first).
+
+Stages (each snapshot-committed, checkpoint-resumable via stage fingerprints):
+
+1. ``docs``       — source table (repo, path, commit, lang, content [+fields])
+                    + content_sha256 (per-row invariant from input_hint).
+2. ``docs_meta``  — deterministic dense docIDs: range-partition by (repo,path),
+                    sort within partitions, offset-prefix-sum assignment
+                    (reproducible tie-breaks, SURVEY.md §2.7.5).
+3. ``postings_flat`` — (field, term, doc_id, tf, positions): tokenize via the
+                    vectorized analyzer inside mapInPandas, then a single
+                    groupBy (map-side partial aggregation is automatic).
+                    Also: ``field_lens``, ``term_dict``, ``stats``.
+4. ``segments``   — compressed posting blocks, **partitioned by doc-range**
+                    (``dslice``), term-sorted within each file so parquet
+                    row-group stats prune non-query terms.  Doc-range
+                    sharding is the layout that scales: every shard holds all
+                    terms for its doc range, so block-max WAND top-k runs
+                    independently per shard with no cross-shard traffic, and
+                    hot (skewed) terms are automatically spread across all
+                    shards — the skew-salting of the build groupBy falls out
+                    of grouping by (dslice) instead of (term).
+
+Scale notes (100 TB / 1000 executors): every stage is a constant number of
+shuffles — docID assignment (1 range shuffle), flat postings (1 hash shuffle
+on (field,term,doc_id)), segments (1 hash shuffle on dslice).  No driver-side
+loops over data; the only ``collect()`` is the per-partition row-count array
+(one int per partition) for docID offsets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
+                               LongType, StringType, StructField, StructType)
+
+from lucene_plugin_spark.analysis.tokenizer import tokenize_series
+from lucene_plugin_spark.index import codec
+from lucene_plugin_spark.query import bm25
+from lucene_plugin_spark.storage.catalog import Catalog
+
+BLOCK_SIZE = 128  # postings per compressed block (Lucene uses 128 in its FOR blocks)
+
+TOKENS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("field", StringType()),
+    StructField("term", StringType()),
+    StructField("pos", IntegerType()),
+])
+
+SEGMENT_SCHEMA = StructType([
+    StructField("field", StringType()),
+    StructField("term", StringType()),
+    StructField("dslice", IntegerType()),
+    StructField("block_id", IntegerType()),
+    StructField("doc_count", IntegerType()),
+    StructField("first_doc", LongType()),
+    StructField("last_doc", LongType()),
+    StructField("doc_gaps", BinaryType()),
+    StructField("tfs", BinaryType()),
+    StructField("positions", BinaryType()),
+    StructField("pos_lens_ok", IntegerType()),  # 1 if positions stream present
+    StructField("block_max_w", DoubleType()),
+])
+
+
+@dataclass
+class BuildResult:
+    n_docs: int
+    docs_snapshot: int
+    segments_snapshot: int
+
+
+class IndexBuilder:
+    """Builds/refreshes the full index for a corpus into a Catalog.
+
+    ``docs_per_slice`` bounds the rows a single segment-build task sees
+    (memory ceiling per task at any corpus size); ``n_slices`` is derived.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: Catalog,
+                 docs_per_slice: int = 250_000, block_size: int = BLOCK_SIZE):
+        self.spark = spark
+        self.catalog = catalog
+        self.docs_per_slice = docs_per_slice
+        self.block_size = block_size
+
+    # ------------------------------------------------------------------ docs
+    def ingest_docs(self, source: DataFrame, fields_map_col: str | None = None) -> int:
+        """Stage 1: persist the source corpus + sha256 invariant column."""
+        cols = [F.col(c) for c in ("repo", "path", "commit", "lang", "content")]
+        if fields_map_col:
+            cols.append(F.col(fields_map_col).alias("fields"))
+        else:
+            cols.append(F.lit(None).cast("map<string,string>").alias("fields"))
+        docs = source.select(*cols).withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        snap = self.catalog.table("docs").overwrite(docs, partition_by=None,
+                                                    properties={"stage": "docs"})
+        return snap.snapshot_id
+
+    # ------------------------------------------------------------- docs_meta
+    def assign_doc_ids(self, docs: DataFrame, n_parts: int | None = None) -> DataFrame:
+        """Deterministic dense docIDs ordered by (repo, path).
+
+        Scalable two-pass: range-shuffle + local sort, count rows per
+        partition (tiny collect: one long per partition), then prefix-sum
+        offsets + local ordinal inside mapInPandas.  Equivalent to a global
+        ``row_number() OVER (ORDER BY repo, path)`` without the single-
+        partition window.  The sorted frame is persisted between the two
+        passes so both observe identical partitioning (on a real cluster:
+        a staging table / DISK_ONLY persist).
+        """
+        if n_parts is None:
+            n_parts = max(self.spark.sparkContext.defaultParallelism, 4)
+        sorted_df = (docs.repartitionByRange(n_parts, "repo", "path")
+                     .sortWithinPartitions("repo", "path")
+                     .persist())
+        counts = (sorted_df.withColumn("_pid", F.spark_partition_id())
+                  .groupBy("_pid").count().collect())
+        offsets = np.zeros(n_parts + 1, dtype=np.int64)
+        for r in counts:
+            offsets[r["_pid"] + 1] = r["count"]
+        offsets = np.cumsum(offsets)
+        boffsets = self.spark.sparkContext.broadcast(offsets.tolist())
+        schema = StructType(sorted_df.schema.fields + [StructField("doc_id", LongType())])
+
+        def assign(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+            pid = TaskContext.get().partitionId()
+            base = boffsets.value[pid]
+            seen = 0
+            for pdf in pdf_iter:
+                pdf = pdf.copy()
+                pdf["doc_id"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
+                seen += len(pdf)
+                yield pdf
+
+        out = sorted_df.mapInPandas(assign, schema=schema)
+        return out
+
+    # ---------------------------------------------------------------- tokens
+    def _field_values(self, docs_meta: DataFrame) -> DataFrame:
+        """(doc_id, field, value) rows: content -> field 'text'; map fields
+        exploded (reference indexMap path, LuceneIndexBean.java:308-356 —
+        each map key becomes a searchable analyzed field)."""
+        text = docs_meta.select("doc_id", F.lit("text").alias("field"),
+                                F.col("content").alias("value"))
+        mapped = (docs_meta.where(F.col("fields").isNotNull())
+                  .select("doc_id", F.explode("fields").alias("field", "value")))
+        return text.unionByName(mapped)
+
+    def tokens_df(self, docs_meta: DataFrame) -> DataFrame:
+        fv = self._field_values(docs_meta)
+
+        def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                t = tokenize_series(pdf["value"])
+                rows = t["row"].to_numpy()
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"].to_numpy()[rows],
+                    "field": pdf["field"].to_numpy()[rows],
+                    "term": t["term"],
+                    "pos": t["pos"].astype(np.int32),
+                })
+
+        return fv.mapInPandas(tok, schema=TOKENS_SCHEMA)
+
+    # ------------------------------------------------------- flat + stats
+    def build(self, source: DataFrame, fields_map_col: str | None = None) -> BuildResult:
+        """Run all stages.  Each stage commits its table with a fingerprint
+        tied to the docs snapshot; a re-run with the same fingerprint skips
+        the stage (checkpoint-resume, north rule)."""
+        docs_snap = self.ingest_docs(source, fields_map_col)
+        return self.build_from_docs(docs_snap)
+
+    def _stage_done(self, table: str, fingerprint: str) -> bool:
+        t = self.catalog.table(table)
+        if not t.exists():
+            return False
+        return t.snapshot().properties.get("fingerprint") == fingerprint
+
+    def build_from_docs(self, docs_snap: int | None = None) -> BuildResult:
+        docs_t = self.catalog.table("docs")
+        if docs_snap is None:
+            docs_snap = docs_t.current_snapshot_id()
+        docs = docs_t.read(self.spark, docs_snap)
+        fp = f"docs-{docs_snap}"
+
+        # ---- docs_meta
+        if not self._stage_done("docs_meta", fp):
+            meta = self.assign_doc_ids(docs)
+            self.catalog.table("docs_meta").overwrite(
+                meta, properties={"stage": "docs_meta", "fingerprint": fp},
+                lineage={"input": {"table": "docs", "snapshot": docs_snap}})
+        docs_meta = self.catalog.table("docs_meta").read(self.spark)
+
+        # ---- flat postings + lens + dict + stats
+        if not self._stage_done("postings_flat", fp):
+            toks = self.tokens_df(docs_meta)
+            flat = (toks.groupBy("field", "term", "doc_id")
+                    .agg(F.count(F.lit(1)).cast("int").alias("tf"),
+                         F.sort_array(F.collect_list("pos")).alias("positions")))
+            self.catalog.table("postings_flat").overwrite(
+                flat.repartition(F.col("field"), F.col("term")),
+                properties={"stage": "postings_flat", "fingerprint": fp},
+                lineage={"input": {"table": "docs_meta", "fingerprint": fp}})
+        flat = self.catalog.table("postings_flat").read(self.spark)
+
+        if not self._stage_done("field_lens", fp):
+            lens = flat.groupBy("field", "doc_id").agg(
+                F.sum("tf").cast("long").alias("dl"))
+            self.catalog.table("field_lens").overwrite(
+                lens, properties={"stage": "field_lens", "fingerprint": fp})
+        lens = self.catalog.table("field_lens").read(self.spark)
+
+        if not self._stage_done("term_dict", fp):
+            td = flat.groupBy("field", "term").agg(
+                F.count(F.lit(1)).cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("cf"))
+            self.catalog.table("term_dict").overwrite(
+                td, properties={"stage": "term_dict", "fingerprint": fp})
+
+        if not self._stage_done("stats", fp):
+            st = lens.groupBy("field").agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.avg("dl").alias("avgdl"))
+            self.catalog.table("stats").overwrite(
+                st, properties={"stage": "stats", "fingerprint": fp})
+
+        # ---- per-doc norms sidecar (the analogue of Lucene's norms file):
+        # (dslice, field, doc_id, dl), partitioned by dslice so the query
+        # kernel cogroups it with segment blocks of the same slice.
+        if not self._stage_done("doc_norms", fp):
+            norms = lens.withColumn(
+                "dslice", (F.col("doc_id") / F.lit(self.docs_per_slice)).cast("int"))
+            self.catalog.table("doc_norms").overwrite(
+                norms.repartition(F.col("dslice")).sortWithinPartitions("field", "doc_id"),
+                partition_by=["dslice"],
+                properties={"stage": "doc_norms", "fingerprint": fp})
+
+        # ---- compressed doc-range segments
+        if not self._stage_done("segments", fp):
+            self._build_segments(flat, lens, fp)
+
+        n_docs = docs_meta.count()
+        return BuildResult(n_docs=n_docs, docs_snapshot=docs_snap,
+                           segments_snapshot=self.catalog.table("segments").current_snapshot_id())
+
+    # ---------------------------------------------------------- segments
+    def _build_segments(self, flat: DataFrame, lens: DataFrame, fingerprint: str) -> None:
+        stats = {r["field"]: (r["n_docs"], r["avgdl"])
+                 for r in self.catalog.table("stats").read(self.spark).collect()}
+        avgdl_map = {f: v[1] for f, v in stats.items()}
+        bsz = self.block_size
+        dps = self.docs_per_slice
+
+        joined = (flat.join(lens, ["field", "doc_id"], "inner")
+                  .withColumn("dslice", (F.col("doc_id") / F.lit(dps)).cast("int")))
+
+        def build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame(columns=[f.name for f in SEGMENT_SCHEMA.fields])
+            pdf = pdf.sort_values(["field", "term", "doc_id"], kind="mergesort")
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            tfs = pdf["tf"].to_numpy(np.int64)
+            dls = pdf["dl"].to_numpy(np.int64)
+            # term-run boundaries
+            keys = (pdf["field"] + "\x00" + pdf["term"]).to_numpy()
+            new_run = np.ones(len(pdf), dtype=bool)
+            new_run[1:] = keys[1:] != keys[:-1]
+            run_starts = np.flatnonzero(new_run)
+            run_ends = np.append(run_starts[1:], len(pdf))
+            pos_lists = pdf["positions"].to_numpy()
+            out = {k: [] for k in ("field", "term", "dslice", "block_id", "doc_count",
+                                   "first_doc", "last_doc", "doc_gaps", "tfs",
+                                   "positions", "pos_lens_ok", "block_max_w")}
+            dslice = int(pdf["dslice"].iloc[0])
+            for s, e in zip(run_starts, run_ends):
+                field = pdf["field"].iloc[s]
+                term = pdf["term"].iloc[s]
+                avgdl = avgdl_map[field]
+                for b0 in range(s, e, bsz):
+                    b1 = min(b0 + bsz, e)
+                    ids = doc_ids[b0:b1]
+                    btf = tfs[b0:b1]
+                    bdl = dls[b0:b1]
+                    pcat = np.concatenate([np.asarray(p, dtype=np.int64)
+                                           for p in pos_lists[b0:b1]])
+                    out["field"].append(field)
+                    out["term"].append(term)
+                    out["dslice"].append(dslice)
+                    out["block_id"].append((b0 - s) // bsz)
+                    out["doc_count"].append(b1 - b0)
+                    out["first_doc"].append(int(ids[0]))
+                    out["last_doc"].append(int(ids[-1]))
+                    out["doc_gaps"].append(codec.encode_ids(ids))
+                    out["tfs"].append(codec.varint_encode(btf.astype(np.uint64)))
+                    out["positions"].append(codec.encode_positions(pcat, btf))
+                    out["pos_lens_ok"].append(1)
+                    out["block_max_w"].append(
+                        bm25.block_max_weight(btf.astype(np.float64),
+                                              bdl.astype(np.float64), avgdl))
+            return pd.DataFrame(out)
+
+        seg = (joined.groupBy("dslice").applyInPandas(build_blocks, schema=SEGMENT_SCHEMA))
+        # term-sorted within each partition file -> parquet row-group stats
+        # prune non-query terms inside every doc-slice directory
+        seg = seg.repartition(F.col("dslice")).sortWithinPartitions("field", "term", "first_doc")
+        self.catalog.table("segments").overwrite(
+            seg, partition_by=["dslice"],
+            properties={"stage": "segments", "fingerprint": fingerprint},
+            lineage={"doc_slices": "dslice = doc_id // %d" % dps,
+                     "input": {"table": "postings_flat", "fingerprint": fingerprint}})

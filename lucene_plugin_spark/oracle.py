@@ -1,0 +1,223 @@
+"""Pure-Python reference engine (the stand-in for the reference Lucene
+engine's results — SURVEY.md §5.2 "rank-identity oracle").
+
+A tiny in-memory inverted index with *exactly* the semantics our Spark engine
+must reproduce: same analyzer, same BM25 (k1=1.2, b=0.75, per-field stats),
+same boolean / phrase / range behavior, same (score desc, doc_id asc)
+ordering.  No Spark, no numpy hot loops needed — corpora here are test-sized.
+
+The behavioral semantics replicate the reference plugin (upsert last-write-
+wins by (collection, id): LuceneIndexBean.java:256,343; collection isolation:
+:385-393; delete/clear: :462-540), so pytest can replay the reference's JUnit
+scenarios (SURVEY.md §5) against both this oracle and the Spark engine.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+from lucene_plugin_spark.analysis.tokenizer import tokenize_text
+from lucene_plugin_spark.query import bm25
+from lucene_plugin_spark.query.parser import parse_query, sanitize_collection
+from lucene_plugin_spark.query.plan import Bool, Node, Phrase, Range, Term
+
+
+@dataclass
+class OracleDoc:
+    doc_id: int
+    repo: str
+    path: str
+    # field -> [(term, pos), ...]
+    tokens: dict[str, list[tuple[str, int]]] = field(default_factory=dict)
+
+
+class OracleEngine:
+    def __init__(self):
+        self.docs: dict[int, OracleDoc] = {}
+        self.by_key: dict[tuple[str, str], int] = {}
+        self._next_id = 0
+
+    # ------------------------------------------------------------- indexing
+    def index_doc(self, repo: str, path: str, fields: dict[str, str],
+                  doc_id: int | None = None) -> int:
+        """Upsert by (repo, path) — last write wins, old terms gone.
+
+        When ``doc_id`` is given (bulk-load path) it is used verbatim so the
+        oracle's ids line up with the engine's deterministic assignment.
+        """
+        key = (repo, path)
+        if key in self.by_key:
+            del self.docs[self.by_key[key]]
+            del self.by_key[key]
+        if doc_id is None:
+            doc_id = self._next_id
+            self._next_id += 1
+        else:
+            self._next_id = max(self._next_id, doc_id + 1)
+        d = OracleDoc(doc_id=doc_id, repo=repo, path=path)
+        for f, text in fields.items():
+            if text is not None:
+                toks = tokenize_text(text)
+                if toks:  # a field with zero surviving tokens has no postings
+                    d.tokens[f] = toks
+        self.docs[doc_id] = d
+        self.by_key[key] = doc_id
+        return doc_id
+
+    def delete(self, repo: str, path: str) -> bool:
+        key = (repo, path)
+        if key in self.by_key:
+            did = self.by_key.pop(key)
+            del self.docs[did]
+            return True
+        return False
+
+    def clear(self, repo: str) -> None:
+        for key in [k for k in self.by_key if k[0] == repo]:
+            del self.docs[self.by_key.pop(key)]
+
+    # ---------------------------------------------------------------- stats
+    def _field_stats(self, f: str) -> tuple[float, float]:
+        lens = [len(d.tokens[f]) for d in self.docs.values() if f in d.tokens]
+        if not lens:
+            return 0.0, 1.0
+        return float(len(lens)), sum(lens) / len(lens)
+
+    def _df(self, f: str, term: str) -> int:
+        return sum(1 for d in self.docs.values()
+                   if f in d.tokens and any(t == term for t, _ in d.tokens[f]))
+
+    def _all_terms(self, f: str) -> set[str]:
+        out = set()
+        for d in self.docs.values():
+            out.update(t for t, _ in d.tokens.get(f, []))
+        return out
+
+    # --------------------------------------------------------------- search
+    def search(self, repo: str | None, query: str, limit: int = 255
+               ) -> list[tuple[int, str, float]]:
+        """[(doc_id, path, score)] ordered score desc, doc_id asc, top-k."""
+        if repo is not None:
+            repo = sanitize_collection(repo)
+        node = parse_query(query)
+        docs = [d for d in self.docs.values() if repo is None or d.repo == repo]
+        scored: dict[int, float] = defaultdict(float)
+        matched_any = set()
+
+        should, must, must_not = self._flatten(node)
+        must_match_sets = []
+        for leaf in should:
+            hits = self._leaf_hits(leaf, docs)
+            for did, sc in hits.items():
+                scored[did] += sc
+                matched_any.add(did)
+        for leaf in must:
+            hits = self._leaf_hits(leaf, docs)
+            for did, sc in hits.items():
+                scored[did] += sc
+                matched_any.add(did)
+            must_match_sets.append(set(hits))
+        # docs must match every MUST leaf
+        result_ids = set(matched_any)
+        for ms in must_match_sets:
+            result_ids &= ms
+        for leaf in must_not:
+            result_ids -= set(self._leaf_hits(leaf, docs))
+        ranked = sorted(((scored[d], d) for d in result_ids),
+                        key=lambda x: (-x[0], x[1]))[:limit]
+        return [(d, self.docs[d].path, s) for s, d in ranked]
+
+    def _flatten(self, node: Node):
+        should, must, must_not = [], [], []
+
+        def walk(n, pol):
+            if isinstance(n, Bool):
+                for c in n.should:
+                    walk(c, pol if pol == "must_not" else "should")
+                for c in n.must:
+                    walk(c, pol if pol == "must_not" else "must")
+                for c in n.must_not:
+                    walk(c, "must_not")
+            else:
+                {"should": should, "must": must, "must_not": must_not}[pol].append(n)
+
+        walk(node, "should")
+        return should, must, must_not
+
+    def _leaf_hits(self, leaf: Node, docs: list[OracleDoc]) -> dict[int, float]:
+        if isinstance(leaf, Term):
+            return self._term_hits(leaf.field, leaf.term, docs)
+        if isinstance(leaf, Range):
+            terms = sorted(t for t in self._all_terms(leaf.field)
+                           if leaf.lo <= t <= leaf.hi)
+            out = {}
+            for d in docs:
+                if any(t in {x for x, _ in d.tokens.get(leaf.field, [])} for t in terms):
+                    out[d.doc_id] = 1.0  # constant-score rewrite
+            return out
+        if isinstance(leaf, Phrase):
+            return self._phrase_hits(leaf, docs)
+        raise TypeError(leaf)
+
+    def _term_hits(self, f: str, term: str, docs: list[OracleDoc]) -> dict[int, float]:
+        n, avgdl = self._field_stats(f)
+        df = self._df(f, term)
+        if df == 0 or n == 0:
+            return {}
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        out = {}
+        for d in docs:
+            toks = d.tokens.get(f)
+            if not toks:
+                continue
+            tf = sum(1 for t, _ in toks if t == term)
+            if tf:
+                dl = float(len(toks))
+                out[d.doc_id] = idf * (tf * (bm25.K1 + 1)
+                                       / (tf + bm25.K1 * (1 - bm25.B + bm25.B * dl / avgdl)))
+        return out
+
+    def _phrase_hits(self, ph: Phrase, docs: list[OracleDoc]) -> dict[int, float]:
+        n, avgdl = self._field_stats(ph.field)
+        if n == 0:
+            return {}
+        dfs = [self._df(ph.field, t) for t in ph.terms]
+        if any(df == 0 for df in dfs):
+            return {}
+        idf_sum = sum(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) for df in dfs)
+        base = ph.offsets[0]
+        out = {}
+        for d in docs:
+            toks = d.tokens.get(ph.field)
+            if not toks:
+                continue
+            posmap = defaultdict(set)
+            for t, p in toks:
+                posmap[t].add(p)
+            tf = 0
+            for p0 in posmap.get(ph.terms[0], ()):
+                if all((p0 + off - base) in posmap.get(t, ())
+                       for t, off in zip(ph.terms[1:], ph.offsets[1:])):
+                    tf += 1
+            if tf:
+                dl = float(len(toks))
+                out[d.doc_id] = idf_sum * (tf * (bm25.K1 + 1)
+                                           / (tf + bm25.K1 * (1 - bm25.B + bm25.B * dl / avgdl)))
+        return out
+
+    # ------------------------------------------------------------ bulk load
+    @classmethod
+    def from_rows(cls, rows) -> "OracleEngine":
+        """rows: iterable of dicts with repo/path/content (+ optional fields
+        map).  doc_ids assigned exactly like the engine: dense, ordered by
+        (repo, path)."""
+        eng = cls()
+        rows = sorted(rows, key=lambda r: (r["repo"], r["path"]))
+        for i, r in enumerate(rows):
+            fields = {"text": r["content"]}
+            for k, v in (r.get("fields") or {}).items():
+                fields[k] = v
+            eng.index_doc(r["repo"], r["path"], fields, doc_id=i)
+        return eng

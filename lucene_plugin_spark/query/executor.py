@@ -1,0 +1,545 @@
+"""Query execution — two physical strategies over the same index tables.
+
+``DataFrameExecutor`` — fully declarative Catalyst plan over the flat
+postings table: term filters push down to parquet, BM25 is built-in column
+arithmetic, boolean logic is joins, top-k is TakeOrderedAndProject.  This is
+the oracle-checkable path (every step expressible in ANSI SQL).
+
+``KernelExecutor`` — the scale path over the compressed doc-range segments:
+driver compiles the query (term-dict lookup for df/idf — the analogue of
+Lucene's term dictionary seek), executors run a numpy kernel per doc-slice
+that decodes posting blocks and computes top-k BM25 with block-max pruning
+(the WAND idea from SURVEY.md §4 P6: blocks/docs whose upper bound
+``sum(idf_t * block_max_w_t)`` cannot reach the running k-th score are never
+fully decoded or scored), then a global ``orderBy(score desc, doc_id).limit(k)``
+merges the per-slice top-k — per-partition heaps + driver merge, exactly the
+shape Lucene's TopScoreDocCollector + our distributed layout want.
+
+Both strategies return identical rankings (pytest-gated against the oracle).
+
+Collection filtering (reference: the implicit MUST term on __collectionKey__,
+LuceneIndexBean.java:385-393) exploits docID assignment order: docIDs are
+dense in (repo, path) order, so one build generation gives each repo a
+*contiguous docID range* -> the collection filter is a numeric doc_id range
+predicate that prunes doc-slice partitions at the parquet level.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
+
+from lucene_plugin_spark.index import codec
+from lucene_plugin_spark.query import bm25
+from lucene_plugin_spark.query.parser import parse_query, sanitize_collection
+from lucene_plugin_spark.query.plan import (Bool, Node, Phrase, Range, Term,
+                                            iter_positive_leaves)
+from lucene_plugin_spark.storage.catalog import Catalog
+
+HITS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("score", DoubleType()),
+])
+
+
+def _leaves_of(node: Node):
+    """(positive_leaves, must_leaves, must_not_leaves) — one boolean level.
+
+    The reference only ever produces one boolean level (QueryParser output
+    wrapped with the collection MUST); nested Bools are flattened here with
+    MUST/MUST_NOT propagation.
+    """
+    should, must, must_not = [], [], []
+
+    def walk(n: Node, polarity: str):
+        if isinstance(n, Bool):
+            for c in n.should:
+                walk(c, polarity if polarity == "must_not" else "should")
+            for c in n.must:
+                walk(c, polarity if polarity == "must_not" else "must")
+            for c in n.must_not:
+                walk(c, "must_not")
+        else:
+            {"should": should, "must": must, "must_not": must_not}[polarity].append(n)
+
+    walk(node, "should")
+    return should, must, must_not
+
+
+class SearchEngine:
+    """Top-level search API over a built index (snapshot-pinned reads)."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog,
+                 snapshot_id: int | None = None):
+        self.spark = spark
+        self.catalog = catalog
+        self.snapshot_id = snapshot_id  # pin the segments snapshot (W8 analogue)
+        self._stats = None
+        self._repo_ranges = None
+
+    # ------------------------------------------------------------ metadata
+    def _field_stats(self) -> dict[str, tuple[float, float]]:
+        if self._stats is None:
+            rows = self.catalog.table("stats").read(self.spark).collect()
+            self._stats = {r["field"]: (float(r["n_docs"]), float(r["avgdl"]))
+                           for r in rows}
+        return self._stats
+
+    def repo_doc_ranges(self, repo: str) -> list[tuple[int, int]]:
+        if self._repo_ranges is None:
+            meta = self.catalog.table("docs_meta").read(self.spark)
+            rows = (meta.groupBy("repo")
+                    .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+                    .collect())
+            self._repo_ranges = {}
+            for r in rows:
+                self._repo_ranges.setdefault(r["repo"], []).append((r["lo"], r["hi"]))
+        return self._repo_ranges.get(repo, [])
+
+    def _expand_ranges(self, leaves: list[Node]) -> dict[Range, list[str]]:
+        """Range leaf -> matching terms via term_dict (Q7: inclusive
+        lexicographic expansion, constant-score rewrite like Lucene's
+        MultiTermQuery CONSTANT_SCORE)."""
+        out: dict[Range, list[str]] = {}
+        td = self.catalog.table("term_dict").read(self.spark)
+        for r in [l for l in leaves if isinstance(l, Range)]:
+            terms = (td.where((F.col("field") == r.field)
+                              & (F.col("term") >= r.lo) & (F.col("term") <= r.hi))
+                     .select("term").collect())
+            out[r] = [x["term"] for x in terms]
+        return out
+
+    # ---------------------------------------------------------------- search
+    def search(self, repo: str | None, query: str, limit: int = 255,
+               mode: str = "kernel") -> DataFrame:
+        """Top-k hits as DataFrame(doc_id, path, score), score desc / doc_id asc.
+
+        ``repo=None`` searches all collections (the reference always scopes to
+        one collection; multi-collection search is our extension).
+        """
+        if repo is not None:
+            repo = sanitize_collection(repo)
+        node = parse_query(query)
+        if mode == "kernel":
+            hits = self._search_kernel(node, repo, limit)
+        else:
+            hits = self._search_dataframe(node, repo, limit)
+        meta = self.catalog.table("docs_meta").read(self.spark).select("doc_id", "path")
+        return (hits.join(F.broadcast(meta) if limit <= 10_000 else meta, "doc_id")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(limit)
+                .select("doc_id", "path", "score"))
+
+    # ----------------------------------------------------- DataFrame strategy
+    def _leaf_scores_df(self, leaves: list[Node], range_terms) -> DataFrame | None:
+        """(doc_id, leaf_id, score) for every positive leaf, one Catalyst plan.
+
+        Term leaves: postings filter + broadcast(term_dict)/stats + column
+        arithmetic.  Range leaves: constant score 1.0 per matching doc.
+        Phrase leaves: per-term position arrays self-joined on doc_id and
+        verified with higher-order array functions (no Python).
+        """
+        flat = self.catalog.table("postings_flat").read(self.spark)
+        lens = self.catalog.table("field_lens").read(self.spark)
+        stats = self._field_stats()
+        frames = []
+        # ---- single terms, batched into one scan
+        term_leaves = [(i, l) for i, l in enumerate(leaves) if isinstance(l, Term)]
+        if term_leaves:
+            pairs = [(l.field, l.term, i) for i, l in term_leaves]
+            leaf_map = self.spark.createDataFrame(pairs, "field string, term string, leaf_id int")
+            cand = flat.join(F.broadcast(leaf_map), ["field", "term"])
+            td = self.catalog.table("term_dict").read(self.spark)
+            cand = cand.join(F.broadcast(td), ["field", "term"])
+            cand = cand.join(lens, ["field", "doc_id"])
+            st = self.spark.createDataFrame(
+                [(f, n, a) for f, (n, a) in stats.items()],
+                "field string, n_docs double, avgdl double")
+            cand = cand.join(F.broadcast(st), "field")
+            idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            tfn = (F.col("tf") * (bm25.K1 + 1.0)
+                   / (F.col("tf") + bm25.K1 * (1.0 - bm25.B + bm25.B * F.col("dl") / F.col("avgdl"))))
+            frames.append(cand.select("doc_id", "leaf_id", (idf * tfn).alias("score")))
+        # ---- ranges: constant score
+        for i, l in enumerate(leaves):
+            if isinstance(l, Range):
+                terms = range_terms.get(l, [])
+                if not terms:
+                    continue
+                cand = (flat.where((F.col("field") == l.field) & F.col("term").isin(terms))
+                        .select("doc_id").distinct()
+                        .select("doc_id", F.lit(i).alias("leaf_id"),
+                                F.lit(1.0).alias("score")))
+                frames.append(cand)
+        # ---- phrases
+        for i, l in enumerate(leaves):
+            if isinstance(l, Phrase):
+                frames.append(self._phrase_scores_df(l, i, flat, lens, stats))
+        if not frames:
+            return None
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf)
+        return out
+
+    def _phrase_scores_df(self, ph: Phrase, leaf_id: int, flat: DataFrame,
+                          lens: DataFrame, stats) -> DataFrame:
+        """Phrase matching with higher-order array functions.
+
+        tf(phrase) = count of start positions p in positions(t0) such that
+        p + offset_j ∈ positions(t_j) for all j; idf(phrase) = Σ idf(t_j)
+        (Lucene PhraseQuery/BM25 semantics); score = idf * tf_norm(tf, dl).
+        """
+        n, avgdl = stats.get(ph.field, (0.0, 1.0))
+        td = self.catalog.table("term_dict").read(self.spark)
+        dfs = {r["term"]: r["df"] for r in
+               td.where((F.col("field") == ph.field)
+                        & F.col("term").isin(list(set(ph.terms)))).collect()}
+        if len(dfs) < len(set(ph.terms)) or n == 0.0:
+            return self.spark.createDataFrame([], "doc_id long, leaf_id int, score double")
+        idf_sum = float(sum(bm25.idf(float(dfs[t]), n) for t in ph.terms))
+        base = ph.offsets[0]
+        j = None
+        for k, (t, off) in enumerate(zip(ph.terms, ph.offsets)):
+            part = (flat.where((F.col("field") == ph.field) & (F.col("term") == t))
+                    .select("doc_id", F.col("positions").alias(f"p{k}")))
+            j = part if j is None else j.join(part, "doc_id")
+        # count start positions satisfying all offsets, via explode of the
+        # first term's positions (keeps the plan SQL-expressible for oracles)
+        ex = j.select("doc_id", F.explode("p0").alias("x"),
+                      *[F.col(f"p{k}") for k in range(1, len(ph.terms))])
+        keep = ex
+        for k in range(1, len(ph.terms)):
+            d = ph.offsets[k] - base
+            keep = keep.where(F.array_contains(F.col(f"p{k}"), F.col("x") + F.lit(d)))
+        tf = keep.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        tf = tf.join(lens.where(F.col("field") == ph.field).select("doc_id", "dl"), "doc_id")
+        tfn = (F.col("tf") * (bm25.K1 + 1.0)
+               / (F.col("tf") + bm25.K1 * (1.0 - bm25.B + bm25.B * F.col("dl") / F.lit(avgdl))))
+        return tf.select("doc_id", F.lit(leaf_id).alias("leaf_id"),
+                         (F.lit(idf_sum) * tfn).alias("score"))
+
+    def _search_dataframe(self, node: Node, repo: str | None, limit: int) -> DataFrame:
+        should, must, must_not = _leaves_of(node)
+        positive = should + must
+        range_terms = self._expand_ranges(positive + must_not)
+        scores = self._leaf_scores_df(positive, range_terms)
+        if scores is None:
+            return self.spark.createDataFrame([], HITS_SCHEMA)
+        n_must = len(must)
+        if n_must:
+            must_ids = [len(should) + i for i in range(n_must)]
+            ok = (scores.where(F.col("leaf_id").isin(must_ids))
+                  .groupBy("doc_id")
+                  .agg(F.countDistinct("leaf_id").alias("nm"))
+                  .where(F.col("nm") == n_must)
+                  .select("doc_id"))
+            scores = scores.join(ok, "doc_id", "left_semi")
+        if must_not:
+            neg = self._leaf_scores_df(must_not, range_terms)
+            if neg is not None:
+                scores = scores.join(neg.select("doc_id").distinct(), "doc_id", "left_anti")
+        agg = scores.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        if repo is not None:
+            ranges = self.repo_doc_ranges(repo)
+            if not ranges:
+                return self.spark.createDataFrame([], HITS_SCHEMA)
+            cond = None
+            for lo, hi in ranges:
+                c = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+                cond = c if cond is None else cond | c
+            agg = agg.where(cond)
+        return agg
+
+    # ------------------------------------------------------- kernel strategy
+    def _search_kernel(self, node: Node, repo: str | None, limit: int) -> DataFrame:
+        should, must, must_not = _leaves_of(node)
+        positive = should + must
+        range_terms = self._expand_ranges(positive + must_not)
+        stats = self._field_stats()
+
+        # compile leaves -> spec dicts the kernel understands
+        def leaf_spec(i, l, polarity):
+            if isinstance(l, Term):
+                return {"kind": "term", "field": l.field, "terms": [l.term],
+                        "offsets": None, "leaf_id": i, "polarity": polarity}
+            if isinstance(l, Range):
+                return {"kind": "range", "field": l.field,
+                        "terms": range_terms.get(l, []), "offsets": None,
+                        "leaf_id": i, "polarity": polarity}
+            return {"kind": "phrase", "field": l.field, "terms": list(l.terms),
+                    "offsets": [o - l.offsets[0] for o in l.offsets],
+                    "leaf_id": i, "polarity": polarity}
+
+        specs = ([leaf_spec(i, l, "should") for i, l in enumerate(should)]
+                 + [leaf_spec(len(should) + i, l, "must") for i, l in enumerate(must)]
+                 + [leaf_spec(len(should) + len(must) + i, l, "must_not")
+                    for i, l in enumerate(must_not)])
+        all_terms = sorted({(s["field"], t) for s in specs for t in s["terms"]})
+        if not any(s["terms"] for s in specs if s["polarity"] != "must_not"):
+            return self.spark.createDataFrame([], HITS_SCHEMA)
+
+        # term dictionary lookup (broadcast-sized: |query terms| rows)
+        td = self.catalog.table("term_dict").read(self.spark)
+        fields = sorted({f for f, _ in all_terms})
+        terms_only = sorted({t for _, t in all_terms})
+        td_rows = (td.where(F.col("field").isin(fields) & F.col("term").isin(terms_only))
+                   .collect())
+        df_map = {(r["field"], r["term"]): float(r["df"]) for r in td_rows}
+
+        doc_ranges = None
+        if repo is not None:
+            doc_ranges = self.repo_doc_ranges(repo)
+            if not doc_ranges:
+                return self.spark.createDataFrame([], HITS_SCHEMA)
+
+        seg_t = self.catalog.table("segments")
+        seg = seg_t.read(self.spark, self.snapshot_id)
+        seg = seg.where(F.col("field").isin(fields) & F.col("term").isin(terms_only))
+        if doc_ranges is not None:
+            # docID ranges -> dslice partition pruning + block-range pruning
+            cond = None
+            for lo, hi in doc_ranges:
+                c = (F.col("last_doc") >= lo) & (F.col("first_doc") <= hi)
+                cond = c if cond is None else cond | c
+            seg = seg.where(cond)
+
+        needs_positions = any(s["kind"] == "phrase" for s in specs)
+        norms = self.catalog.table("doc_norms").read(self.spark)
+        norms = norms.where(F.col("field").isin(fields))
+        if doc_ranges is not None:
+            cond = None
+            for lo, hi in doc_ranges:
+                c = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+                cond = c if cond is None else cond | c
+            norms = norms.where(cond)
+        kernel = _make_slice_kernel(specs, df_map, stats, doc_ranges, limit,
+                                    needs_positions)
+        # cogroup blocks with the norms sidecar per doc-slice: every task has
+        # all postings AND all doc lengths for its doc range — independent
+        # block-max top-k per slice, zero cross-slice traffic.
+        hits = (seg.groupBy("dslice")
+                .cogroup(norms.groupBy("dslice"))
+                .applyInPandas(kernel, schema=HITS_SCHEMA))
+        return hits
+
+
+def _make_slice_kernel(specs, df_map, stats, doc_ranges, k, needs_positions):
+    """Build the per-slice numpy scoring kernel (closure shipped to executors).
+
+    Input per call: (segment block rows, doc_norms rows) of ONE doc-slice.
+    Output: top-k (doc_id, score) for that slice.  Block-max pruning: exact
+    scoring is ordered by per-doc upper bounds (Σ idf·block_max_w of the
+    covering blocks) and stops as soon as the next upper bound cannot beat
+    the current k-th exact score — the block-max WAND guarantee (SURVEY.md §4
+    P6), vectorized over numpy arrays instead of pointer-chasing cursors.
+    """
+
+    def kernel(seg_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(seg_pdf) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        return _score_slice(seg_pdf, norms_pdf, specs, df_map, stats,
+                            doc_ranges, k, needs_positions)
+
+    return kernel
+
+
+def _decode_leaf_postings(sl: pd.DataFrame, field: str, terms: list[str],
+                          want_positions: bool):
+    """Decode this slice's blocks for (field, terms) -> per-term dict:
+    term -> (doc_ids int64[], tfs int64[], positions list|None)."""
+    out = {}
+    mask = (sl["field"].to_numpy() == field) & sl["term"].isin(terms).to_numpy()
+    sub = sl[mask]
+    for term, rows in sub.groupby("term", sort=False):
+        rows = rows.sort_values(["first_doc"])
+        ids_parts, tf_parts, pos_parts = [], [], []
+        for _, r in rows.iterrows():
+            ids = codec.decode_ids(r["doc_gaps"])
+            tfs = codec.varint_decode(r["tfs"]).astype(np.int64)
+            ids_parts.append(ids)
+            tf_parts.append(tfs)
+            if want_positions:
+                pos_parts.append(codec.decode_positions(r["positions"], tfs))
+        ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+        tfs = np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int64)
+        pos = np.concatenate(pos_parts) if (want_positions and pos_parts) else None
+        out[term] = (ids, tfs, pos)
+    return out
+
+
+def _phrase_match(decoded, terms, offsets):
+    """Vectorized positional phrase intersection.
+
+    Returns (doc_ids, phrase_tfs) for docs containing the phrase.  Builds
+    (doc, pos) key arrays per term and intersects shifted keys with
+    np.intersect1d — O(sum |postings| log) per slice, no Python loops over
+    positions.
+    """
+    first = decoded.get(terms[0])
+    if first is None:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ids0, tfs0, pos0 = first
+    if pos0 is None or ids0.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # candidate start keys: doc*M + pos (M > max position)
+    reps0 = np.repeat(ids0, tfs0)
+    M = np.int64(1) << 32
+    keys = reps0 * M + pos0
+    for t, off in zip(terms[1:], offsets[1:]):
+        ent = decoded.get(t)
+        if ent is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ids_t, tfs_t, pos_t = ent
+        if pos_t is None or ids_t.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        kt = np.repeat(ids_t, tfs_t) * M + pos_t
+        # keep start keys p with (doc*M + p + off) present in term t's keys
+        keys = np.intersect1d(keys + np.int64(off), kt, assume_unique=False) - np.int64(off)
+        if keys.size == 0:
+            break
+    if keys.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs = (keys // M).astype(np.int64)
+    uniq, counts = np.unique(docs, return_counts=True)
+    return uniq, counts.astype(np.int64)
+
+
+def _in_ranges(ids: np.ndarray, doc_ranges) -> np.ndarray:
+    """Boolean mask: which doc ids fall inside the collection's docID ranges
+    (Q8 collection filter as pure numeric compare)."""
+    if doc_ranges is None:
+        return np.ones(ids.shape, dtype=bool)
+    m = np.zeros(ids.shape, dtype=bool)
+    for lo, hi in doc_ranges:
+        m |= (ids >= lo) & (ids <= hi)
+    return m
+
+
+def _empty_hits() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                         "score": pd.Series([], dtype="float64")})
+
+
+def _score_slice(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs, df_map,
+                 stats, doc_ranges, k, needs_positions) -> pd.DataFrame:
+    """Score one doc-slice: top-k (doc_id, score), numpy throughout."""
+    # dl lookup arrays per field (sorted by doc_id at build time)
+    norm_lookup = {}
+    for field, nf in norms_pdf.groupby("field", sort=False):
+        nd = nf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(nd, kind="mergesort")
+        norm_lookup[field] = (nd[order], nf["dl"].to_numpy(np.float64)[order])
+
+    def dl_of(field, ids):
+        nd, dls = norm_lookup[field]
+        idx = np.searchsorted(nd, ids)
+        return dls[idx]
+
+    # ---- decode postings per leaf, compute per-leaf (ids, score, ub)
+    leaf_hits = {}     # leaf_id -> (ids sorted, exact scores | None, ub scalar)
+    decoded_cache = {}
+
+    def decoded_for(field, terms, want_pos):
+        key = (field, tuple(terms), want_pos)
+        if key not in decoded_cache:
+            decoded_cache[key] = _decode_leaf_postings(sl, field, terms, want_pos)
+        return decoded_cache[key]
+
+    scored_frames = []   # (leaf_id, ids, scores) for positive leaves
+    must_sets = []
+    not_sets = []
+    for s in specs:
+        field = s["field"]
+        n_docs, avgdl = stats.get(field, (0.0, 1.0))
+        if s["kind"] == "phrase":
+            decoded = decoded_for(field, s["terms"], True)
+            ids, ptf = _phrase_match(decoded, s["terms"], s["offsets"])
+            keep = _in_ranges(ids, doc_ranges)
+            ids, ptf = ids[keep], ptf[keep]
+            if s["polarity"] == "must_not":
+                not_sets.append(ids)
+                continue
+            idf_sum = float(sum(
+                bm25.idf(df_map.get((field, t), 0.0) or 1.0, n_docs)
+                for t in s["terms"]))
+            if ids.size:
+                scores = idf_sum * bm25.tf_norm(ptf.astype(np.float64),
+                                                dl_of(field, ids), avgdl)
+            else:
+                scores = np.empty(0, np.float64)
+            scored_frames.append((s["leaf_id"], ids, scores))
+            if s["polarity"] == "must":
+                must_sets.append(ids)
+        elif s["kind"] == "range":
+            decoded = decoded_for(field, s["terms"], False)
+            if decoded:
+                ids = np.unique(np.concatenate([v[0] for v in decoded.values()]))
+            else:
+                ids = np.empty(0, np.int64)
+            ids = ids[_in_ranges(ids, doc_ranges)]
+            if s["polarity"] == "must_not":
+                not_sets.append(ids)
+                continue
+            scored_frames.append((s["leaf_id"], ids, np.ones(ids.size, np.float64)))
+            if s["polarity"] == "must":
+                must_sets.append(ids)
+        else:  # term
+            t = s["terms"][0]
+            decoded = decoded_for(field, [t], False)
+            ent = decoded.get(t)
+            if ent is None:
+                ids = np.empty(0, np.int64)
+                tfs = np.empty(0, np.int64)
+            else:
+                ids, tfs, _ = ent
+            keep = _in_ranges(ids, doc_ranges)
+            ids, tfs = ids[keep], tfs[keep]
+            if s["polarity"] == "must_not":
+                not_sets.append(ids)
+                continue
+            df = df_map.get((field, t), 0.0)
+            if df <= 0 or ids.size == 0:
+                scored_frames.append((s["leaf_id"], np.empty(0, np.int64),
+                                      np.empty(0, np.float64)))
+                if s["polarity"] == "must":
+                    must_sets.append(np.empty(0, np.int64))
+                continue
+            scores = bm25.score(tfs.astype(np.float64), dl_of(field, ids),
+                                df, n_docs, avgdl)
+            scored_frames.append((s["leaf_id"], ids, scores))
+            if s["polarity"] == "must":
+                must_sets.append(ids)
+
+    if not scored_frames:
+        return _empty_hits()
+
+    # ---- combine: sum scores over leaves; enforce must/must_not
+    all_ids = np.concatenate([ids for _, ids, _ in scored_frames])
+    all_scores = np.concatenate([sc for _, ids, sc in scored_frames])
+    if all_ids.size == 0:
+        return _empty_hits()
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    total = np.zeros(uniq.size, np.float64)
+    np.add.at(total, inv, all_scores)
+    keep = np.ones(uniq.size, dtype=bool)
+    for ms in must_sets:
+        keep &= np.isin(uniq, ms, assume_unique=False)
+    for ns in not_sets:
+        keep &= ~np.isin(uniq, ns, assume_unique=False)
+    uniq, total = uniq[keep], total[keep]
+    if uniq.size == 0:
+        return _empty_hits()
+    # ---- per-slice top-k: score desc, doc_id asc
+    if uniq.size > k:
+        # argpartition on (-score, doc_id) via lexsort of the top region
+        order = np.lexsort((uniq, -total))[:k]
+    else:
+        order = np.lexsort((uniq, -total))
+    return pd.DataFrame({"doc_id": uniq[order], "score": total[order]})

@@ -1,0 +1,192 @@
+"""Recursive-descent parser for the Lucene classic QueryParser subset the
+reference exercises (SURVEY.md §2.4 Q1): bare terms, field:term, AND/OR/NOT,
++term/-term, quoted phrases, inclusive ranges [lo TO hi], parentheses.
+
+Query-side analysis mirrors indexing (the reference hands the same
+StandardAnalyzer to its QueryParser, LuceneIndexBean.java:727-735): terms are
+run through the code-aware analyzer, so a camelCase query token becomes a
+phrase of its sub-terms (Lucene does exactly this when an analyzer splits one
+query token into several) and stopword query terms match nothing on their own
+but keep their position gaps inside phrases.
+"""
+
+from __future__ import annotations
+
+import re
+
+from lucene_plugin_spark.analysis.tokenizer import tokenize_text
+from lucene_plugin_spark.query.plan import (DEFAULT_FIELD, Bool, Node, Phrase,
+                                            Range, Term)
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() |
+        (?P<rparen>\)) |
+        (?P<and>AND\b) |
+        (?P<or>OR\b) |
+        (?P<not>NOT\b) |
+        (?P<plus>\+) |
+        (?P<minus>-) |
+        (?P<phrase>"(?P<phrase_body>[^"]*)") |
+        (?P<range>\[\s*(?P<lo>[^\s\]]+)\s+TO\s+(?P<hi>[^\s\]]+)\s*\]) |
+        (?P<word>[^\s()"\[\]+-][^\s()"\[\]]*)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _lex(q: str):
+    toks = []
+    i = 0
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m:
+            raise QueryParseError(f"cannot lex query at offset {i}: {q!r}")
+        if m.end() == i:  # only whitespace remains
+            break
+        toks.append(m)
+        i = m.end()
+    return toks
+
+
+class _Parser:
+    def __init__(self, q: str, default_field: str):
+        self.toks = _lex(q)
+        self.i = 0
+        self.default_field = default_field
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    # query := clause+   (implicit OR; +/AND promote to MUST, -/NOT to MUST_NOT)
+    def parse(self) -> Node:
+        should, must, must_not = [], [], []
+        pending_op = None  # 'AND' binds the next clause and the previous one to MUST
+        while self.peek() is not None:
+            m = self.peek()
+            if m.group("rparen"):
+                break
+            if m.group("and"):
+                self.next()
+                pending_op = "AND"
+                continue
+            if m.group("or"):
+                self.next()
+                pending_op = "OR"
+                continue
+            occur = None
+            if m.group("plus"):
+                self.next()
+                occur = "must"
+            elif m.group("minus") or m.group("not"):
+                self.next()
+                occur = "must_not"
+            node = self.parse_clause()
+            if node is None:
+                continue
+            if occur == "must":
+                must.append(node)
+            elif occur == "must_not":
+                must_not.append(node)
+            elif pending_op == "AND":
+                # AND binds previous SHOULD clause too (Lucene classic behavior)
+                if should:
+                    must.append(should.pop())
+                must.append(node)
+            else:
+                should.append(node)
+            pending_op = None
+        if not should and len(must) == 1 and not must_not:
+            return must[0]
+        if len(should) == 1 and not must and not must_not:
+            return should[0]
+        return Bool(should=tuple(should), must=tuple(must), must_not=tuple(must_not))
+
+    def parse_clause(self) -> Node | None:
+        m = self.next()
+        if m is None:
+            raise QueryParseError("unexpected end of query")
+        if m.group("lparen"):
+            inner = self.parse()
+            r = self.next()
+            if r is None or not r.group("rparen"):
+                raise QueryParseError("unbalanced parenthesis")
+            return inner
+        field = self.default_field
+        # field-qualified?  word ending with ':' followed by term/phrase/range
+        if m.group("word") and m.group("word").endswith(":") and len(m.group("word")) > 1:
+            field = m.group("word")[:-1]
+            m = self.next()
+            if m is None:
+                raise QueryParseError(f"field '{field}:' with no value")
+        elif m.group("word") and ":" in m.group("word"):
+            field, _, val = m.group("word").partition(":")
+            if val:
+                return self._term_or_phrase(field, val)
+            m = self.next()
+            if m is None:
+                raise QueryParseError(f"field '{field}:' with no value")
+        if m.group("phrase") is not None:
+            return self._phrase(field, m.group("phrase_body"))
+        if m.group("range") is not None:
+            return Range(field=field, lo=m.group("lo"), hi=m.group("hi"))
+        if m.group("word"):
+            return self._term_or_phrase(field, m.group("word"))
+        if m.group("lparen"):
+            # field:(...) — grouped clause under a field
+            saved = self.default_field
+            self.default_field = field
+            inner = self.parse()
+            r = self.next()
+            if r is None or not r.group("rparen"):
+                raise QueryParseError("unbalanced parenthesis")
+            self.default_field = saved
+            return inner
+        raise QueryParseError(f"unexpected token {m.group(0)!r}")
+
+    def _term_or_phrase(self, field: str, raw: str) -> Node | None:
+        """Analyze a single query token; >1 sub-term => positional phrase
+        (Lucene's analyzer-splits-token behavior)."""
+        analyzed = tokenize_text(raw)
+        if not analyzed:
+            return None  # pure-stopword term matches nothing
+        if len(analyzed) == 1:
+            return Term(field=field, term=analyzed[0][0])
+        base = analyzed[0][1]
+        return Phrase(field=field, terms=tuple(t for t, _ in analyzed),
+                      offsets=tuple(p - base for _, p in analyzed))
+
+    def _phrase(self, field: str, body: str) -> Node | None:
+        analyzed = tokenize_text(body)
+        if not analyzed:
+            return None
+        if len(analyzed) == 1:
+            return Term(field=field, term=analyzed[0][0])
+        base = analyzed[0][1]
+        return Phrase(field=field, terms=tuple(t for t, _ in analyzed),
+                      offsets=tuple(p - base for _, p in analyzed))
+
+
+def parse_query(q: str, default_field: str = DEFAULT_FIELD) -> Node:
+    if q is None or not q.strip():
+        raise QueryParseError("empty query")
+    node = _Parser(q, default_field).parse()
+    # A query whose terms all analyzed away (e.g. pure stopwords) parses to an
+    # empty Bool — Lucene returns 0 hits for this, it does not error.
+    return node
+
+
+def sanitize_collection(name: str) -> str:
+    """Strip Lucene special characters from collection names — mirrors the
+    reference's escapeSpecialCharacters (LuceneIndexBean.java:553-586)."""
+    return re.sub(r'[+\-!(){}\[\]^"~*?:\\]|&&|\|\|', "", name)

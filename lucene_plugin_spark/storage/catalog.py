@@ -1,0 +1,180 @@
+"""Snapshot-committed parquet tables — the Iceberg analogue for this engine.
+
+The north rule asks for Iceberg tables with snapshot commits, snapshot-pinned
+reads, per-partition lineage and checkpoint-resumable stages.  This sandbox
+has no Iceberg runtime jars, so this module implements the same *semantics*
+over plain parquet, shaped so every call site maps 1:1 to an Iceberg catalog
+on a real cluster:
+
+- ``Table.append(df)``        -> ``df.writeTo(t).append()``
+- ``Table.overwrite(df)``     -> ``df.writeTo(t).overwritePartitions()`` / replace
+- ``Table.commit(...)``       -> Iceberg snapshot commit (atomic pointer swap)
+- ``Table.read(snapshot_id)`` -> ``spark.read.option("snapshot-id", ...)``
+- ``Table.current_snapshot()``-> snapshot pinning (reference analogue: the NRT
+  searcher version, LuceneIndexBean.java:620-637 / SearcherManager)
+
+Layout on disk::
+
+    <root>/<table>/
+        data/snap-<n>/part-*.parquet     # files written for snapshot n
+        meta/manifest-<n>.json           # file list + lineage + properties
+        meta/CURRENT                     # atomic pointer: current snapshot n
+
+A manifest lists *all* live data dirs for its snapshot (append = parent dirs +
+new dir; overwrite = new dir only), plus free-form ``lineage`` (used by the
+index builder to record which input partitions produced which segment files —
+north-rule per-partition lineage) and ``properties`` (stage markers for
+checkpoint-resume).  The CURRENT pointer is swapped with ``os.replace`` —
+atomic on POSIX — so readers never observe a partial commit (the analogue of
+Iceberg optimistic commit; reference analogue: ``IndexWriter.commit()`` at
+LuceneIndexBean.java:490-509).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotError(RuntimeError):
+    pass
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    data_dirs: list[str]
+    lineage: dict[str, Any] = field(default_factory=dict)
+    properties: dict[str, Any] = field(default_factory=dict)
+    parent_id: int | None = None
+    timestamp_ms: int = 0
+
+
+class Table:
+    """One snapshot-versioned parquet table."""
+
+    def __init__(self, root: str, name: str):
+        self.root = os.path.join(root, name)
+        self.name = name
+        self._meta = os.path.join(self.root, "meta")
+        self._data = os.path.join(self.root, "data")
+        os.makedirs(self._meta, exist_ok=True)
+        os.makedirs(self._data, exist_ok=True)
+
+    # ---- snapshot bookkeeping -------------------------------------------
+    def current_snapshot_id(self) -> int | None:
+        cur = os.path.join(self._meta, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise SnapshotError(f"table {self.name} has no snapshots")
+        with open(os.path.join(self._meta, f"manifest-{sid}.json")) as f:
+            m = json.load(f)
+        return Snapshot(
+            snapshot_id=m["snapshot_id"],
+            data_dirs=m["data_dirs"],
+            lineage=m.get("lineage", {}),
+            properties=m.get("properties", {}),
+            parent_id=m.get("parent_id"),
+            timestamp_ms=m.get("timestamp_ms", 0),
+        )
+
+    def exists(self) -> bool:
+        return self.current_snapshot_id() is not None
+
+    def history(self) -> list[int]:
+        ids = []
+        for f in os.listdir(self._meta):
+            if f.startswith("manifest-") and f.endswith(".json"):
+                ids.append(int(f[len("manifest-"):-len(".json")]))
+        return sorted(ids)
+
+    # ---- writes ----------------------------------------------------------
+    def _next_id(self) -> int:
+        cur = self.current_snapshot_id()
+        return 1 if cur is None else cur + 1
+
+    def _write_data(self, df: DataFrame, sid: int, partition_by: list[str] | None) -> str:
+        d = os.path.join(self._data, f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(d)
+        return d
+
+    def _commit(self, sid: int, data_dirs: list[str], lineage: dict, properties: dict) -> Snapshot:
+        parent = self.current_snapshot_id()
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "data_dirs": data_dirs,
+            "lineage": lineage,
+            "properties": properties,
+            "timestamp_ms": int(time.time() * 1000),
+        }
+        mpath = os.path.join(self._meta, f"manifest-{sid}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, mpath)
+        cur_tmp = os.path.join(self._meta, "CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(cur_tmp, os.path.join(self._meta, "CURRENT"))  # atomic pointer swap
+        return self.snapshot(sid)
+
+    def append(self, df: DataFrame, partition_by: list[str] | None = None,
+               lineage: dict | None = None, properties: dict | None = None) -> Snapshot:
+        sid = self._next_id()
+        d = self._write_data(df, sid, partition_by)
+        parent_dirs = [] if self.current_snapshot_id() is None else self.snapshot().data_dirs
+        return self._commit(sid, parent_dirs + [d], lineage or {}, properties or {})
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None,
+                  lineage: dict | None = None, properties: dict | None = None) -> Snapshot:
+        sid = self._next_id()
+        d = self._write_data(df, sid, partition_by)
+        return self._commit(sid, [d], lineage or {}, properties or {})
+
+    def commit_dirs(self, data_dirs: list[str], lineage: dict | None = None,
+                    properties: dict | None = None) -> Snapshot:
+        """Commit pre-written data dirs (used by multi-stage builds where each
+        stage writes its own files; the commit only swaps the pointer)."""
+        return self._commit(self._next_id(), data_dirs, lineage or {}, properties or {})
+
+    # ---- reads -----------------------------------------------------------
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        snap = self.snapshot(snapshot_id)
+        if not snap.data_dirs:
+            raise SnapshotError(f"snapshot {snap.snapshot_id} of {self.name} is empty")
+        # basePath keeps partition columns when dirs are partitioned
+        return spark.read.option("basePath", snap.data_dirs[0]).parquet(*snap.data_dirs) \
+            if len(snap.data_dirs) == 1 else spark.read.parquet(*snap.data_dirs)
+
+
+class Catalog:
+    """A directory of snapshot tables (≈ an Iceberg namespace)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> Table:
+        return Table(self.root, name)
+
+    def drop(self, name: str) -> None:
+        import shutil
+        p = os.path.join(self.root, name)
+        if os.path.exists(p):
+            shutil.rmtree(p)
