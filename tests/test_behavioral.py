@@ -1,0 +1,134 @@
+"""Ports of the reference's JUnit end-to-end suite (SURVEY.md §5) — each test
+replays the reference scenario through the facade and asserts identical hit
+sets.  Reference files cited per test live under
+/root/reference/service/src/test/java/tests/."""
+
+import pytest
+
+LOREM = ("Lorem ipsum dolor sit amet, consectetur adipiscing elit, sed do "
+         "eiusmod tempor incididunt ut labore et dolore magna aliqua. "
+         "Duis aute irure dolor in reprehenderit in voluptate velit esse "
+         "cillum dolore eu fugiat nulla pariatur. Excepteur sint occaecat "
+         "cupidatat non proident, sunt in culpa qui officia deserunt mollit "
+         "anim id est laborum. It was released in several versions")
+
+
+def ids(entries):
+    return sorted(e.external_id for e in entries)
+
+
+# --- TestSearchText.java:28-40 ------------------------------------------------
+def test_search_text(facade):
+    facade.index_text("default", "0", "mary had a little lamb")
+    facade.index_text("default", "1", "mary had a little lamb")
+    assert ids(facade.search("default", "lamb")) == ["0", "1"]
+
+
+# --- TestSearchWithUpdate.java:28-43 -------------------------------------------
+def test_search_with_update(facade):
+    facade.index_text("default", "0", "mary had a little lamb")
+    facade.index_text("default", "1", "mary had a little lamb")
+    facade.index_text("default", "0", "mary had a little dog")
+    assert ids(facade.search("default", "lamb")) == ["1"]
+    assert ids(facade.search("default", "dog")) == ["0"]
+
+
+# --- TestDelete.java:29-79 ------------------------------------------------------
+def test_delete(facade):
+    facade.index_text("default", "foo", "mary had a little lamb")
+    assert ids(facade.search("default", "lamb")) == ["foo"]
+    facade.delete("default", "foo")
+    assert facade.search("default", "lamb") == []
+    # map doc delete (TestDelete.java:61-79)
+    facade.index_map("default", "m", {"data": "mary had a little lamb"})
+    assert ids(facade.search("default", "data:lamb")) == ["m"]
+    facade.delete("default", "m")
+    assert facade.search("default", "data:lamb") == []
+
+
+# --- TestSearchCollection.java:28-53 --------------------------------------------
+def test_collection_isolation_and_clear(facade):
+    facade.index_text("foo", "id", "mary had a little lamb")
+    facade.index_text("bar", "id", "mary had a little lamb")
+    assert ids(facade.search("foo", "lamb")) == ["id"]
+    assert ids(facade.search("bar", "lamb")) == ["id"]
+    facade.clear("bar")
+    assert facade.search("bar", "lamb") == []
+    assert ids(facade.search("foo", "lamb")) == ["id"]
+
+
+# --- TestSearchMap.java:30-59 ----------------------------------------------------
+def test_search_map(facade):
+    facade.index_map("default", "1", {
+        "foo": "mary had a little lamb",
+        "bar": "mary had two little lamb",
+        "zoo": "rose had three little lamb",
+        "age": 23, "count": 32})
+    assert ids(facade.search("default", "foo:lamb")) == ["1"]
+    assert ids(facade.search("default", "bar:two")) == ["1"]
+    assert ids(facade.search("default", "zoo:rose")) == ["1"]
+    # inclusive lexicographic string range (numbers index as text)
+    assert ids(facade.search("default", "age:[23 TO 23]")) == ["1"]
+    assert facade.search("default", "count:[33 TO 34]") == []
+    assert ids(facade.search("default", "count:32")) == ["1"]
+    # default field does not see map fields
+    assert facade.search("default", "lamb") == []
+
+
+# --- TestLuceneFacade.java:37-93 (same semantics via the public facade) ----------
+def test_facade_multivalue_first_only(facade):
+    # reference indexMap keeps only the FIRST value per key
+    # (LuceneIndexBean.java:338-341)
+    facade.index_map("default", "1", {"k": ["alpha", "beta"]})
+    assert ids(facade.search("default", "k:alpha")) == ["1"]
+    assert facade.search("default", "k:beta") == []
+
+
+# --- TestSearchByFirstWord/LastWord.java:29-70 -----------------------------------
+def test_first_and_last_word(facade, tmp_path):
+    p = tmp_path / "test-00.txt"
+    p.write_text(LOREM, encoding="utf-8")
+    facade.index_file("default", str(p))
+    assert ids(facade.search("default", "Lorem")) == [str(p)]
+    assert ids(facade.search("default", "versions")) == [str(p)]
+
+
+# --- TestIndexFile.java:32-59 ------------------------------------------------------
+def test_index_file_accumulate(facade, tmp_path):
+    seen = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.txt"
+        p.write_text(f"common token{i} text", encoding="utf-8")
+        facade.index_file("default", str(p))
+        seen.append(str(p))
+        assert ids(facade.search("default", "common")) == sorted(seen)
+
+
+# --- TestPaging.java:31-60 -----------------------------------------------------------
+def test_paging_limit(facade):
+    for i in range(10):
+        facade.index_text("default", str(i), "hit")
+    facade.index_text("default", "10", "miss")
+    r = facade.search("default", "hit", limit=255)
+    assert len(r) == 10
+    r5 = facade.search("default", "hit", limit=5)
+    assert len(r5) == 5
+    # tie-break: equal scores -> doc_id ascending (SURVEY.md §2.7.5)
+    assert [e.id for e in r5] == sorted(e.id for e in r5)
+
+
+# --- TestSearchShards.java:29-43 (same as text search; sharding is a config) --------
+def test_search_shards_equivalent(facade):
+    facade.index_text("default", "0", "mary had a little lamb")
+    assert ids(facade.search("default", "lamb")) == ["0"]
+
+
+# --- ordering: score desc, doc_id asc over non-trivial corpus -----------------------
+def test_score_ordering(facade):
+    facade.index_text("default", "a", "lamb lamb lamb other words here")
+    facade.index_text("default", "b", "lamb")
+    facade.index_text("default", "c", "lamb other")
+    r = facade.search("default", "lamb")
+    scores = [e.score for e in r]
+    assert scores == sorted(scores, reverse=True)
+    assert r[0].external_id == "b"  # shortest doc, same tf -> highest norm

@@ -1,0 +1,85 @@
+"""Query parser coverage (SURVEY.md §2.4 Q1, Q13)."""
+
+import pytest
+
+from lucene_plugin_spark.query.parser import (QueryParseError, parse_query,
+                                              sanitize_collection)
+from lucene_plugin_spark.query.plan import Bool, Phrase, Range, Term
+
+
+def test_bare_term():
+    assert parse_query("lamb") == Term("text", "lamb")
+
+
+def test_implicit_or():
+    n = parse_query("mary lamb")
+    assert isinstance(n, Bool)
+    assert n.should == (Term("text", "mary"), Term("text", "lamb"))
+
+
+def test_and():
+    n = parse_query("mary AND lamb")
+    assert n.must == (Term("text", "mary"), Term("text", "lamb"))
+
+
+def test_plus_minus():
+    n = parse_query("+mary -dog lamb")
+    assert n.must == (Term("text", "mary"),)
+    assert n.must_not == (Term("text", "dog"),)
+    assert n.should == (Term("text", "lamb"),)
+
+
+def test_not_keyword():
+    n = parse_query("mary NOT dog")
+    assert n.must_not == (Term("text", "dog"),)
+
+
+def test_field_qualified():
+    assert parse_query("foo:lamb") == Term("foo", "lamb")
+
+
+def test_field_range_inclusive():
+    assert parse_query("age:[23 TO 23]") == Range("age", "23", "23")
+
+
+def test_phrase_positions():
+    n = parse_query('"mary little"')
+    assert isinstance(n, Bool) or isinstance(n, Phrase)
+
+
+def test_phrase_stopword_gap():
+    # "had a little": 'a' drops, offsets keep the gap
+    n = parse_query('"had a little"')
+    assert isinstance(n, Phrase)
+    assert n.terms == ("had", "little")
+    assert n.offsets == (0, 2)
+
+
+def test_camel_query_token_becomes_phrase():
+    n = parse_query("getUserName")
+    assert isinstance(n, Phrase)
+    assert n.terms == ("get", "user", "name")
+    assert n.offsets == (0, 1, 2)
+
+
+def test_grouping():
+    n = parse_query("(merge OR block) AND stream")
+    assert isinstance(n, Bool)
+    assert len(n.must) == 2
+
+
+def test_stopword_only_is_empty_bool():
+    n = parse_query("the")
+    assert isinstance(n, Bool)
+    assert n.should == () and n.must == () and n.must_not == ()
+
+
+def test_empty_query_raises():
+    with pytest.raises(QueryParseError):
+        parse_query("   ")
+
+
+def test_sanitize_collection():
+    # mirrors LuceneIndexBean.escapeSpecialCharacters (":553-586)
+    assert sanitize_collection('fo+o-b!ar(){}[]^"~*?:\\x') == "foobarx"
+    assert sanitize_collection("a&&b||c") == "abc"
