@@ -1,38 +1,574 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2 (or
+a training-data op from the brief) over the driver-provided parquet tables;
+``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.  The full-text entries
+run the real engine (index build via lucene_plugin_spark.index.builder +
+query via query.executor kernel path); the oracle recomputes BM25 from raw
+text in SQL.
+
+Mapping of the driver's ``documents(doc_id, text, lang, source, n_chars)``
+table into the engine's input shape (BASELINE.json input_hint): repo=source,
+path=printf('%06d', doc_id), content=text, plus a fields map {lang, src} for
+field-qualified queries.  Engine hits are mapped back to the original doc_id
+by casting path to int, so oracle SQL can speak in documents.doc_id terms.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from lucene_plugin_spark.analysis.stopwords import STOPWORDS_SQL_LIST
+from lucene_plugin_spark.index.builder import IndexBuilder
+from lucene_plugin_spark.ops import dedup as D
+from lucene_plugin_spark.ops import similarity as S
+from lucene_plugin_spark.ops import textstats as T
+from lucene_plugin_spark.ops.hashing import md5_long, md5_long_sql
+from lucene_plugin_spark.query.executor import SearchEngine
+from lucene_plugin_spark.storage.catalog import Catalog
+
+# --------------------------------------------------------------------------
+# engine bootstrap (index built once per sf_dir per process, snapshot-cached)
+# --------------------------------------------------------------------------
+
+_ENGINES: dict[str, tuple[Catalog, SearchEngine]] = {}
+
+
+def _docs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.format_string("%06d", F.col("doc_id")).alias("path"),
+        F.lit("c0ffee42").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(F.lit("lang"), F.col("lang"),
+                     F.lit("src"), F.col("source")).alias("fields"),
+    )
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEngine]:
+    if sf_dir not in _ENGINES:
+        wh = os.path.join("/tmp/lps_entry", sf_dir.strip("/").replace("/", "_"))
+        catalog = Catalog(wh)
+        builder = IndexBuilder(spark, catalog, docs_per_slice=200)
+        if not catalog.table("segments").exists():
+            builder.build(_docs_source(spark, sf_dir), fields_map_col="fields")
+        _ENGINES[sf_dir] = (catalog, SearchEngine(spark, catalog))
+    return _ENGINES[sf_dir]
+
+
+def _hits_as_orig_ids(hits: DataFrame, round_to: int = 6) -> DataFrame:
+    return hits.select(F.col("path").cast("int").cast("bigint").alias("doc_id"),
+                       F.round("score", round_to).alias("score"))
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --------------------------------------------------------------------------
+# shared oracle SQL fragments
+# --------------------------------------------------------------------------
+
+# analyzed tokens (engine analyzer == whitespace+lower+stopfilter on this
+# corpus: text is guaranteed [a-z0-9 ] single-spaced)
+_TOK = f"""
+raw AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+tok AS (SELECT doc_id, toks[i] AS term, i-1 AS pos
+        FROM raw, UNNEST(generate_series(1, len(toks))) s(i)
+        WHERE toks[i] NOT IN ({STOPWORDS_SQL_LIST}) AND toks[i] <> ''),
+tf AS (SELECT doc_id, term, count(*)::double tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double dl FROM tok GROUP BY 1),
+st AS (SELECT count(*)::double n, avg(dl) avgdl FROM dl),
+dfx AS (SELECT term, count(*)::double df FROM tf GROUP BY 1)
+"""
+
+# raw tokens (ops tokenizer: split on non-alnum, keep stopwords)
+_RAWTOK = """
+rraw AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+rtok AS (SELECT doc_id, toks[i] AS token, i-1 AS pos
+         FROM rraw, UNNEST(generate_series(1, len(toks))) s(i)
+         WHERE toks[i] <> '')
+"""
+
+_BM25 = ("ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) * "
+         "tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))")
+
+
+def _bm25_or_sql(terms: list[str], k: int, extra_where: str = "") -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOK},
+scores AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({tlist}) {extra_where}
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _shingle_sql(n: int) -> str:
+    """CTE 'sh(doc_id, shingle)': distinct word n-grams over raw tokens."""
+    joins = "\n".join(
+        f"JOIN rtok t{i} ON t0.doc_id = t{i}.doc_id AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, n))
+    concat = " || ' ' || ".join(f"t{i}.token" for i in range(n))
+    return f"""
+sh AS (SELECT DISTINCT t0.doc_id AS doc_id, {concat} AS shingle
+       FROM rtok t0
+       {joins})
+"""
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for an OR query over sf0.001, kernel strategy."""
+    _, eng = _engine(spark, "/root/testdata/sf0.001")
+    return _hits_as_orig_ids(eng.search(None, "spark join table", limit=10))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- full-text engine (SURVEY.md §2.4 Q2/Q3/Q9/Q10) ----
+    def ft_term_topk(spark, sf):
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "spark", limit=10))
+
+    def ft_or_topk(spark, sf):
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "join hash merge", limit=10))
+
+    def ft_and(spark, sf):  # Q4 posting intersection
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "join AND hash AND merge", limit=50))
+
+    def ft_not(spark, sf):  # Q5 anti-membership
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "spark -join", limit=10))
+
+    def ft_phrase(spark, sf):  # Q6 positional phrase
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, '"table hash"', limit=10))
+
+    # constant-score / tied-score queries use an un-truncating limit: the
+    # engine tie-breaks on its internal docID while the oracle speaks in
+    # original doc_ids, so a mid-tie cutoff would select different (equally
+    # correct) docs.  Untruncated, both return the identical full match set.
+    def ft_range(spark, sf):  # Q7 lexicographic range (constant score)
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "[sc TO sz]", limit=1_000_000))
+
+    def ft_field_lang(spark, sf):  # field-qualified term (map field, S4)
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "lang:en", limit=1_000_000))
+
+    def ft_collection(spark, sf):  # Q8 collection filter
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.search("src3", "query table", limit=20))
+
+    def ft_term_dict(spark, sf):  # W1/Q2 term dictionary (df, cf)
+        cat, _ = _engine(spark, sf)
+        td = cat.table("term_dict").read(spark)
+        return (td.where(F.col("field") == "text")
+                .select("term", F.col("df").cast("bigint").alias("df"),
+                        F.col("cf").cast("bigint").alias("cf")))
+
+    def ft_doc_len(spark, sf):  # analysis chain A1-A3 (token counting per doc)
+        cat, _ = _engine(spark, sf)
+        lens = cat.table("field_lens").read(spark).where(F.col("field") == "text")
+        meta = cat.table("docs_meta").read(spark).select("doc_id", "path")
+        return (lens.join(meta, "doc_id")
+                .select(F.col("path").cast("int").cast("bigint").alias("doc_id"),
+                        F.col("dl").cast("bigint").alias("dl")))
+
+    def ft_corpus_stats(spark, sf):  # BM25 corpus statistics
+        cat, _ = _engine(spark, sf)
+        st = cat.table("stats").read(spark).where(F.col("field") == "text")
+        return st.select(F.col("n_docs").cast("bigint").alias("n_docs"),
+                         F.round("avgdl", 6).alias("avgdl"))
+
+    def ft_sha256(spark, sf):  # input_hint per-row invariant
+        cat, _ = _engine(spark, sf)
+        d = cat.table("docs").read(spark)
+        return d.select(F.col("path").cast("int").cast("bigint").alias("doc_id"),
+                        "content_sha256")
+
+    q.update(ft_term_topk=ft_term_topk, ft_or_topk=ft_or_topk, ft_and=ft_and,
+             ft_not=ft_not, ft_phrase=ft_phrase, ft_range=ft_range,
+             ft_field_lang=ft_field_lang, ft_collection=ft_collection,
+             ft_term_dict=ft_term_dict, ft_doc_len=ft_doc_len,
+             ft_corpus_stats=ft_corpus_stats, ft_sha256=ft_sha256)
+
+    # ---- mutation semantics, declarative (W2 upsert / W3-W4 delete) ----
+    def merge_upsert(spark, sf):
+        base = _documents(spark, sf).select("doc_id", "text", F.lit(0).alias("v"))
+        upd = (_documents(spark, sf).where(F.col("doc_id") % 50 == 0)
+               .select("doc_id", F.concat(F.col("text"), F.lit(" updated marker")).alias("text"),
+                       F.lit(1).alias("v")))
+        from pyspark.sql import Window
+        w = Window.partitionBy("doc_id").orderBy(F.desc("v"))
+        merged = (base.unionByName(upd)
+                  .withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1))
+        return merged.select("doc_id", F.sha2("text", 256).alias("content_sha256"))
+
+    def delete_where(spark, sf):
+        d = _documents(spark, sf)
+        victims = d.where(F.col("source") == "src3").select("doc_id")
+        kept = d.join(victims, "doc_id", "left_anti")
+        return kept.select("doc_id", F.sha2("text", 256).alias("content_sha256"))
+
+    q.update(merge_upsert=merge_upsert, delete_where=delete_where)
+
+    # ---- dedup suite ----
+    def dedup_exact(spark, sf):
+        d = _documents(spark, sf)
+        out = D.exact_duplicates(d, "doc_id", "text")
+        return out.select("content_sha256", F.col("n_dups").cast("bigint").alias("n_dups"),
+                          "keep_id")
+
+    def dedup_ngram_pairs(spark, sf):
+        d = _documents(spark, sf)
+        out = D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4)
+        return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    def dedup_minhash(spark, sf):
+        d = _documents(spark, sf)
+        return D.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=8,
+                                   bands=4, verify_threshold=None)
+
+    def dedup_simhash(spark, sf):
+        d = _documents(spark, sf)
+        sh = D.simhash64(d, "doc_id", "text")
+        return sh.select(F.col("id").alias("doc_id"), "simhash")
+
+    q.update(dedup_exact=dedup_exact, dedup_ngram_pairs=dedup_ngram_pairs,
+             dedup_minhash=dedup_minhash, dedup_simhash=dedup_simhash)
+
+    # ---- similarity search ----
+    def sim_cosine_topk(spark, sf):
+        emb = _embeddings(spark, sf)
+        corpus = emb.select("vec_id", F.col("embedding").alias("vec"))
+        qs = (emb.where(F.col("vec_id") < 5)
+              .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")))
+        out = S.cosine_topk(corpus.withColumnRenamed("vec_id", "id"), qs,
+                            "id", "vec", k=5)
+        return out.select("query_id", "id", F.round("cosine", 6).alias("cosine"))
+
+    def sim_ivf_topk(spark, sf):
+        emb = _embeddings(spark, sf)
+        corpus = emb.select(F.col("vec_id").alias("id"),
+                            F.col("embedding").alias("vec"), "label")
+        qs = (emb.where(F.col("vec_id") < 3)
+              .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")))
+        out = S.ivf_topk(corpus, qs, "id", "vec", "label", k=5, nprobe=2)
+        return out.select("query_id", "id", F.round("cosine", 6).alias("cosine"))
+
+    q.update(sim_cosine_topk=sim_cosine_topk, sim_ivf_topk=sim_ivf_topk)
+
+    # ---- text analysis ----
+    def text_token_counts(spark, sf):
+        return T.token_counts(_documents(spark, sf), "doc_id", "text").select(
+            F.col("id").alias("doc_id"), F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+            F.col("subword_tokens").cast("bigint").alias("subword_tokens"))
+
+    def text_quality(spark, sf):
+        out = T.quality_scores(_documents(spark, sf), "doc_id", "text")
+        return out.select(F.col("id").alias("doc_id"),
+                          F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                          F.col("n_unique").cast("bigint").alias("n_unique"),
+                          "stopword_ratio", "mean_token_len", "quality")
+
+    def text_lang_id(spark, sf):
+        out = T.lang_id_heuristic(_documents(spark, sf), "doc_id", "text")
+        return out.select(F.col("id").alias("doc_id"), "stop_en_ratio",
+                          "ascii_ratio", "lang_guess")
+
+    def text_fingerprint(spark, sf):
+        out = T.fingerprints(_documents(spark, sf), "doc_id", "text", n=5)
+        return out.select(F.col("id").alias("doc_id"), "fingerprint")
+
+    q.update(text_token_counts=text_token_counts, text_quality=text_quality,
+             text_lang_id=text_lang_id, text_fingerprint=text_fingerprint)
+
+    # ---- multimodal plumbing (binary payload = utf-8 bytes of text) ----
+    def mm_features(spark, sf):
+        from lucene_plugin_spark.ops.multimodal import extract_features
+        d = _documents(spark, sf)
+        media = d.select(F.col("doc_id").alias("media_id"), F.lit("text").alias("kind"),
+                         F.lit("text/plain").alias("mime"),
+                         F.encode(F.col("text"), "utf-8").alias("payload"),
+                         F.lit(None).cast("int").alias("meta_width"),
+                         F.lit(None).cast("int").alias("meta_height"),
+                         F.lit(None).cast("int").alias("meta_duration_ms"))
+        out = extract_features(media, fake=True)
+        return out.select(F.col("media_id").alias("doc_id"),
+                          F.col("n_bytes").cast("bigint").alias("n_bytes"),
+                          F.col("sha256").alias("content_sha256"),
+                          F.round("mean_byte", 6).alias("mean_byte"))
+
+    q.update(mm_features=mm_features)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["ft_term_topk"] = _bm25_or_sql(["spark"], 10)
+    o["ft_or_topk"] = _bm25_or_sql(["join", "hash", "merge"], 10)
+
+    o["ft_and"] = f"""
+WITH {_TOK},
+scores AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score, count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'hash', 'merge')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores WHERE nt = 3 ORDER BY score DESC, doc_id LIMIT 50
+"""
+
+    o["ft_not"] = f"""
+WITH {_TOK},
+neg AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'join'),
+scores AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term = 'spark' AND tf.doc_id NOT IN (SELECT doc_id FROM neg)
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # phrase "table hash": tf = count of adjacent (pos, pos+1) occurrences over
+    # ANALYZED positions (stopword gaps preserved); idf = idf(table)+idf(hash)
+    o["ft_phrase"] = f"""
+WITH {_TOK},
+p0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+ph AS (SELECT p0.doc_id, count(*)::double ptf
+       FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+       GROUP BY p0.doc_id),
+idfs AS (SELECT sum(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS idf_sum
+         FROM dfx CROSS JOIN st WHERE dfx.term IN ('table', 'hash')),
+scores AS (
+  SELECT ph.doc_id,
+         idfs.idf_sum * ph.ptf * 2.2 / (ph.ptf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+  FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # range [sc TO sz]: constant-score 1.0 per doc matching any term in range
+    o["ft_range"] = f"""
+WITH {_TOK}
+SELECT DISTINCT doc_id, cast(1.0 AS double) AS score
+FROM tok WHERE term >= 'sc' AND term <= 'sz'
+ORDER BY doc_id
+"""
+
+    # lang:en over the single-token 'lang' field: dl=1, avgdl=1, tf=1,
+    # n = docs with a lang value, df = docs with lang='en' -> score = idf
+    o["ft_field_lang"] = """
+WITH n AS (SELECT count(*)::double n FROM documents WHERE lang IS NOT NULL),
+d AS (SELECT count(*)::double df FROM documents WHERE lang = 'en')
+SELECT doc_id, round(ln(1.0 + (n.n - d.df + 0.5) / (d.df + 0.5)), 6) AS score
+FROM documents CROSS JOIN n CROSS JOIN d
+WHERE lang = 'en' ORDER BY doc_id
+"""
+
+    o["ft_collection"] = _bm25_or_sql(
+        ["query", "table"], 20,
+        extra_where="AND tf.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src3')")
+
+    o["ft_term_dict"] = f"""
+WITH {_TOK}
+SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS cf
+FROM tf GROUP BY term
+"""
+
+    o["ft_doc_len"] = f"""
+WITH {_TOK}
+SELECT doc_id, count(*)::bigint AS dl FROM tok GROUP BY doc_id
+"""
+
+    o["ft_corpus_stats"] = f"""
+WITH {_TOK}
+SELECT count(*)::bigint AS n_docs, round(avg(dl), 6) AS avgdl FROM dl
+"""
+
+    o["ft_sha256"] = "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"
+
+    o["merge_upsert"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 50 = 0 THEN sha256(text || ' updated marker')
+            ELSE sha256(text) END AS content_sha256
+FROM documents
+"""
+
+    o["delete_where"] = """
+SELECT doc_id, sha256(text) AS content_sha256
+FROM documents WHERE source <> 'src3'
+"""
+
+    o["dedup_exact"] = """
+SELECT sha256(text) AS content_sha256, count(*)::bigint AS n_dups,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY sha256(text)
+"""
+
+    o["dedup_ngram_pairs"] = f"""
+WITH {_RAWTOK},
+{_shingle_sql(3)},
+sz AS (SELECT doc_id, count(*)::double sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::double i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.4
+"""
+
+    minh = ", ".join(
+        f"min({md5_long_sql('shingle', seed=j)}) AS m{j}" for j in range(8))
+    band_keys = []
+    for b in range(4):
+        i0, i1 = 2 * b, 2 * b + 1
+        band_keys.append(
+            f"SELECT id, {b} AS band, cast(m{i0} AS varchar) || '_' || cast(m{i1} AS varchar) AS bkey FROM sig")
+    bands_union = " UNION ALL ".join(band_keys)
+    o["dedup_minhash"] = f"""
+WITH {_RAWTOK},
+{_shingle_sql(3)},
+sig AS (SELECT doc_id AS id, {minh} FROM sh GROUP BY doc_id),
+bands AS ({bands_union})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+"""
+    # NOTE: engine band key = concat_ws('_', band, sig[i0], sig[i1]); oracle
+    # band column + 'm0_m1' key is the same partition of pairs.
+
+    simbits = (
+        "SELECT id, b, CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) > 0 "
+        "THEN 1::bigint ELSE 0::bigint END AS bit "
+        "FROM tw, UNNEST(generate_series(0, 59)) s(b) GROUP BY id, b")
+    o["dedup_simhash"] = f"""
+WITH {_RAWTOK},
+tw AS (SELECT doc_id AS id, token, count(*)::bigint w,
+              {md5_long_sql('token')} AS h
+       FROM rtok GROUP BY doc_id, token),
+bits AS ({simbits})
+SELECT id AS doc_id, sum(bit << b)::bigint AS simhash FROM bits GROUP BY id
+"""
+
+    o["sim_cosine_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+                                     e.vec_id) AS rk
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+SELECT query_id, id, round(cosine, 6) AS cosine FROM scored WHERE rk <= 5
+"""
+
+    o["sim_ivf_topk"] = """
+WITH dims AS (SELECT label, i, avg(embedding[i]) AS c
+              FROM embeddings, UNNEST(generate_series(1, 64)) s(i)
+              GROUP BY label, i),
+cent AS (SELECT label, list(c ORDER BY i) AS cvec FROM dims GROUP BY label),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+probe AS (
+  SELECT query_id, label FROM (
+    SELECT q.query_id, cent.label,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(cent.cvec::DOUBLE[], q.qv::DOUBLE[]) DESC,
+                                       cent.label) AS rk
+    FROM q CROSS JOIN cent) WHERE rk <= 2),
+scored AS (
+  SELECT q.query_id, e.vec_id AS id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+                                     e.vec_id) AS rk
+  FROM embeddings e
+  JOIN probe p ON e.label = p.label
+  JOIN q ON q.query_id = p.query_id
+  WHERE e.vec_id <> q.query_id)
+SELECT query_id, id, round(cosine, 6) AS cosine FROM scored WHERE rk <= 5
+"""
+
+    o["text_token_counts"] = """
+SELECT doc_id, len(text)::bigint AS n_chars,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::bigint AS ws_tokens,
+       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::bigint AS subword_tokens
+FROM documents
+"""
+
+    o["text_quality"] = f"""
+WITH {_RAWTOK},
+agg AS (
+  SELECT doc_id, count(*)::bigint AS n_tokens,
+         count(DISTINCT token)::bigint AS n_unique,
+         avg(CASE WHEN token IN ({STOPWORDS_SQL_LIST}) THEN 1.0 ELSE 0.0 END) AS swr,
+         avg(len(token)) AS mtl
+  FROM rtok GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_unique,
+       round(swr, 6) AS stopword_ratio,
+       round(mtl, 6) AS mean_token_len,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + (n_unique::double / n_tokens) * 0.4
+             + (1.0 - abs(swr - 0.04) * 5.0) * 0.2, 6) AS quality
+FROM agg
+"""
+
+    o["text_lang_id"] = f"""
+WITH {_RAWTOK},
+agg AS (SELECT doc_id,
+               avg(CASE WHEN token IN ({STOPWORDS_SQL_LIST}) THEN 1.0 ELSE 0.0 END) AS ser
+        FROM rtok GROUP BY doc_id),
+base AS (SELECT doc_id,
+                round(len(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))::double
+                      / greatest(len(text), 1), 6) AS ascii_ratio
+         FROM documents)
+SELECT base.doc_id, round(coalesce(agg.ser, 0.0), 6) AS stop_en_ratio,
+       base.ascii_ratio,
+       CASE WHEN coalesce(agg.ser, 0.0) >= 0.02 AND base.ascii_ratio >= 0.99
+            THEN 'en' ELSE 'other' END AS lang_guess
+FROM base LEFT JOIN agg USING (doc_id)
+"""
+
+    o["text_fingerprint"] = f"""
+WITH {_RAWTOK},
+{_shingle_sql(5)}
+SELECT doc_id, min({md5_long_sql('shingle')}) AS fingerprint
+FROM sh GROUP BY doc_id
+"""
+
+    o["mm_features"] = """
+WITH chars AS (
+  SELECT doc_id, avg(ascii(substr(text, i, 1))) AS mb
+  FROM documents, UNNEST(generate_series(1, len(text))) s(i)
+  GROUP BY doc_id)
+SELECT d.doc_id, len(d.text)::bigint AS n_bytes, sha256(d.text) AS content_sha256,
+       round(chars.mb, 6) AS mean_byte
+FROM documents d JOIN chars USING (doc_id)
+"""
+
+    return o

