@@ -1,0 +1,103 @@
+"""Benchmark harness (driver contract): runs the headline index-build +
+query suite at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "docs_per_sec": ..., "n_docs": ...}
+
+Each query time is the median of 3 runs (collect() included).  The index
+build is timed from source read to last stage commit (fresh warehouse).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from lucene_plugin_spark.session import get_spark
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import pyspark.sql.functions as F
+
+    from __spark_entry__ import _docs_source
+    from lucene_plugin_spark.index.builder import IndexBuilder
+    from lucene_plugin_spark.ops import dedup as D
+    from lucene_plugin_spark.ops import similarity as S
+    from lucene_plugin_spark.query.executor import SearchEngine
+    from lucene_plugin_spark.storage.catalog import Catalog
+
+    wh = f"/tmp/lps_bench_{os.getpid()}"
+    shutil.rmtree(wh, ignore_errors=True)
+    catalog = Catalog(wh)
+
+    src = _docs_source(spark, sf_dir)
+    n_docs = src.count()
+
+    t0 = time.perf_counter()
+    builder = IndexBuilder(spark, catalog, docs_per_slice=max(256, n_docs // (2 * cpus)))
+    builder.build(src, fields_map_col="fields")
+    build_sec = time.perf_counter() - t0
+
+    engine = SearchEngine(spark, catalog)
+    timings: dict[str, float] = {"index_build": round(build_sec, 3)}
+
+    def timed(name, fn, runs=3):
+        samples = []
+        for _ in range(runs):
+            t = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t)
+        timings[name] = round(statistics.median(samples), 3)
+
+    queries = [
+        ("q_term_hot", lambda: engine.search(None, "table", limit=10).collect()),
+        ("q_term_k255", lambda: engine.search(None, "table", limit=255).collect()),
+        ("q_or4", lambda: engine.search(None, "join hash merge scan", limit=10).collect()),
+        ("q_and", lambda: engine.search(None, "join AND hash AND merge", limit=10).collect()),
+        ("q_phrase", lambda: engine.search(None, '"table hash"', limit=10).collect()),
+        ("q_range", lambda: engine.search(None, "[sc TO sz]", limit=255).collect()),
+        ("q_collection", lambda: engine.search("src3", "query table", limit=10).collect()),
+    ]
+    for name, fn in queries:
+        timed(name, fn)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    timed("p_dedup_minhash",
+          lambda: D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=8,
+                                      bands=4, verify_threshold=None).count(), runs=1)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    qs = (emb.where(F.col("vec_id") < 8)
+          .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")))
+    timed("p_sim_cosine",
+          lambda: S.cosine_topk(corpus, qs, "id", "vec", k=10).count(), runs=1)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "index-build + BM25 top-k query suite (lucene_plugin_spark)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "cpus": cpus,
+    }
+    shutil.rmtree(wh, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
