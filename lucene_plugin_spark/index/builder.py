@@ -157,7 +157,10 @@ class IndexBuilder:
         return text.unionByName(mapped)
 
     def tokens_df(self, docs_meta: DataFrame) -> DataFrame:
-        fv = self._field_values(docs_meta)
+        # explicit parallelism: file reads are whole-file tasks (session.py),
+        # so spread the tokenize work across the cluster ourselves
+        par = max(self.spark.sparkContext.defaultParallelism, 4)
+        fv = self._field_values(docs_meta).repartition(par)
 
         def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:

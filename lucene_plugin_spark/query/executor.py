@@ -310,42 +310,70 @@ class SearchEngine:
             seg = seg.where(cond)
 
         needs_positions = any(s["kind"] == "phrase" for s in specs)
-        norms = self.catalog.table("doc_norms").read(self.spark)
-        norms = norms.where(F.col("field").isin(fields))
-        if doc_ranges is not None:
-            cond = None
-            for lo, hi in doc_ranges:
-                c = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
-                cond = c if cond is None else cond | c
-            norms = norms.where(cond)
+        norms_dirs = self.catalog.table("doc_norms").snapshot().data_dirs
         kernel = _make_slice_kernel(specs, df_map, stats, doc_ranges, limit,
-                                    needs_positions)
-        # cogroup blocks with the norms sidecar per doc-slice: every task has
-        # all postings AND all doc lengths for its doc range — independent
-        # block-max top-k per slice, zero cross-slice traffic.
-        hits = (seg.groupBy("dslice")
-                .cogroup(norms.groupBy("dslice"))
-                .applyInPandas(kernel, schema=HITS_SCHEMA))
-        return hits
+                                    needs_positions, norms_dirs, fields)
+        # No shuffle: scan tasks align with whole segment files (one live file
+        # per doc-slice, non-split reads via large maxPartitionBytes in
+        # session.py), so each task holds complete doc-slices — all query
+        # terms' postings for its doc ranges.  Parquet predicate pushdown on
+        # the term-sorted files means a task only reads the query terms' row
+        # groups regardless of file size.  Doc lengths come from the
+        # dslice-partitioned norms sidecar, read task-locally with pyarrow
+        # (the analogue of Lucene reading its per-segment norms file) — no
+        # per-query shuffle of corpus-sized data anywhere.
+        return seg.mapInPandas(kernel, schema=HITS_SCHEMA)
 
 
-def _make_slice_kernel(specs, df_map, stats, doc_ranges, k, needs_positions):
-    """Build the per-slice numpy scoring kernel (closure shipped to executors).
+def _read_norms(norms_dirs: list[str], dslice: int, fields: list[str]) -> pd.DataFrame:
+    """Task-local read of the doc_norms sidecar partition for one doc-slice."""
+    import glob
+    import os
 
-    Input per call: (segment block rows, doc_norms rows) of ONE doc-slice.
-    Output: top-k (doc_id, score) for that slice.  Block-max pruning: exact
-    scoring is ordered by per-doc upper bounds (Σ idf·block_max_w of the
-    covering blocks) and stops as soon as the next upper bound cannot beat
-    the current k-th exact score — the block-max WAND guarantee (SURVEY.md §4
-    P6), vectorized over numpy arrays instead of pointer-chasing cursors.
+    import pyarrow.parquet as pq
+    frames = []
+    for d in norms_dirs:
+        part = os.path.join(d, f"dslice={dslice}")
+        if not os.path.isdir(part):
+            continue
+        for f in glob.glob(os.path.join(part, "*.parquet")):
+            t = pq.read_table(f, columns=["field", "doc_id", "dl"])
+            frames.append(t.to_pandas())
+    if not frames:
+        return pd.DataFrame({"field": [], "doc_id": [], "dl": []})
+    out = pd.concat(frames, ignore_index=True)
+    return out[out["field"].isin(fields)]
+
+
+def _make_slice_kernel(specs, df_map, stats, doc_ranges, k, needs_positions,
+                       norms_dirs, fields):
+    """Build the per-task numpy scoring kernel (closure shipped to executors).
+
+    Input: arrow batches of segment block rows; a task's rows are whole
+    doc-slices.  Output: top-k (doc_id, score) per doc-slice.  Pure-OR term
+    queries go through the block-max WAND path (_score_slice_wand): exact
+    scoring proceeds in descending upper-bound order and stops once the next
+    doc's bound cannot beat the running k-th score, so low-bound blocks'
+    tf streams are never decoded (SURVEY.md §4 P6).
     """
+    only_terms = (all(s["kind"] == "term" and s["polarity"] == "should"
+                      for s in specs) and len(specs) > 0)
 
-    def kernel(seg_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(seg_pdf) == 0:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "score": pd.Series([], dtype="float64")})
-        return _score_slice(seg_pdf, norms_pdf, specs, df_map, stats,
-                            doc_ranges, k, needs_positions)
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        for dslice, sl in pdf.groupby("dslice", sort=False):
+            norms_pdf = _read_norms(norms_dirs, int(dslice), fields)
+            if only_terms:
+                out = _score_slice_wand(sl, norms_pdf, specs, df_map, stats,
+                                        doc_ranges, k)
+            else:
+                out = _score_slice(sl, norms_pdf, specs, df_map, stats,
+                                   doc_ranges, k, needs_positions)
+            if out is not None and len(out):
+                yield out
 
     return kernel
 
@@ -543,3 +571,121 @@ def _score_slice(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs, df_map,
     else:
         order = np.lexsort((uniq, -total))
     return pd.DataFrame({"doc_id": uniq[order], "score": total[order]})
+
+
+def _score_slice_wand(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs,
+                      df_map, stats, doc_ranges, k,
+                      stats_out: dict | None = None) -> pd.DataFrame:
+    """Block-max top-k for pure-OR term queries (the hot query shape).
+
+    Two-phase block-max pruning with the WAND guarantee:
+    1. decode only the docID gap streams (cheap) and compute each doc's upper
+       bound  UB(d) = Σ_t idf_t · block_max_w(block of d in t);
+    2. exact-score docs in descending-UB chunks, decoding a block's tf stream
+       only when one of its docs is actually scored; stop as soon as the next
+       doc's UB cannot beat the current k-th exact score.
+
+    Exact scores equal the exhaustive path bit-for-bit: the same postings are
+    decoded and the same float64 expression evaluated, only the *set* of docs
+    fully scored shrinks.  ``stats_out`` (tests) receives tf-decode counts.
+    """
+    norm_lookup = {}
+    for field, nf in norms_pdf.groupby("field", sort=False):
+        nd = nf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(nd, kind="mergesort")
+        norm_lookup[field] = (nd[order], nf["dl"].to_numpy(np.float64)[order])
+
+    # ---- phase 1: per-term structure, docID decode only
+    terms = []   # dicts: ids, idf, tf_parts(lazy), block_bounds, rows
+    for s in specs:
+        field = s["field"]
+        t = s["terms"][0]
+        n_docs, avgdl = stats.get(field, (0.0, 1.0))
+        df = df_map.get((field, t), 0.0)
+        if df <= 0 or n_docs == 0:
+            continue
+        mask = (sl["field"].to_numpy() == field) & (sl["term"].to_numpy() == t)
+        rows = sl[mask].sort_values("first_doc")
+        if not len(rows):
+            continue
+        ids_parts = [codec.decode_ids(g) for g in rows["doc_gaps"]]
+        ids = np.concatenate(ids_parts)
+        counts = np.array([p.size for p in ids_parts], dtype=np.int64)
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        idf_t = float(bm25.idf(df, n_docs))
+        ub_blocks = idf_t * rows["block_max_w"].to_numpy(np.float64)
+        terms.append({
+            "field": field, "ids": ids, "bounds": bounds,
+            "tf_raw": rows["tfs"].tolist(), "tf_parts": [None] * len(rows),
+            "idf": idf_t, "df": df, "n_docs": n_docs, "avgdl": avgdl,
+            "ub_blocks": ub_blocks,
+        })
+    if not terms:
+        return _empty_hits()
+    if stats_out is not None:
+        stats_out["tf_blocks_total"] = sum(len(t["tf_raw"]) for t in terms)
+        stats_out["tf_blocks_decoded"] = 0
+
+    # per-doc upper bounds
+    all_ids = np.concatenate([t["ids"] for t in terms])
+    all_ub = np.concatenate([
+        np.repeat(t["ub_blocks"], np.diff(t["bounds"])) for t in terms])
+    if doc_ranges is not None:
+        keep = _in_ranges(all_ids, doc_ranges)
+        all_ids, all_ub = all_ids[keep], all_ub[keep]
+    if all_ids.size == 0:
+        return _empty_hits()
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    ub = np.zeros(uniq.size, np.float64)
+    np.add.at(ub, inv, all_ub)
+    # descending UB, doc_id asc on ties
+    order = np.lexsort((uniq, -ub))
+    uniq_o, ub_o = uniq[order], ub[order]
+
+    def exact_scores(doc_subset: np.ndarray) -> np.ndarray:
+        out = np.zeros(doc_subset.size, np.float64)
+        for t in terms:
+            idx = np.searchsorted(t["ids"], doc_subset)
+            idx_c = np.minimum(idx, t["ids"].size - 1)
+            hit = t["ids"][idx_c] == doc_subset
+            if not hit.any():
+                continue
+            pos = idx_c[hit]
+            blk = np.searchsorted(t["bounds"], pos, side="right") - 1
+            for b in np.unique(blk):
+                if t["tf_parts"][b] is None:
+                    t["tf_parts"][b] = codec.varint_decode(t["tf_raw"][b]).astype(np.int64)
+                    if stats_out is not None:
+                        stats_out["tf_blocks_decoded"] += 1
+            tfs = np.array([t["tf_parts"][b][p - t["bounds"][b]]
+                            for b, p in zip(blk, pos)], dtype=np.float64)
+            nd, dls = norm_lookup[t["field"]]
+            dl = dls[np.searchsorted(nd, doc_subset[hit])]
+            out[hit] += bm25.score(tfs, dl, t["df"], t["n_docs"], t["avgdl"])
+        return out
+
+    # ---- phase 2: chunked exact scoring in UB order with early exit
+    # chunk ≈ 2k: large enough to amortize the vectorized scoring pass,
+    # small enough that theta converges before most blocks are touched
+    CHUNK = max(2 * k, 128)
+    best_ids: np.ndarray = np.empty(0, np.int64)
+    best_scores: np.ndarray = np.empty(0, np.float64)
+    i = 0
+    n = uniq_o.size
+    while i < n:
+        theta = best_scores[k - 1] if best_scores.size >= k else -np.inf
+        if ub_o[i] <= theta:
+            break  # WAND exit: no remaining doc can enter the top-k
+        j = min(i + CHUNK, n)
+        # within the chunk, only docs whose UB beats theta can matter
+        cand_mask = ub_o[i:j] > theta
+        cand = uniq_o[i:j][cand_mask]
+        if cand.size:
+            sc = exact_scores(np.sort(cand))
+            cand_sorted = np.sort(cand)
+            best_ids = np.concatenate([best_ids, cand_sorted])
+            best_scores = np.concatenate([best_scores, sc])
+            o = np.lexsort((best_ids, -best_scores))[:max(k, 1)]
+            best_ids, best_scores = best_ids[o], best_scores[o]
+        i = j
+    return pd.DataFrame({"doc_id": best_ids, "score": best_scores})
