@@ -50,8 +50,11 @@ class LuceneFacade:
         self.catalog = Catalog(warehouse)
         self.builder = IndexBuilder(spark, self.catalog)
         self.mode = mode
-        # (collection, id) -> row dict or None (deleted); insertion-ordered
-        self._live: dict[tuple[str, str], dict | None] = {}
+        # (collection, id) -> row dict or None (deleted); final state of the
+        # ops since the last commit (last-write-wins within a batch)
+        self._pending: dict[tuple[str, str], dict | None] = {}
+        # keys known to exist in the committed index
+        self._committed_keys: set[tuple[str, str]] = set()
         self._dirty = False
         self._engine: SearchEngine | None = None
 
@@ -68,7 +71,7 @@ class LuceneFacade:
         if text is None:
             raise LuceneException("text cannot be null")
         collection = sanitize_collection(collection)
-        self._live[(collection, ext_id)] = {
+        self._pending[(collection, ext_id)] = {
             "repo": collection, "path": ext_id, "commit": "0" * 8,
             "lang": "text", "content": text, "fields": None}
         self._dirty = True
@@ -87,7 +90,7 @@ class LuceneFacade:
             if isinstance(v, (list, tuple)):
                 v = v[0] if v else ""
             fields[str(k)] = str(v)
-        self._live[(collection, ext_id)] = {
+        self._pending[(collection, ext_id)] = {
             "repo": collection, "path": ext_id, "commit": "0" * 8,
             "lang": "map", "content": "", "fields": fields}
         self._dirty = True
@@ -107,31 +110,61 @@ class LuceneFacade:
         self._check(collection, "collection")
         self._check(ext_id, "id")
         collection = sanitize_collection(collection)
-        self._live[(collection, ext_id)] = None
+        self._pending[(collection, ext_id)] = None
         self._dirty = True
         return True
 
     def clear(self, collection: str) -> None:
         self._check(collection, "collection")
         collection = sanitize_collection(collection)
-        for key in [k for k in self._live if k[0] == collection]:
-            self._live[key] = None
+        for key in [k for k in self._pending if k[0] == collection]:
+            self._pending[key] = None
+        for key in [k for k in self._committed_keys if k[0] == collection]:
+            self._pending[key] = None
         self._dirty = True
 
     # --------------------------------------------------------------- commit
     def commit(self) -> None:
-        """Rebuild the index at a new snapshot from the live doc set
-        (IndexWriter.commit + searcher reopen analogue)."""
+        """Apply pending mutations at a new snapshot (the analogue of the
+        reference's soft-commit + searcher reopen,
+        SearcherUpdateServiceImpl.java:117-127).
+
+        First commit = full build; later commits run the incremental path
+        (tombstones + segment append) via IndexMutator — full rebuild never
+        happens again."""
         if not self._dirty:
             return
-        rows = [Row(repo=v["repo"], path=v["path"], commit=v["commit"],
-                    lang=v["lang"], content=v["content"], fields=v["fields"])
-                for v in self._live.values() if v is not None]
         schema = ("repo string, path string, commit string, lang string, "
                   "content string, fields map<string,string>")
-        src = self.spark.createDataFrame(rows, schema=schema) if rows else \
-            self.spark.createDataFrame([], schema=schema)
-        self.builder.build(src, fields_map_col="fields")
+
+        def df_of(rows):
+            rows = [Row(repo=v["repo"], path=v["path"], commit=v["commit"],
+                        lang=v["lang"], content=v["content"], fields=v["fields"])
+                    for v in rows]
+            return self.spark.createDataFrame(rows, schema=schema) if rows else \
+                self.spark.createDataFrame([], schema=schema)
+
+        has_index = self.catalog.table("docs_meta").exists()
+        if not has_index:
+            live = [v for v in self._pending.values() if v is not None]
+            self.builder.build(df_of(live), fields_map_col="fields")
+            self._committed_keys = {k for k, v in self._pending.items()
+                                    if v is not None}
+        else:
+            from lucene_plugin_spark.index.mutations import IndexMutator
+            mut = IndexMutator(self.spark, self.catalog, self.builder)
+            deletes = [k for k, v in self._pending.items()
+                       if v is None and k in self._committed_keys]
+            upserts = [v for v in self._pending.values() if v is not None]
+            if deletes:
+                mut.delete_keys(self.spark.createDataFrame(
+                    deletes, "repo string, path string"))
+                self._committed_keys -= set(deletes)
+            if upserts:
+                mut.upsert(df_of(upserts), fields_map_col="fields")
+                self._committed_keys |= {k for k, v in self._pending.items()
+                                         if v is not None}
+        self._pending = {}
         self._engine = SearchEngine(self.spark, self.catalog)
         self._dirty = False
 

@@ -67,7 +67,12 @@ SEGMENT_SCHEMA = StructType([
     StructField("tfs", BinaryType()),
     StructField("positions", BinaryType()),
     StructField("pos_lens_ok", IntegerType()),  # 1 if positions stream present
-    StructField("block_max_w", DoubleType()),
+    # WAND bound components: ub(block) = idf * tf_norm(block_max_tf,
+    # block_min_dl, CURRENT avgdl) — tf_norm is monotone increasing in tf and
+    # decreasing in dl, so this upper-bounds every doc in the block for ANY
+    # avgdl (stored scores would go stale when mutations shift avgdl)
+    StructField("block_max_tf", IntegerType()),
+    StructField("block_min_dl", LongType()),
 ])
 
 
@@ -119,31 +124,38 @@ class IndexBuilder:
         """
         if n_parts is None:
             n_parts = max(self.spark.sparkContext.defaultParallelism, 4)
+        # _pid captured as a COLUMN right after the range shuffle: unlike
+        # TaskContext.partitionId(), it stays correct even when this subplan
+        # is later fused into a bigger stage (e.g. inside a union)
         sorted_df = (docs.repartitionByRange(n_parts, "repo", "path")
                      .sortWithinPartitions("repo", "path")
+                     .withColumn("_pid", F.spark_partition_id())
                      .persist())
-        counts = (sorted_df.withColumn("_pid", F.spark_partition_id())
-                  .groupBy("_pid").count().collect())
+        counts = sorted_df.groupBy("_pid").count().collect()
         offsets = np.zeros(n_parts + 1, dtype=np.int64)
         for r in counts:
             offsets[r["_pid"] + 1] = r["count"]
         offsets = np.cumsum(offsets)
         boffsets = self.spark.sparkContext.broadcast(offsets.tolist())
-        schema = StructType(sorted_df.schema.fields + [StructField("doc_id", LongType())])
+        out_fields = [f for f in sorted_df.schema.fields if f.name != "_pid"]
+        schema = StructType(out_fields + [StructField("doc_id", LongType())])
+        out_cols = [f.name for f in out_fields] + ["doc_id"]
 
         def assign(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from pyspark import TaskContext
-            pid = TaskContext.get().partitionId()
-            base = boffsets.value[pid]
-            seen = 0
+            seen: dict[int, int] = {}
             for pdf in pdf_iter:
                 pdf = pdf.copy()
-                pdf["doc_id"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
-                seen += len(pdf)
-                yield pdf
+                ids = np.empty(len(pdf), dtype=np.int64)
+                for pid, grp in pdf.groupby("_pid", sort=False):
+                    p = int(pid)
+                    base = boffsets.value[p] + seen.get(p, 0)
+                    ids[grp.index.to_numpy()] = np.arange(base, base + len(grp),
+                                                          dtype=np.int64)
+                    seen[p] = seen.get(p, 0) + len(grp)
+                pdf["doc_id"] = ids
+                yield pdf[out_cols]
 
-        out = sorted_df.mapInPandas(assign, schema=schema)
-        return out
+        return sorted_df.mapInPandas(assign, schema=schema)
 
     # ---------------------------------------------------------------- tokens
     def _field_values(self, docs_meta: DataFrame) -> DataFrame:
@@ -257,10 +269,14 @@ class IndexBuilder:
                            segments_snapshot=self.catalog.table("segments").current_snapshot_id())
 
     # ---------------------------------------------------------- segments
-    def _build_segments(self, flat: DataFrame, lens: DataFrame, fingerprint: str) -> None:
-        stats = {r["field"]: (r["n_docs"], r["avgdl"])
-                 for r in self.catalog.table("stats").read(self.spark).collect()}
-        avgdl_map = {f: v[1] for f, v in stats.items()}
+    def segment_blocks(self, flat: DataFrame, lens: DataFrame) -> DataFrame:
+        """Compressed posting blocks for the given (live) flat postings.
+
+        Grouped by doc-slice: each applyInPandas group is one bounded doc
+        range, so hot-term skew never concentrates in one task (the grouping
+        key is the doc range, not the term — SURVEY.md §4 P8 salting falls
+        out of the layout).
+        """
         bsz = self.block_size
         dps = self.docs_per_slice
 
@@ -283,12 +299,12 @@ class IndexBuilder:
             pos_lists = pdf["positions"].to_numpy()
             out = {k: [] for k in ("field", "term", "dslice", "block_id", "doc_count",
                                    "first_doc", "last_doc", "doc_gaps", "tfs",
-                                   "positions", "pos_lens_ok", "block_max_w")}
+                                   "positions", "pos_lens_ok", "block_max_tf",
+                                   "block_min_dl")}
             dslice = int(pdf["dslice"].iloc[0])
             for s, e in zip(run_starts, run_ends):
                 field = pdf["field"].iloc[s]
                 term = pdf["term"].iloc[s]
-                avgdl = avgdl_map[field]
                 for b0 in range(s, e, bsz):
                     b1 = min(b0 + bsz, e)
                     ids = doc_ids[b0:b1]
@@ -307,17 +323,19 @@ class IndexBuilder:
                     out["tfs"].append(codec.varint_encode(btf.astype(np.uint64)))
                     out["positions"].append(codec.encode_positions(pcat, btf))
                     out["pos_lens_ok"].append(1)
-                    out["block_max_w"].append(
-                        bm25.block_max_weight(btf.astype(np.float64),
-                                              bdl.astype(np.float64), avgdl))
+                    out["block_max_tf"].append(int(btf.max()))
+                    out["block_min_dl"].append(int(bdl.min()))
             return pd.DataFrame(out)
 
-        seg = (joined.groupBy("dslice").applyInPandas(build_blocks, schema=SEGMENT_SCHEMA))
+        return joined.groupBy("dslice").applyInPandas(build_blocks, schema=SEGMENT_SCHEMA)
+
+    def _build_segments(self, flat: DataFrame, lens: DataFrame, fingerprint: str) -> None:
+        seg = self.segment_blocks(flat, lens)
         # term-sorted within each partition file -> parquet row-group stats
         # prune non-query terms inside every doc-slice directory
         seg = seg.repartition(F.col("dslice")).sortWithinPartitions("field", "term", "first_doc")
         self.catalog.table("segments").overwrite(
             seg, partition_by=["dslice"],
             properties={"stage": "segments", "fingerprint": fingerprint},
-            lineage={"doc_slices": "dslice = doc_id // %d" % dps,
+            lineage={"doc_slices": "dslice = doc_id // %d" % self.docs_per_slice,
                      "input": {"table": "postings_flat", "fingerprint": fingerprint}})

@@ -33,14 +33,13 @@ def score(tf: np.ndarray, dl: np.ndarray, df: float, n_docs: float, avgdl: float
     return idf(df, n_docs) * tf_norm(tf, dl, avgdl)
 
 
-def block_max_weight(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> float:
-    """Max of tf_norm over a posting block — stored per block at build time.
-
-    Query-time upper bound for the block is ``idf * block_max_weight``; WAND
-    skips the block when the sum of remaining upper bounds can't reach the
-    current k-th score (SURVEY.md §4 P6).
-    """
-    return float(tf_norm(tf, dl, avgdl).max())
+def block_upper_bound(max_tf: float, min_dl: float, avgdl: float) -> float:
+    """Query-time WAND upper bound factor for a block: tf_norm is monotone
+    increasing in tf and decreasing in dl, so tf_norm(max_tf, min_dl, avgdl)
+    bounds every doc in the block under the CURRENT corpus stats (SURVEY.md
+    §4 P6; blocks store (block_max_tf, block_min_dl))."""
+    return float(tf_norm(np.asarray([max_tf], dtype=float),
+                         np.asarray([min_dl], dtype=float), avgdl)[0])
 
 
 # SQL fragment (ANSI, DuckDB-compatible) computing the same score — used to

@@ -93,13 +93,20 @@ class SearchEngine:
     def repo_doc_ranges(self, repo: str) -> list[tuple[int, int]]:
         if self._repo_ranges is None:
             meta = self.catalog.table("docs_meta").read(self.spark)
-            rows = (meta.groupBy("repo")
+            # docIDs are contiguous per (repo, build generation); without a
+            # gen column there has been exactly one generation
+            keys = ["repo", "gen"] if "gen" in meta.columns else ["repo"]
+            rows = (meta.groupBy(*keys)
                     .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
                     .collect())
             self._repo_ranges = {}
             for r in rows:
                 self._repo_ranges.setdefault(r["repo"], []).append((r["lo"], r["hi"]))
         return self._repo_ranges.get(repo, [])
+
+    def _tombstones_table(self):
+        tt = self.catalog.table("tombstones")
+        return tt if tt.exists() else None
 
     def _expand_ranges(self, leaves: list[Node]) -> dict[Range, list[str]]:
         """Range leaf -> matching terms via term_dict (Q7: inclusive
@@ -245,6 +252,9 @@ class SearchEngine:
             if neg is not None:
                 scores = scores.join(neg.select("doc_id").distinct(), "doc_id", "left_anti")
         agg = scores.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        tt = self._tombstones_table()
+        if tt is not None:
+            agg = agg.join(tt.read(self.spark).select("doc_id"), "doc_id", "left_anti")
         if repo is not None:
             ranges = self.repo_doc_ranges(repo)
             if not ranges:
@@ -311,8 +321,11 @@ class SearchEngine:
 
         needs_positions = any(s["kind"] == "phrase" for s in specs)
         norms_dirs = self.catalog.table("doc_norms").snapshot().data_dirs
+        tt = self._tombstones_table()
+        tomb_dirs = tt.snapshot().data_dirs if tt is not None else []
         kernel = _make_slice_kernel(specs, df_map, stats, doc_ranges, limit,
-                                    needs_positions, norms_dirs, fields)
+                                    needs_positions, norms_dirs, fields,
+                                    tomb_dirs)
         # No shuffle: scan tasks align with whole segment files (one live file
         # per doc-slice, non-split reads via large maxPartitionBytes in
         # session.py), so each task holds complete doc-slices — all query
@@ -345,8 +358,26 @@ def _read_norms(norms_dirs: list[str], dslice: int, fields: list[str]) -> pd.Dat
     return out[out["field"].isin(fields)]
 
 
+def _read_tombstones(tomb_dirs: list[str], dslice: int) -> np.ndarray:
+    """Task-local read of one slice's tombstoned docIDs (liveDocs analogue)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    parts = []
+    for d in tomb_dirs:
+        part = os.path.join(d, f"dslice={dslice}")
+        if not os.path.isdir(part):
+            continue
+        for f in glob.glob(os.path.join(part, "*.parquet")):
+            parts.append(pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy())
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(parts)).astype(np.int64)
+
+
 def _make_slice_kernel(specs, df_map, stats, doc_ranges, k, needs_positions,
-                       norms_dirs, fields):
+                       norms_dirs, fields, tomb_dirs=()):
     """Build the per-task numpy scoring kernel (closure shipped to executors).
 
     Input: arrow batches of segment block rows; a task's rows are whole
@@ -366,12 +397,14 @@ def _make_slice_kernel(specs, df_map, stats, doc_ranges, k, needs_positions,
         pdf = pd.concat(frames, ignore_index=True)
         for dslice, sl in pdf.groupby("dslice", sort=False):
             norms_pdf = _read_norms(norms_dirs, int(dslice), fields)
+            dead = _read_tombstones(list(tomb_dirs), int(dslice)) if tomb_dirs \
+                else None
             if only_terms:
                 out = _score_slice_wand(sl, norms_pdf, specs, df_map, stats,
-                                        doc_ranges, k)
+                                        doc_ranges, k, dead=dead)
             else:
                 out = _score_slice(sl, norms_pdf, specs, df_map, stats,
-                                   doc_ranges, k, needs_positions)
+                                   doc_ranges, k, needs_positions, dead=dead)
             if out is not None and len(out):
                 yield out
 
@@ -439,14 +472,19 @@ def _phrase_match(decoded, terms, offsets):
     return uniq, counts.astype(np.int64)
 
 
-def _in_ranges(ids: np.ndarray, doc_ranges) -> np.ndarray:
-    """Boolean mask: which doc ids fall inside the collection's docID ranges
-    (Q8 collection filter as pure numeric compare)."""
+def _in_ranges(ids: np.ndarray, doc_ranges, dead: np.ndarray | None = None) -> np.ndarray:
+    """Boolean mask: ids inside the collection's docID ranges (Q8 collection
+    filter as numeric compare) and not tombstoned (liveDocs check)."""
     if doc_ranges is None:
-        return np.ones(ids.shape, dtype=bool)
-    m = np.zeros(ids.shape, dtype=bool)
-    for lo, hi in doc_ranges:
-        m |= (ids >= lo) & (ids <= hi)
+        m = np.ones(ids.shape, dtype=bool)
+    else:
+        m = np.zeros(ids.shape, dtype=bool)
+        for lo, hi in doc_ranges:
+            m |= (ids >= lo) & (ids <= hi)
+    if dead is not None and dead.size:
+        idx = np.searchsorted(dead, ids)
+        idx_c = np.minimum(idx, dead.size - 1)
+        m &= ~(dead[idx_c] == ids)
     return m
 
 
@@ -456,7 +494,8 @@ def _empty_hits() -> pd.DataFrame:
 
 
 def _score_slice(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs, df_map,
-                 stats, doc_ranges, k, needs_positions) -> pd.DataFrame:
+                 stats, doc_ranges, k, needs_positions,
+                 dead: np.ndarray | None = None) -> pd.DataFrame:
     """Score one doc-slice: top-k (doc_id, score), numpy throughout."""
     # dl lookup arrays per field (sorted by doc_id at build time)
     norm_lookup = {}
@@ -489,7 +528,7 @@ def _score_slice(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs, df_map,
         if s["kind"] == "phrase":
             decoded = decoded_for(field, s["terms"], True)
             ids, ptf = _phrase_match(decoded, s["terms"], s["offsets"])
-            keep = _in_ranges(ids, doc_ranges)
+            keep = _in_ranges(ids, doc_ranges, dead)
             ids, ptf = ids[keep], ptf[keep]
             if s["polarity"] == "must_not":
                 not_sets.append(ids)
@@ -511,7 +550,7 @@ def _score_slice(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs, df_map,
                 ids = np.unique(np.concatenate([v[0] for v in decoded.values()]))
             else:
                 ids = np.empty(0, np.int64)
-            ids = ids[_in_ranges(ids, doc_ranges)]
+            ids = ids[_in_ranges(ids, doc_ranges, dead)]
             if s["polarity"] == "must_not":
                 not_sets.append(ids)
                 continue
@@ -527,7 +566,7 @@ def _score_slice(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs, df_map,
                 tfs = np.empty(0, np.int64)
             else:
                 ids, tfs, _ = ent
-            keep = _in_ranges(ids, doc_ranges)
+            keep = _in_ranges(ids, doc_ranges, dead)
             ids, tfs = ids[keep], tfs[keep]
             if s["polarity"] == "must_not":
                 not_sets.append(ids)
@@ -575,7 +614,8 @@ def _score_slice(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs, df_map,
 
 def _score_slice_wand(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs,
                       df_map, stats, doc_ranges, k,
-                      stats_out: dict | None = None) -> pd.DataFrame:
+                      stats_out: dict | None = None,
+                      dead: np.ndarray | None = None) -> pd.DataFrame:
     """Block-max top-k for pure-OR term queries (the hot query shape).
 
     Two-phase block-max pruning with the WAND guarantee:
@@ -613,7 +653,9 @@ def _score_slice_wand(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs,
         counts = np.array([p.size for p in ids_parts], dtype=np.int64)
         bounds = np.concatenate([[0], np.cumsum(counts)])
         idf_t = float(bm25.idf(df, n_docs))
-        ub_blocks = idf_t * rows["block_max_w"].to_numpy(np.float64)
+        ub_blocks = idf_t * bm25.tf_norm(
+            rows["block_max_tf"].to_numpy(np.float64),
+            rows["block_min_dl"].to_numpy(np.float64), avgdl)
         terms.append({
             "field": field, "ids": ids, "bounds": bounds,
             "tf_raw": rows["tfs"].tolist(), "tf_parts": [None] * len(rows),
@@ -630,8 +672,8 @@ def _score_slice_wand(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs,
     all_ids = np.concatenate([t["ids"] for t in terms])
     all_ub = np.concatenate([
         np.repeat(t["ub_blocks"], np.diff(t["bounds"])) for t in terms])
-    if doc_ranges is not None:
-        keep = _in_ranges(all_ids, doc_ranges)
+    if doc_ranges is not None or (dead is not None and dead.size):
+        keep = _in_ranges(all_ids, doc_ranges, dead)
         all_ids, all_ub = all_ids[keep], all_ub[keep]
     if all_ids.size == 0:
         return _empty_hits()

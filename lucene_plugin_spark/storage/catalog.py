@@ -111,6 +111,8 @@ class Table:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(d)
+        self._last_schema = df.schema.json()  # recorded in the manifest so an
+        # empty snapshot (no parquet files) can still be read back typed
         return d
 
     def _commit(self, sid: int, data_dirs: list[str], lineage: dict, properties: dict) -> Snapshot:
@@ -121,6 +123,7 @@ class Table:
             "data_dirs": data_dirs,
             "lineage": lineage,
             "properties": properties,
+            "schema_json": getattr(self, "_last_schema", None),
             "timestamp_ms": int(time.time() * 1000),
         }
         mpath = os.path.join(self._meta, f"manifest-{sid}.json")
@@ -158,9 +161,27 @@ class Table:
         snap = self.snapshot(snapshot_id)
         if not snap.data_dirs:
             raise SnapshotError(f"snapshot {snap.snapshot_id} of {self.name} is empty")
-        # basePath keeps partition columns when dirs are partitioned
-        return spark.read.option("basePath", snap.data_dirs[0]).parquet(*snap.data_dirs) \
-            if len(snap.data_dirs) == 1 else spark.read.parquet(*snap.data_dirs)
+        # each data dir is its own parquet root (possibly hive-partitioned);
+        # read each with its own basePath and union — a multi-root read would
+        # trip Spark's conflicting-directory-structure check
+        out = None
+        from pyspark.sql.utils import AnalysisException
+        for d in snap.data_dirs:
+            try:
+                df = spark.read.option("basePath", d).parquet(d)
+            except AnalysisException:
+                continue  # empty snapshot dir (zero-row write)
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+        if out is None:
+            # reconstruct an empty, correctly-typed frame from the manifest
+            with open(os.path.join(self._meta, f"manifest-{snap.snapshot_id}.json")) as f:
+                schema_json = json.load(f).get("schema_json")
+            if schema_json is None:
+                raise SnapshotError(
+                    f"snapshot {snap.snapshot_id} of {self.name} is empty and untyped")
+            from pyspark.sql.types import StructType as _St
+            return spark.createDataFrame([], _St.fromJson(json.loads(schema_json)))
+        return out
 
 
 class Catalog:

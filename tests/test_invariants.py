@@ -97,7 +97,7 @@ def test_resume_from_partial_build(spark, tmp_path_factory):
     c2 = Catalog(wh2)
     IndexBuilder(spark, c2, docs_per_slice=64).build(src())
     cols = ["field", "term", "dslice", "block_id", "doc_count", "first_doc",
-            "last_doc", "block_max_w"]
+            "last_doc", "block_max_tf", "block_min_dl"]
     a = sorted(map(tuple, c1.table("segments").read(spark).select(cols).collect()))
     b = sorted(map(tuple, c2.table("segments").read(spark).select(cols).collect()))
     assert a == b

@@ -15,7 +15,8 @@ def _mk_slice(rng, n_docs=20000, terms=("alpha", "beta", "gamma"), block=64):
     """Synthesize one doc-slice's segment blocks + norms for given terms."""
     rows = {k: [] for k in ("field", "term", "dslice", "block_id", "doc_count",
                             "first_doc", "last_doc", "doc_gaps", "tfs",
-                            "positions", "pos_lens_ok", "block_max_w")}
+                            "positions", "pos_lens_ok", "block_max_tf",
+                            "block_min_dl")}
     dls = rng.integers(20, 200, size=n_docs).astype(np.int64)
     avgdl = float(dls.mean())
     df_map = {}
@@ -39,8 +40,8 @@ def _mk_slice(rng, n_docs=20000, terms=("alpha", "beta", "gamma"), block=64):
             rows["tfs"].append(codec.varint_encode(btf.astype(np.uint64)))
             rows["positions"].append(b"")
             rows["pos_lens_ok"].append(0)
-            rows["block_max_w"].append(
-                bm25.block_max_weight(btf.astype(np.float64), bdl, avgdl))
+            rows["block_max_tf"].append(int(btf.max()))
+            rows["block_min_dl"].append(int(bdl.min()))
     sl = pd.DataFrame(rows)
     norms = pd.DataFrame({"field": "text", "doc_id": np.arange(n_docs),
                           "dl": dls})
