@@ -172,12 +172,25 @@ class LuceneFacade:
     def search(self, collection: str, query: str, limit: int = 255) -> list[LuceneEntry]:
         self._check(collection, "collection")
         self._check(query, "query")
-        self.commit()
+        self.commit()  # commit() replaces the engine -> caches invalidate
         if self._engine is None:
             self._engine = SearchEngine(self.spark, self.catalog)
         if not self.catalog.table("docs_meta").exists():
             return []
+        # per-searcher results LRU (the reference's 512-entry _resultsCache,
+        # LuceneIndexBean.java:792,373-378; invalidated by searcher
+        # replacement = our engine replacement on commit)
+        key = (collection, query, limit, self.mode)
+        cache = getattr(self._engine, "_results_cache", None)
+        if cache is None:
+            cache = self._engine._results_cache = {}
+        if key in cache:
+            return cache[key]
         df = self._engine.search(sanitize_collection(collection), query,
                                  limit=limit, mode=self.mode)
-        return [LuceneEntry(id=r["doc_id"], score=r["score"], external_id=r["path"])
-                for r in df.collect()]
+        out = [LuceneEntry(id=r["doc_id"], score=r["score"], external_id=r["path"])
+               for r in df.collect()]
+        if len(cache) >= 512:
+            cache.pop(next(iter(cache)))
+        cache[key] = out
+        return out

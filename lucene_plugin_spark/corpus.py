@@ -80,6 +80,47 @@ def corpus_df(spark, n_docs: int, seed: int = 42):
     return spark.createDataFrame(rows).select("repo", "path", "commit", "lang", "content")
 
 
+def corpus_df_distributed(spark, n_docs: int, seed: int = 42,
+                          tokens_per_doc: tuple[int, int] = (30, 120)):
+    """Executor-side corpus generation for large scaling runs: each partition
+    generates its id range with vectorized numpy (seeded per partition ->
+    deterministic for a fixed partition count)."""
+    import pandas as pd
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    ids = spark.range(0, n_docs, 1, par)
+
+    def gen(batches):
+        for pdf in batches:
+            rng = np.random.default_rng(seed + int(pdf["id"].iloc[0]))
+            n = len(pdf)
+            zipf = _zipf_probs(len(_STEMS))
+            nt = rng.integers(tokens_per_doc[0], tokens_per_doc[1], size=n)
+            total = int(nt.sum())
+            stems = np.array(_STEMS, dtype=object)[rng.choice(len(_STEMS), size=2 * total, p=zipf)]
+            kws = np.array(_KEYWORDS, dtype=object)[rng.choice(len(_KEYWORDS), size=total)]
+            shape = rng.random(total)
+            caps = np.char.capitalize(stems[total:2 * total].astype(str)).astype(object)
+            toks = np.where(shape < 0.25, kws,
+                   np.where(shape < 0.55, stems[:total] + caps,
+                   np.where(shape < 0.75, stems[:total] + "_" + stems[total:2 * total],
+                            stems[:total])))
+            ends = np.cumsum(nt)
+            starts = ends - nt
+            i = pdf["id"].to_numpy()
+            lang = np.array(_LANGS, dtype=object)[i % len(_LANGS)]
+            ext = np.array([_EXT[l] for l in lang], dtype=object)
+            yield pd.DataFrame({
+                "repo": np.array([f"repo-{x % 8:02d}" for x in i], dtype=object),
+                "path": np.array([f"src/f{x:08d}." for x in i], dtype=object) + ext,
+                "commit": "c0ffee42",
+                "lang": lang,
+                "content": [" ".join(toks[s:e]) for s, e in zip(starts, ends)],
+            })
+
+    return ids.mapInPandas(
+        gen, schema="repo string, path string, commit string, lang string, content string")
+
+
 QUERY_SET = [
     # (name, query) — the "reference query set" for rank-identity gating:
     # every syntax family the reference exercises (SURVEY.md §2.4) over the

@@ -226,7 +226,8 @@ class IndexBuilder:
                 flat.repartition(F.col("field"), F.col("term")),
                 properties={"stage": "postings_flat", "fingerprint": fp},
                 lineage={"input": {"table": "docs_meta", "fingerprint": fp}})
-        flat = self.catalog.table("postings_flat").read(self.spark)
+        # one parquet scan feeds four consumers (lens/dict/stats/segments)
+        flat = self.catalog.table("postings_flat").read(self.spark).persist()
 
         if not self._stage_done("field_lens", fp):
             lens = flat.groupBy("field", "doc_id").agg(
@@ -264,6 +265,7 @@ class IndexBuilder:
         if not self._stage_done("segments", fp):
             self._build_segments(flat, lens, fp)
 
+        flat.unpersist()
         n_docs = docs_meta.count()
         return BuildResult(n_docs=n_docs, docs_snapshot=docs_snap,
                            segments_snapshot=self.catalog.table("segments").current_snapshot_id())

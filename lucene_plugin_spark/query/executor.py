@@ -320,6 +320,10 @@ class SearchEngine:
             seg = seg.where(cond)
 
         needs_positions = any(s["kind"] == "phrase" for s in specs)
+        if not needs_positions:
+            # column-prune the positions stream (the bulkiest column) out of
+            # the scan — term/range queries never decode it
+            seg = seg.drop("positions", "pos_lens_ok")
         norms_dirs = self.catalog.table("doc_norms").snapshot().data_dirs
         tt = self._tombstones_table()
         tomb_dirs = tt.snapshot().data_dirs if tt is not None else []

@@ -177,7 +177,13 @@ class _Parser:
                       offsets=tuple(p - base for _, p in analyzed))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1024)  # parsed-query LRU, same size as the
 def parse_query(q: str, default_field: str = DEFAULT_FIELD) -> Node:
+    # reference's _queryCache (LuceneIndexBean.java:104); plan nodes are
+    # frozen dataclasses so sharing the cached tree is safe
     if q is None or not q.strip():
         raise QueryParseError("empty query")
     node = _Parser(q, default_field).parse()

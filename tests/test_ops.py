@@ -1,0 +1,130 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing (brief requirements beyond the reference surface)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),          # near dup
+        (3, "completely different text about spark and indexes"),
+        (4, "another unrelated document discussing benchmarks"),
+        (5, "the quick brown fox jumps over the lazy dog today"),    # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    from lucene_plugin_spark.ops.dedup import exact_duplicates
+    out = {r["keep_id"]: r["n_dups"] for r in
+           exact_duplicates(docs, "doc_id", "text").collect()}
+    assert out[0] == 2      # docs 0 and 1 identical, keep_id = min = 0
+    assert out[2] == 1
+
+
+def test_ngram_jaccard(spark, docs):
+    from lucene_plugin_spark.ops.dedup import ngram_jaccard_pairs
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) not in pairs
+    assert any(p in pairs for p in [(0, 2), (0, 5)])
+
+
+def test_minhash_lsh_finds_exact_and_near(spark, docs):
+    from lucene_plugin_spark.ops.dedup import minhash_lsh_pairs
+    cand = {(r["id_a"], r["id_b"]) for r in
+            minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=16,
+                              bands=8, verify_threshold=None).collect()}
+    assert (0, 1) in cand  # identical signatures always collide
+
+
+def test_simhash_near_pairs(spark, docs):
+    from lucene_plugin_spark.ops.dedup import simhash64, simhash_near_pairs
+    sh = {r["id"]: r["simhash"] for r in simhash64(docs, "doc_id", "text").collect()}
+    assert sh[0] == sh[1]
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    assert ham < bin(sh[0] ^ sh[3]).count("1")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_pairs(docs, "doc_id", "text", max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_cosine_topk_exact(spark):
+    from lucene_plugin_spark.ops.similarity import cosine_topk
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(50, 8))
+    vecs[7] = vecs[3] * 2.0  # same direction as 3 -> cosine 1.0
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)], "id long, vec array<double>")
+    qs = spark.createDataFrame([(3, [float(x) for x in vecs[3]])],
+                               "query_id long, vec array<double>")
+    out = cosine_topk(corpus, qs, "id", "vec", k=3).collect()
+    assert out[0]["id"] == 7 and abs(out[0]["cosine"] - 1.0) < 1e-12
+    # numpy oracle for the full top-3
+    sims = vecs @ vecs[3] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[3]))
+    sims[3] = -np.inf
+    want = list(np.argsort(-sims)[:3])
+    assert [r["id"] for r in out] == want
+
+
+def test_ivf_recalls_within_probed_cells(spark):
+    from lucene_plugin_spark.ops.similarity import ivf_topk
+    rng = np.random.default_rng(1)
+    centers = rng.normal(size=(4, 8)) * 10
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, [float(x) for x in centers[c] + rng.normal(size=8)], c))
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>, label int")
+    qs = spark.createDataFrame([(0, rows[0][1])], "query_id long, vec array<double>")
+    out = ivf_topk(corpus, qs, "id", "vec", "label", k=5, nprobe=1).collect()
+    assert len(out) == 5
+    assert all(r["id"] % 4 == 0 for r in out)  # all from the query's cell
+
+
+def test_quality_and_counts(spark, docs):
+    from lucene_plugin_spark.ops.textstats import quality_scores, token_counts
+    q = {r["id"]: r for r in quality_scores(docs, "doc_id", "text").collect()}
+    assert q[0]["n_tokens"] == 9
+    assert q[0]["n_unique"] == 8  # 'the' twice
+    assert abs(q[0]["stopword_ratio"] - 2 / 9) < 1e-6
+    t = {r["id"]: r for r in token_counts(docs, "doc_id", "text").collect()}
+    assert t[0]["ws_tokens"] == 9
+    assert t[0]["subword_tokens"] == 9
+
+
+def test_fingerprint_deterministic(spark, docs):
+    from lucene_plugin_spark.ops.textstats import fingerprints
+    a = {r["id"]: r["fingerprint"] for r in fingerprints(docs, "doc_id", "text").collect()}
+    b = {r["id"]: r["fingerprint"] for r in fingerprints(docs, "doc_id", "text").collect()}
+    assert a == b
+    assert a[0] == a[1]  # identical docs -> identical fingerprints
+    assert a[0] != a[3]
+
+
+def test_multimodal_pipeline(spark):
+    from lucene_plugin_spark.ops.multimodal import (extract_features,
+                                                    frame_sample_plan,
+                                                    synthetic_media)
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 30
+    f0 = feats[0]
+    assert f0["n_bytes"] == f0["feat_dim"] > 0
+    assert 0.0 <= f0["mean_byte"] <= 255.0
+    plan = frame_sample_plan(media, every_ms=1000)
+    per_video = plan.groupBy("media_id").count().collect()
+    assert all(r["count"] == 6 for r in per_video)  # 0..5000 step 1000
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark):
+    from lucene_plugin_spark.ops.multimodal import extract_features, synthetic_media
+    media = synthetic_media(spark, n=3)
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+        extract_features(media, fake=False).collect()
