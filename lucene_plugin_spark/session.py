@@ -32,15 +32,17 @@ def get_spark(app_name: str = "lucene_plugin_spark", cores: int | None = None,
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        # Whole-file scan tasks: the query kernel requires task <-> doc-slice
-        # alignment (one live segment file per dslice; a task must hold ALL of
-        # a slice's query-term postings for per-slice top-k to be valid).
-        # Predicate pushdown keeps big-file tasks cheap: only the query terms'
-        # row groups are read.  Build stages set their own parallelism with
-        # explicit repartitions, so losing split-based read parallelism is
-        # harmless there.
+        # Whole-file scan tasks, exactly one file per task: the query kernel
+        # requires task <-> doc-slice alignment (a task must hold ALL of a
+        # slice's query-term postings for per-slice top-k to be valid), so a
+        # slice file must never SPLIT across tasks.  maxPartitionBytes=4g
+        # keeps maxSplitBytes above any file size (no splits); openCost=4g
+        # makes Spark's bin-packing close a partition after every file (no
+        # multi-file lumping -> scan parallelism = #files).  Predicate
+        # pushdown keeps big-file tasks cheap: only matching row groups are
+        # read.
         .config("spark.sql.files.maxPartitionBytes", str(4 << 30))
-        .config("spark.sql.files.minPartitionNum", "1")
+        .config("spark.sql.files.openCostInBytes", str(4 << 30))
         .config("spark.driver.host", "127.0.0.1")
     )
     return b.getOrCreate()
