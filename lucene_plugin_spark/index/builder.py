@@ -187,6 +187,51 @@ class IndexBuilder:
 
         return fv.mapInPandas(tok, schema=TOKENS_SCHEMA)
 
+    def doc_postings_df(self, docs_meta: DataFrame) -> DataFrame:
+        """Per-doc postings (field, term, doc_id, tf, dl, positions) computed
+        entirely MAP-SIDE: tf, sorted positions and the doc length are all
+        local to one document, so no shuffle (and no collect_list aggregation)
+        is needed to materialize the flat postings — the single shuffle in the
+        flat stage is just the (field, term) clustering of the output.
+        Vectorized numpy run-length grouping, no per-row Python."""
+        par = max(self.spark.sparkContext.defaultParallelism, 4)
+        fv = self._field_values(docs_meta).repartition(par)
+        schema = ("field string, term string, doc_id long, tf int, dl long, "
+                  "positions array<int>")
+
+        def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                t = tokenize_series(pdf["value"])
+                if not len(t):
+                    continue
+                rows = t["row"].to_numpy()
+                doc = pdf["doc_id"].to_numpy()[rows]
+                fld = pdf["field"].to_numpy()[rows]
+                term = t["term"].to_numpy()
+                pos = t["pos"].to_numpy()
+                # sort by (value-row, field, term, pos); rows within one value
+                # row share doc+field, so sorting by (row, term) suffices
+                order = np.lexsort((pos, term, rows))
+                doc, fld, term, pos, rows = (doc[order], fld[order],
+                                             term[order], pos[order], rows[order])
+                # run boundaries per (row, term)
+                new_run = np.ones(len(term), dtype=bool)
+                new_run[1:] = (rows[1:] != rows[:-1]) | (term[1:] != term[:-1])
+                starts = np.flatnonzero(new_run)
+                ends = np.append(starts[1:], len(term))
+                tf = (ends - starts).astype(np.int32)
+                # dl per value-row (stop-filtered token count), broadcast to runs
+                row_ids, row_counts = np.unique(rows, return_counts=True)
+                dl = row_counts[np.searchsorted(row_ids, rows[starts])].astype(np.int64)
+                positions = np.split(pos.astype(np.int32), ends[:-1])
+                yield pd.DataFrame({
+                    "field": fld[starts], "term": term[starts],
+                    "doc_id": doc[starts], "tf": tf, "dl": dl,
+                    "positions": positions,
+                })
+
+        return fv.mapInPandas(build, schema=schema)
+
     # ------------------------------------------------------- flat + stats
     def build(self, source: DataFrame, fields_map_col: str | None = None) -> BuildResult:
         """Run all stages.  Each stage commits its table with a fingerprint
@@ -216,22 +261,22 @@ class IndexBuilder:
                 lineage={"input": {"table": "docs", "snapshot": docs_snap}})
         docs_meta = self.catalog.table("docs_meta").read(self.spark)
 
-        # ---- flat postings + lens + dict + stats
+        # ---- flat postings (tf/dl/positions computed map-side per doc; the
+        # one shuffle is the (field, term) clustering of the output so query
+        # scans push term filters into sorted row groups)
         if not self._stage_done("postings_flat", fp):
-            toks = self.tokens_df(docs_meta)
-            flat = (toks.groupBy("field", "term", "doc_id")
-                    .agg(F.count(F.lit(1)).cast("int").alias("tf"),
-                         F.sort_array(F.collect_list("pos")).alias("positions")))
+            flat = self.doc_postings_df(docs_meta)
             self.catalog.table("postings_flat").overwrite(
-                flat.repartition(F.col("field"), F.col("term")),
+                flat.repartition(F.col("field"), F.col("term"))
+                .sortWithinPartitions("field", "term", "doc_id"),
                 properties={"stage": "postings_flat", "fingerprint": fp},
                 lineage={"input": {"table": "docs_meta", "fingerprint": fp}})
-        # one parquet scan feeds four consumers (lens/dict/stats/segments)
+        # one parquet scan feeds the remaining consumers
         flat = self.catalog.table("postings_flat").read(self.spark).persist()
 
         if not self._stage_done("field_lens", fp):
-            lens = flat.groupBy("field", "doc_id").agg(
-                F.sum("tf").cast("long").alias("dl"))
+            lens = (flat.select("field", "doc_id", "dl").distinct()
+                    .select("field", "doc_id", F.col("dl").cast("long").alias("dl")))
             self.catalog.table("field_lens").overwrite(
                 lens, properties={"stage": "field_lens", "fingerprint": fp})
         lens = self.catalog.table("field_lens").read(self.spark)
@@ -282,8 +327,13 @@ class IndexBuilder:
         bsz = self.block_size
         dps = self.docs_per_slice
 
-        joined = (flat.join(lens, ["field", "doc_id"], "inner")
-                  .withColumn("dslice", (F.col("doc_id") / F.lit(dps)).cast("int")))
+        # dl travels inline on every posting row (written by doc_postings_df),
+        # so no flat-postings x lens join is needed here; ``lens`` is accepted
+        # for API compatibility but only used as a fallback for callers whose
+        # flat frame lacks the dl column.
+        if "dl" not in flat.columns:
+            flat = flat.join(lens, ["field", "doc_id"], "inner")
+        joined = flat.withColumn("dslice", (F.col("doc_id") / F.lit(dps)).cast("int"))
 
         def build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) == 0:

@@ -123,14 +123,12 @@ class IndexMutator:
             meta_t.append(new_meta, properties={"stage": "docs_meta"})
 
         # incremental postings/lens/norms/segments for the NEW docs only
-        toks = self.builder.tokens_df(new_meta)
-        flat_new = (toks.groupBy("field", "term", "doc_id")
-                    .agg(F.count(F.lit(1)).cast("int").alias("tf"),
-                         F.sort_array(F.collect_list("pos")).alias("positions")))
+        flat_new = self.builder.doc_postings_df(new_meta)
         self.catalog.table("postings_flat").append(
-            flat_new.repartition(F.col("field"), F.col("term")))
-        lens_new = flat_new.groupBy("field", "doc_id").agg(
-            F.sum("tf").cast("long").alias("dl"))
+            flat_new.repartition(F.col("field"), F.col("term"))
+            .sortWithinPartitions("field", "term", "doc_id"))
+        lens_new = (flat_new.select("field", "doc_id", "dl").distinct()
+                    .select("field", "doc_id", F.col("dl").cast("long").alias("dl")))
         self.catalog.table("field_lens").append(lens_new)
         dps = self.builder.docs_per_slice
         norms_new = lens_new.withColumn(

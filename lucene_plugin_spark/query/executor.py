@@ -163,7 +163,8 @@ class SearchEngine:
             cand = flat.join(F.broadcast(leaf_map), ["field", "term"])
             td = self.catalog.table("term_dict").read(self.spark)
             cand = cand.join(F.broadcast(td), ["field", "term"])
-            cand = cand.join(lens, ["field", "doc_id"])
+            if "dl" not in cand.columns:  # older layouts carry dl in field_lens
+                cand = cand.join(lens, ["field", "doc_id"])
             st = self.spark.createDataFrame(
                 [(f, n, a) for f, (n, a) in stats.items()],
                 "field string, n_docs double, avgdl double")
