@@ -73,6 +73,9 @@ SEGMENT_SCHEMA = StructType([
     # avgdl (stored scores would go stale when mutations shift avgdl)
     StructField("block_max_tf", IntegerType()),
     StructField("block_min_dl", LongType()),
+    # per-block sum of tfs: term_dict's cf becomes a columnar agg over
+    # segments (no flat-postings scan needed)
+    StructField("tf_sum", LongType()),
 ])
 
 
@@ -112,50 +115,57 @@ class IndexBuilder:
 
     # ------------------------------------------------------------- docs_meta
     def assign_doc_ids(self, docs: DataFrame, n_parts: int | None = None) -> DataFrame:
-        """Deterministic dense docIDs ordered by (repo, path).
+        """Deterministic dense docIDs ordered by (repo, path) — pure JVM.
 
-        Scalable two-pass: range-shuffle + local sort, count rows per
-        partition (tiny collect: one long per partition), then prefix-sum
-        offsets + local ordinal inside mapInPandas.  Equivalent to a global
-        ``row_number() OVER (ORDER BY repo, path)`` without the single-
-        partition window.  The sorted frame is persisted between the two
-        passes so both observe identical partitioning (on a real cluster:
-        a staging table / DISK_ONLY persist).
+        Scalable two-pass: range-shuffle + local sort, then
+        ``monotonically_increasing_id()`` (= partitionId·2^33 + physical row
+        ordinal) gives each row its partition and local ordinal *inside
+        whole-stage codegen*; a tiny per-partition count collect + broadcast
+        prefix-sum join turns that into a dense global ``row_number() OVER
+        (ORDER BY repo, path)`` with ONE shuffle of the data and zero bytes
+        through Python (document content never crosses the Arrow boundary
+        here — it used to, and at high task concurrency that serialization
+        alone saturated memory bandwidth).
+
+        The sorted frame is persisted between the count pass and the write so
+        both observe identical partitioning (on a real cluster: DISK_ONLY
+        persist / staging table).  Caller releases via _release_id_cache().
         """
         if n_parts is None:
-            n_parts = max(self.spark.sparkContext.defaultParallelism, 4)
-        # _pid captured as a COLUMN right after the range shuffle: unlike
-        # TaskContext.partitionId(), it stays correct even when this subplan
-        # is later fused into a bigger stage (e.g. inside a union)
+            try:
+                n_docs = docs.count()
+            except Exception:
+                n_docs = 0
+            n_parts = max(int(np.ceil(max(n_docs, 1) / self.docs_per_slice)),
+                          self.spark.sparkContext.defaultParallelism, 1)
         sorted_df = (docs.repartitionByRange(n_parts, "repo", "path")
                      .sortWithinPartitions("repo", "path")
-                     .withColumn("_pid", F.spark_partition_id())
+                     .withColumn("_mid", F.monotonically_increasing_id())
                      .persist())
-        counts = sorted_df.groupBy("_pid").count().collect()
+        self._id_cache = sorted_df
+        counts = (sorted_df
+                  .groupBy(F.shiftrightunsigned("_mid", 33).alias("_pid"))
+                  .count().collect())
         offsets = np.zeros(n_parts + 1, dtype=np.int64)
         for r in counts:
-            offsets[r["_pid"] + 1] = r["count"]
+            offsets[int(r["_pid"]) + 1] = r["count"]
         offsets = np.cumsum(offsets)
-        boffsets = self.spark.sparkContext.broadcast(offsets.tolist())
-        out_fields = [f for f in sorted_df.schema.fields if f.name != "_pid"]
-        schema = StructType(out_fields + [StructField("doc_id", LongType())])
-        out_cols = [f.name for f in out_fields] + ["doc_id"]
+        offs_df = self.spark.createDataFrame(
+            [(int(p), int(offsets[p])) for p in range(n_parts)],
+            "_pid long, _off long")
+        out_cols = [c for c in sorted_df.columns if c != "_mid"] + ["doc_id"]
+        return (sorted_df
+                .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+                .join(F.broadcast(offs_df), "_pid")
+                .withColumn("doc_id",
+                            F.col("_off") + (F.col("_mid") % F.lit(1 << 33)))
+                .select(*out_cols))
 
-        def assign(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            seen: dict[int, int] = {}
-            for pdf in pdf_iter:
-                pdf = pdf.copy()
-                ids = np.empty(len(pdf), dtype=np.int64)
-                for pid, grp in pdf.groupby("_pid", sort=False):
-                    p = int(pid)
-                    base = boffsets.value[p] + seen.get(p, 0)
-                    ids[grp.index.to_numpy()] = np.arange(base, base + len(grp),
-                                                          dtype=np.int64)
-                    seen[p] = seen.get(p, 0) + len(grp)
-                pdf["doc_id"] = ids
-                yield pdf[out_cols]
-
-        return sorted_df.mapInPandas(assign, schema=schema)
+    def _release_id_cache(self) -> None:
+        cache = getattr(self, "_id_cache", None)
+        if cache is not None:
+            cache.unpersist()
+            self._id_cache = None
 
     # ---------------------------------------------------------------- tokens
     def _field_values(self, docs_meta: DataFrame) -> DataFrame:
@@ -247,44 +257,76 @@ class IndexBuilder:
         return t.snapshot().properties.get("fingerprint") == fingerprint
 
     def build_from_docs(self, docs_snap: int | None = None) -> BuildResult:
+        from lucene_plugin_spark.index import fused
+
         docs_t = self.catalog.table("docs")
         if docs_snap is None:
             docs_snap = docs_t.current_snapshot_id()
         docs = docs_t.read(self.spark, docs_snap)
         fp = f"docs-{docs_snap}"
 
-        # ---- docs_meta
+        # ---- docs_meta: one range shuffle, all JVM; written partitioned by
+        # dslice so every slice is its own file -> every downstream pass is a
+        # shuffle-free map over whole slice files
+        n_docs = docs.count()
         if not self._stage_done("docs_meta", fp):
-            meta = self.assign_doc_ids(docs)
+            n_parts = max(int(np.ceil(max(n_docs, 1) / self.docs_per_slice)),
+                          self.spark.sparkContext.defaultParallelism, 1)
+            meta = self.assign_doc_ids(docs, n_parts)
+            meta = meta.withColumn(
+                "dslice", (F.col("doc_id") / F.lit(self.docs_per_slice)).cast("int"))
             self.catalog.table("docs_meta").overwrite(
-                meta, properties={"stage": "docs_meta", "fingerprint": fp},
+                meta, partition_by=["dslice"],
+                properties={"stage": "docs_meta", "fingerprint": fp},
                 lineage={"input": {"table": "docs", "snapshot": docs_snap}})
+            self._release_id_cache()
         docs_meta = self.catalog.table("docs_meta").read(self.spark)
 
-        # ---- flat postings (tf/dl/positions computed map-side per doc; the
-        # one shuffle is the (field, term) clustering of the output so query
-        # scans push term filters into sorted row groups)
-        if not self._stage_done("postings_flat", fp):
-            flat = self.doc_postings_df(docs_meta)
-            self.catalog.table("postings_flat").overwrite(
-                flat.repartition(F.col("field"), F.col("term"))
-                .sortWithinPartitions("field", "term", "doc_id"),
-                properties={"stage": "postings_flat", "fingerprint": fp},
-                lineage={"input": {"table": "docs_meta", "fingerprint": fp}})
-        # one parquet scan feeds the remaining consumers
-        flat = self.catalog.table("postings_flat").read(self.spark).persist()
+        # ---- compressed doc-range segments: the fused tokenize->blocks map
+        # pass (analysis + W1 inverted-index build + per-slice norms), NO
+        # shuffle — task in = one slice of docs_meta, task out = that slice's
+        # segment file
+        if not self._stage_done("segments", fp):
+            cols = ["dslice", "doc_id", "content"]
+            if "fields" in docs_meta.columns:
+                cols.append("fields")
+            seg = docs_meta.select(*cols).mapInArrow(
+                fused.make_fused_segment_kernel(self.docs_per_slice, self.block_size),
+                fused.SEGMENT_DDL)
+            self.catalog.table("segments").overwrite(
+                seg, partition_by=["dslice"],
+                properties={"stage": "segments", "fingerprint": fp},
+                lineage={"doc_slices": "dslice = doc_id // %d" % self.docs_per_slice,
+                         "input": {"table": "docs_meta", "fingerprint": fp}})
+        seg = self.catalog.table("segments").read(self.spark)
+        norm_rows = seg.where(F.col("term") == fused.NORMS_TERM)
 
+        # ---- norms sidecars decoded from the per-slice norms rows (tiny
+        # scans: row-group stats put term='' first in every file)
+        if not self._stage_done("doc_norms", fp):
+            norms = (norm_rows
+                     .select("dslice", "field", "doc_gaps", "tfs")
+                     .mapInArrow(fused.decode_norms_kernel, fused.NORMS_DDL))
+            self.catalog.table("doc_norms").overwrite(
+                norms, partition_by=["dslice"],
+                properties={"stage": "doc_norms", "fingerprint": fp})
         if not self._stage_done("field_lens", fp):
-            lens = (flat.select("field", "doc_id", "dl").distinct()
-                    .select("field", "doc_id", F.col("dl").cast("long").alias("dl")))
-            self.catalog.table("field_lens").overwrite(
-                lens, properties={"stage": "field_lens", "fingerprint": fp})
-        lens = self.catalog.table("field_lens").read(self.spark)
+            # field_lens is doc_norms minus the dslice column: share the same
+            # data files (Iceberg analogue: a second table over the same
+            # manifest) instead of rewriting them
+            self.catalog.table("field_lens").commit_dirs(
+                self.catalog.table("doc_norms").snapshot().data_dirs,
+                properties={"stage": "field_lens", "fingerprint": fp})
+        lens = (self.catalog.table("field_lens").read(self.spark)
+                .select("field", "doc_id", "dl"))
 
+        # ---- term dictionary: columnar agg over block metadata (positions /
+        # codec columns pruned from the scan); df = Σ doc_count, cf = Σ tf_sum
         if not self._stage_done("term_dict", fp):
-            td = flat.groupBy("field", "term").agg(
-                F.count(F.lit(1)).cast("long").alias("df"),
-                F.sum("tf").cast("long").alias("cf"))
+            td = (seg.where(F.col("term") != fused.NORMS_TERM)
+                  .groupBy("field", "term").agg(
+                      F.sum("doc_count").cast("long").alias("df"),
+                      F.sum("tf_sum").cast("long").alias("cf")))
             self.catalog.table("term_dict").overwrite(
                 td, properties={"stage": "term_dict", "fingerprint": fp})
 
@@ -295,23 +337,15 @@ class IndexBuilder:
             self.catalog.table("stats").overwrite(
                 st, properties={"stage": "stats", "fingerprint": fp})
 
-        # ---- per-doc norms sidecar (the analogue of Lucene's norms file):
-        # (dslice, field, doc_id, dl), partitioned by dslice so the query
-        # kernel cogroups it with segment blocks of the same slice.
-        if not self._stage_done("doc_norms", fp):
-            norms = lens.withColumn(
-                "dslice", (F.col("doc_id") / F.lit(self.docs_per_slice)).cast("int"))
-            self.catalog.table("doc_norms").overwrite(
-                norms.repartition(F.col("dslice")).sortWithinPartitions("field", "doc_id"),
-                partition_by=["dslice"],
-                properties={"stage": "doc_norms", "fingerprint": fp})
+        # ---- flat postings for the declarative/oracle executor and the
+        # mutation path: a vectorized DECODE of the segments (shuffle-free,
+        # slice-file-per-task), not a second tokenize
+        if not self._stage_done("postings_flat", fp):
+            flat = seg.mapInArrow(fused.decode_flat_kernel, fused.FLAT_DDL)
+            self.catalog.table("postings_flat").overwrite(
+                flat, properties={"stage": "postings_flat", "fingerprint": fp},
+                lineage={"input": {"table": "segments", "fingerprint": fp}})
 
-        # ---- compressed doc-range segments
-        if not self._stage_done("segments", fp):
-            self._build_segments(flat, lens, fp)
-
-        flat.unpersist()
-        n_docs = docs_meta.count()
         return BuildResult(n_docs=n_docs, docs_snapshot=docs_snap,
                            segments_snapshot=self.catalog.table("segments").current_snapshot_id())
 
@@ -352,7 +386,7 @@ class IndexBuilder:
             out = {k: [] for k in ("field", "term", "dslice", "block_id", "doc_count",
                                    "first_doc", "last_doc", "doc_gaps", "tfs",
                                    "positions", "pos_lens_ok", "block_max_tf",
-                                   "block_min_dl")}
+                                   "block_min_dl", "tf_sum")}
             dslice = int(pdf["dslice"].iloc[0])
             for s, e in zip(run_starts, run_ends):
                 field = pdf["field"].iloc[s]
@@ -377,6 +411,7 @@ class IndexBuilder:
                     out["pos_lens_ok"].append(1)
                     out["block_max_tf"].append(int(btf.max()))
                     out["block_min_dl"].append(int(bdl.min()))
+                    out["tf_sum"].append(int(btf.sum()))
             return pd.DataFrame(out)
 
         return joined.groupBy("dslice").applyInPandas(build_blocks, schema=SEGMENT_SCHEMA)

@@ -51,6 +51,43 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_encode_with_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode an int array -> (byte array uint8, per-value byte offsets).
+
+    ``offsets`` has len(values)+1 entries; value i occupies bytes
+    ``[offsets[i], offsets[i+1])``.  Lets a caller encode one concatenated
+    stream and slice out contiguous sub-ranges (posting blocks) without
+    re-encoding per block.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        nbits[nz] += 1
+        tmp >>= np.uint64(7)
+        nz = tmp > 0
+    ngroups = np.maximum(nbits, 1)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(ngroups, out=offsets[1:])
+    out = np.empty(int(offsets[-1]), dtype=np.uint8)
+    tmp = v.copy()
+    offs = offsets[:-1].copy()
+    remaining = ngroups.copy()
+    while (remaining > 0).any():
+        m = remaining > 0
+        byte = (tmp[m] & _MASK7).astype(np.uint8)
+        last = remaining[m] == 1
+        byte[~last] |= _CONT
+        out[offs[m]] = byte
+        tmp[m] >>= np.uint64(7)
+        offs[m] += 1
+        remaining[m] -= 1
+    return out, offsets
+
+
 def varint_decode(buf: bytes) -> np.ndarray:
     """Decode LEB128 bytes -> uint64 array (inverse of varint_encode)."""
     b = np.frombuffer(buf, dtype=np.uint8)

@@ -113,14 +113,19 @@ class IndexMutator:
             if "gen" in meta.columns else 1
         new_meta = self.builder.assign_doc_ids(updates)
         new_meta = (new_meta.withColumn("doc_id", F.col("doc_id") + F.lit(base))
-                    .withColumn("gen", F.lit(gen)))
+                    .withColumn("gen", F.lit(gen))
+                    .withColumn("dslice", (F.col("doc_id") / F.lit(dps)).cast("int")))
         meta_t = self.catalog.table("docs_meta")
         if "gen" not in meta.columns:
             meta_with_gen = meta.withColumn("gen", F.lit(0))
+            if "dslice" not in meta.columns:
+                meta_with_gen = meta_with_gen.withColumn(
+                    "dslice", (F.col("doc_id") / F.lit(dps)).cast("int"))
             meta_t.overwrite(meta_with_gen.unionByName(new_meta),
                              properties={"stage": "docs_meta"})
         else:
             meta_t.append(new_meta, properties={"stage": "docs_meta"})
+        self.builder._release_id_cache()
 
         # incremental postings/lens/norms/segments for the NEW docs only
         flat_new = self.builder.doc_postings_df(new_meta)

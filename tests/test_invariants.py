@@ -57,7 +57,9 @@ def test_term_dict_matches_flat(spark, built):
 def test_segments_cover_flat_postings(spark, built):
     """Total postings in compressed segments == rows in flat postings."""
     catalog, _, _ = built
+    from lucene_plugin_spark.index.fused import NORMS_TERM
     seg_total = (catalog.table("segments").read(spark)
+                 .where(F.col("term") != NORMS_TERM)
                  .agg(F.sum("doc_count")).collect()[0][0])
     flat_total = catalog.table("postings_flat").read(spark).count()
     assert seg_total == flat_total
