@@ -164,3 +164,24 @@ def decode_positions(buf: bytes, lengths: np.ndarray) -> np.ndarray:
     base = np.zeros_like(gaps)
     base[starts[1:]] = acc[starts[1:] - 1]
     return acc - np.maximum.accumulate(base)
+
+
+def decode_ids_concat(bufs, counts) -> "np.ndarray":
+    """Decode MANY encode_ids blocks in one vectorized pass.
+
+    ``bufs``: iterable of per-block byte strings (delta+varint docID gaps,
+    first value absolute); ``counts``: docIDs per block.  One varint_decode
+    over the concatenated stream, then cumsum with per-block resets — no
+    per-block Python round trips.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    gaps = varint_decode(b"".join(bufs)).astype(np.int64)
+    if gaps.size == 0:
+        return gaps
+    offsets = np.zeros(counts.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    acc = np.cumsum(gaps)
+    base = np.zeros_like(gaps)
+    starts = offsets[:-1]
+    base[starts[1:]] = acc[starts[1:] - 1]
+    return acc - np.maximum.accumulate(base)

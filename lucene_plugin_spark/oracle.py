@@ -99,8 +99,6 @@ class OracleEngine:
     def search(self, repo: str | None, query: str, limit: int = 255
                ) -> list[tuple[int, str, float]]:
         """[(doc_id, path, score)] ordered score desc, doc_id asc, top-k."""
-        if repo is not None:
-            repo = sanitize_collection(repo)
         node = parse_query(query)
         docs = [d for d in self.docs.values() if repo is None or d.repo == repo]
         scored: dict[int, float] = defaultdict(float)

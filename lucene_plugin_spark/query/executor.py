@@ -32,7 +32,8 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
 
 from lucene_plugin_spark.index import codec
 from lucene_plugin_spark.query import bm25
@@ -42,6 +43,12 @@ from lucene_plugin_spark.query.plan import (Bool, Node, Phrase, Range, Term,
 from lucene_plugin_spark.storage.catalog import Catalog
 
 HITS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("score", DoubleType()),
+])
+
+MULTI_HITS_SCHEMA = StructType([
+    StructField("query_id", StringType()),
     StructField("doc_id", LongType()),
     StructField("score", DoubleType()),
 ])
@@ -71,6 +78,27 @@ def _leaves_of(node: Node):
     return should, must, must_not
 
 
+def _compile_leaf_specs(should, must, must_not, range_terms):
+    """Compile flattened boolean leaves -> kernel spec dicts (shared by the
+    single-query and batched kernel paths)."""
+    def leaf_spec(i, l, polarity):
+        if isinstance(l, Term):
+            return {"kind": "term", "field": l.field, "terms": [l.term],
+                    "offsets": None, "leaf_id": i, "polarity": polarity}
+        if isinstance(l, Range):
+            return {"kind": "range", "field": l.field,
+                    "terms": range_terms.get(l, []), "offsets": None,
+                    "leaf_id": i, "polarity": polarity}
+        return {"kind": "phrase", "field": l.field, "terms": list(l.terms),
+                "offsets": [o - l.offsets[0] for o in l.offsets],
+                "leaf_id": i, "polarity": polarity}
+
+    return ([leaf_spec(i, l, "should") for i, l in enumerate(should)]
+            + [leaf_spec(len(should) + i, l, "must") for i, l in enumerate(must)]
+            + [leaf_spec(len(should) + len(must) + i, l, "must_not")
+               for i, l in enumerate(must_not)])
+
+
 class SearchEngine:
     """Top-level search API over a built index (snapshot-pinned reads)."""
 
@@ -81,6 +109,89 @@ class SearchEngine:
         self.snapshot_id = snapshot_id  # pin the segments snapshot (W8 analogue)
         self._stats = None
         self._repo_ranges = None
+        self._seg_cached: DataFrame | None = None
+        self._td_cached: DataFrame | None = None
+        self._meta_cached: DataFrame | None = None
+        self._path_map: dict[int, str] | None = None
+        self._df_cache: dict[tuple[str, str], float] = {}
+        self._norms_cache: dict[int, pd.DataFrame] = {}
+        # (field, term) -> {"pdf": block rows, "has_pos": bool}; the driver
+        # fast path's postings cache (Lucene page-cache/terms-cache analogue)
+        self._blocks_cache: dict[tuple[str, str], dict] = {}
+        self._blocks_cache_rows = 0
+        self._range_cache: dict[tuple[str, str, str], list[str]] = {}
+
+    # ------------------------------------------------------------- warm path
+    def warm(self, collect_paths: bool = True) -> "SearchEngine":
+        """Pin the hot read-side tables in executor memory for repeated
+        queries (the analogue of Lucene's NRT searcher holding segment files
+        in the page cache; reference reuses one searcher until the version
+        advances, LuceneReaderImpl.java:90-98).
+
+        Snapshot-safe: the engine is replaced on every commit (api.py), so a
+        warmed engine can never serve stale postings.  At 100 TB you would
+        persist term_dict + the hottest segment partitions only and let
+        parquet row-group pruning serve the cold tail; persisting everything
+        is the right call at bench scale.
+        """
+        n_parts = self.spark.sparkContext.defaultParallelism
+        self._seg_cached = (self.catalog.table("segments")
+                            .read(self.spark, self.snapshot_id)
+                            .coalesce(n_parts).persist())
+        self._seg_cached.count()
+        self._td_cached = self.catalog.table("term_dict").read(self.spark).persist()
+        self._td_cached.count()
+        self._meta_cached = (self.catalog.table("docs_meta").read(self.spark)
+                             .select("doc_id", "path").persist())
+        self._meta_cached.count()
+        if collect_paths:
+            # docID -> externalId map on the driver (the reference's 8192-row
+            # _keysCache, LuceneIndexBean.java:789-790, made total): lets the
+            # driver fast path answer without a join job.  At 100 TB pass
+            # collect_paths=False and the distributed join resolves paths.
+            self._path_map = {r["doc_id"]: r["path"]
+                              for r in self._meta_cached.collect()}
+        self._field_stats()
+        return self
+
+    def unwarm(self) -> None:
+        for df in (self._seg_cached, self._td_cached, self._meta_cached):
+            if df is not None:
+                df.unpersist()
+        self._seg_cached = self._td_cached = self._meta_cached = None
+        self._path_map = None
+
+    def _segments_df(self) -> DataFrame:
+        if self._seg_cached is not None:
+            return self._seg_cached
+        return self.catalog.table("segments").read(self.spark, self.snapshot_id)
+
+    def _term_dict_df(self) -> DataFrame:
+        if self._td_cached is not None:
+            return self._td_cached
+        return self.catalog.table("term_dict").read(self.spark)
+
+    def _meta_path_df(self) -> DataFrame:
+        if self._meta_cached is not None:
+            return self._meta_cached
+        return self.catalog.table("docs_meta").read(self.spark).select("doc_id", "path")
+
+    def _df_for_pairs(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], float]:
+        """(field, term) -> document frequency, via a driver-side cache over
+        the term dictionary (the reference's parsed-query/terms caching idea,
+        LuceneIndexBean.java:104; ours is keyed per engine = per snapshot).
+        Absent terms are cached as 0.0 so repeats skip the lookup job too."""
+        missing = [p for p in pairs if p not in self._df_cache]
+        if missing:
+            td = self._term_dict_df()
+            fields = sorted({f for f, _ in missing})
+            terms = sorted({t for _, t in missing})
+            rows = (td.where(F.col("field").isin(fields) & F.col("term").isin(terms))
+                    .collect())
+            found = {(r["field"], r["term"]): float(r["df"]) for r in rows}
+            for p in missing:
+                self._df_cache[p] = found.get(p, 0.0)
+        return {p: self._df_cache[p] for p in pairs}
 
     # ------------------------------------------------------------ metadata
     def _field_stats(self) -> dict[str, tuple[float, float]]:
@@ -113,12 +224,17 @@ class SearchEngine:
         lexicographic expansion, constant-score rewrite like Lucene's
         MultiTermQuery CONSTANT_SCORE)."""
         out: dict[Range, list[str]] = {}
-        td = self.catalog.table("term_dict").read(self.spark)
+        td = None
         for r in [l for l in leaves if isinstance(l, Range)]:
-            terms = (td.where((F.col("field") == r.field)
-                              & (F.col("term") >= r.lo) & (F.col("term") <= r.hi))
-                     .select("term").collect())
-            out[r] = [x["term"] for x in terms]
+            key = (r.field, r.lo, r.hi)
+            if key not in self._range_cache:
+                if td is None:
+                    td = self._term_dict_df()
+                terms = (td.where((F.col("field") == r.field)
+                                  & (F.col("term") >= r.lo) & (F.col("term") <= r.hi))
+                         .select("term").collect())
+                self._range_cache[key] = [x["term"] for x in terms]
+            out[r] = self._range_cache[key]
         return out
 
     # ---------------------------------------------------------------- search
@@ -129,18 +245,101 @@ class SearchEngine:
         ``repo=None`` searches all collections (the reference always scopes to
         one collection; multi-collection search is our extension).
         """
-        if repo is not None:
-            repo = sanitize_collection(repo)
+        # repo taken verbatim: collection-name sanitization (reference Q13)
+        # is a facade-level concern applied at BOTH index and search time
+        # (api.py); engine-level repos are raw corpus values
         node = parse_query(query)
         if mode == "kernel":
-            hits = self._search_kernel(node, repo, limit)
+            cq = self._compile_query(node, repo)
+            if cq is None:
+                hits = self.spark.createDataFrame([], HITS_SCHEMA)
+            elif (self._path_map is not None
+                  and cq["est_postings"] <= self.driver_exec_max_postings):
+                # driver fast path: small predicted posting volume -> one
+                # JVM-only filtered collect + local kernel + cached path map
+                res = self._search_driver(cq, limit)
+                pm = self._path_map
+                res = res.assign(path=[pm.get(int(d)) for d in res["doc_id"]])
+                return self.spark.createDataFrame(
+                    res[["doc_id", "path", "score"]],
+                    "doc_id long, path string, score double")
+            else:
+                hits = self._search_kernel_compiled(cq, limit)
         else:
             hits = self._search_dataframe(node, repo, limit)
-        meta = self.catalog.table("docs_meta").read(self.spark).select("doc_id", "path")
-        return (hits.join(F.broadcast(meta) if limit <= 10_000 else meta, "doc_id")
+        meta = self._meta_path_df()
+        # top-k first (TakeOrderedAndProject on the per-slice heaps), THEN
+        # resolve paths by broadcasting the K-ROW side and probing docs_meta
+        # (broadcasting docs_meta itself would serialize the whole corpus's
+        # path map on every query — the stored-field fetch S7 wants the k ids
+        # broadcast, not the table)
+        topk = (hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit))
+        return (meta.join(F.broadcast(topk), "doc_id")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(limit)
                 .select("doc_id", "path", "score"))
+
+    def search_many(self, queries: list[tuple[str, str | None, str]],
+                    limit: int = 10) -> DataFrame:
+        """Batched top-k search: ONE distributed job evaluates many queries.
+
+        ``queries``: [(query_id, repo_or_None, query_string)].  Returns
+        DataFrame(query_id, doc_id, path, score), per-query score desc /
+        doc_id asc, truncated to ``limit``.
+
+        Scale rationale: per-query fixed cost (job scheduling, scan setup,
+        Python worker round-trip) is amortized over the batch, one segments
+        scan (filtered to the union of all query terms) serves every query,
+        and the per-slice kernel shares the slice's norms across queries.
+        This micro-batched shape is how a many-executor deployment serves a
+        query stream; rankings are identical to issuing search() per query
+        (same kernels, pytest-gated).
+        """
+        stats = self._field_stats()
+        compiled = []
+        all_pairs: set[tuple[str, str]] = set()
+        for qid, repo, q in queries:
+            node = parse_query(q)
+            should, must, must_not = _leaves_of(node)
+            range_terms = self._expand_ranges(should + must + must_not)
+            specs = _compile_leaf_specs(should, must, must_not, range_terms)
+            if not any(s["terms"] for s in specs if s["polarity"] != "must_not"):
+                continue  # no positive leaves -> no hits for this query
+            doc_ranges = None
+            if repo is not None:
+                doc_ranges = self.repo_doc_ranges(repo) or [(-1, -1)]
+            compiled.append({
+                "qid": qid, "specs": specs, "doc_ranges": doc_ranges,
+                "needs_positions": any(sp["kind"] == "phrase" for sp in specs),
+                "only_terms": (len(specs) > 0 and all(
+                    sp["kind"] == "term" and sp["polarity"] == "should"
+                    for sp in specs)),
+            })
+            all_pairs |= {(sp["field"], t) for sp in specs for t in sp["terms"]}
+        if not compiled:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, path string, score double")
+        df_map = self._df_for_pairs(sorted(all_pairs))
+        fields = sorted({f for f, _ in all_pairs})
+        terms_only = sorted({t for _, t in all_pairs})
+        seg = self._segments_df().where(
+            F.col("field").isin(fields) & F.col("term").isin(terms_only))
+        if not any(c["needs_positions"] for c in compiled):
+            seg = seg.drop("positions", "pos_lens_ok")
+        norms_dirs = self.catalog.table("doc_norms").snapshot().data_dirs
+        tt = self._tombstones_table()
+        tomb_dirs = tt.snapshot().data_dirs if tt is not None else []
+        kernel = _make_multi_slice_kernel(compiled, df_map, stats, limit,
+                                          norms_dirs, fields, tomb_dirs)
+        hits = seg.mapInPandas(kernel, schema=MULTI_HITS_SCHEMA)
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        meta = self._meta_path_df()
+        topk = (hits.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= limit).drop("_rn"))
+        # broadcast the (batch x k)-row hit set, probe docs_meta (S7 shape)
+        return (meta.join(F.broadcast(topk), "doc_id")
+                .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+                .select("query_id", "doc_id", "path", "score"))
 
     # ----------------------------------------------------- DataFrame strategy
     def _leaf_scores_df(self, leaves: list[Node], range_terms) -> DataFrame | None:
@@ -268,66 +467,161 @@ class SearchEngine:
         return agg
 
     # ------------------------------------------------------- kernel strategy
-    def _search_kernel(self, node: Node, repo: str | None, limit: int) -> DataFrame:
+    def _compile_query(self, node: Node, repo: str | None):
+        """Driver-side query compilation shared by the distributed kernel and
+        the driver fast path: leaves -> specs, term-df lookup, collection
+        doc-ranges.  Returns None when the query can match nothing."""
         should, must, must_not = _leaves_of(node)
-        positive = should + must
-        range_terms = self._expand_ranges(positive + must_not)
-        stats = self._field_stats()
-
-        # compile leaves -> spec dicts the kernel understands
-        def leaf_spec(i, l, polarity):
-            if isinstance(l, Term):
-                return {"kind": "term", "field": l.field, "terms": [l.term],
-                        "offsets": None, "leaf_id": i, "polarity": polarity}
-            if isinstance(l, Range):
-                return {"kind": "range", "field": l.field,
-                        "terms": range_terms.get(l, []), "offsets": None,
-                        "leaf_id": i, "polarity": polarity}
-            return {"kind": "phrase", "field": l.field, "terms": list(l.terms),
-                    "offsets": [o - l.offsets[0] for o in l.offsets],
-                    "leaf_id": i, "polarity": polarity}
-
-        specs = ([leaf_spec(i, l, "should") for i, l in enumerate(should)]
-                 + [leaf_spec(len(should) + i, l, "must") for i, l in enumerate(must)]
-                 + [leaf_spec(len(should) + len(must) + i, l, "must_not")
-                    for i, l in enumerate(must_not)])
-        all_terms = sorted({(s["field"], t) for s in specs for t in s["terms"]})
+        range_terms = self._expand_ranges(should + must + must_not)
+        specs = _compile_leaf_specs(should, must, must_not, range_terms)
         if not any(s["terms"] for s in specs if s["polarity"] != "must_not"):
-            return self.spark.createDataFrame([], HITS_SCHEMA)
-
-        # term dictionary lookup (broadcast-sized: |query terms| rows)
-        td = self.catalog.table("term_dict").read(self.spark)
-        fields = sorted({f for f, _ in all_terms})
-        terms_only = sorted({t for _, t in all_terms})
-        td_rows = (td.where(F.col("field").isin(fields) & F.col("term").isin(terms_only))
-                   .collect())
-        df_map = {(r["field"], r["term"]): float(r["df"]) for r in td_rows}
-
+            return None
+        all_terms = sorted({(s["field"], t) for s in specs for t in s["terms"]})
+        df_map = self._df_for_pairs(all_terms)
         doc_ranges = None
         if repo is not None:
             doc_ranges = self.repo_doc_ranges(repo)
             if not doc_ranges:
-                return self.spark.createDataFrame([], HITS_SCHEMA)
+                return None
+        return {
+            "specs": specs,
+            "df_map": df_map,
+            "fields": sorted({f for f, _ in all_terms}),
+            "terms_only": sorted({t for _, t in all_terms}),
+            "doc_ranges": doc_ranges,
+            "needs_positions": any(s["kind"] == "phrase" for s in specs),
+            "only_terms": (len(specs) > 0 and all(
+                s["kind"] == "term" and s["polarity"] == "should" for s in specs)),
+            # postings the scan will surface, known BEFORE any scan: Σ df
+            "est_postings": sum(df_map.values()),
+        }
 
-        seg_t = self.catalog.table("segments")
-        seg = seg_t.read(self.spark, self.snapshot_id)
-        seg = seg.where(F.col("field").isin(fields) & F.col("term").isin(terms_only))
-        if doc_ranges is not None:
+    def _filtered_segments(self, cq) -> DataFrame:
+        seg = self._segments_df()
+        seg = seg.where(F.col("field").isin(cq["fields"])
+                        & F.col("term").isin(cq["terms_only"]))
+        if cq["doc_ranges"] is not None:
             # docID ranges -> dslice partition pruning + block-range pruning
             cond = None
-            for lo, hi in doc_ranges:
+            for lo, hi in cq["doc_ranges"]:
                 c = (F.col("last_doc") >= lo) & (F.col("first_doc") <= hi)
                 cond = c if cond is None else cond | c
             seg = seg.where(cond)
-
-        needs_positions = any(s["kind"] == "phrase" for s in specs)
-        if not needs_positions:
+        if not cq["needs_positions"]:
             # column-prune the positions stream (the bulkiest column) out of
             # the scan — term/range queries never decode it
             seg = seg.drop("positions", "pos_lens_ok")
+        return seg
+
+    def _sidecar_dirs(self):
         norms_dirs = self.catalog.table("doc_norms").snapshot().data_dirs
         tt = self._tombstones_table()
         tomb_dirs = tt.snapshot().data_dirs if tt is not None else []
+        return norms_dirs, tomb_dirs
+
+    #: driver fast-path ceiling: queries whose term dictionary predicts fewer
+    #: total postings than this are scored on the driver from one JVM-only
+    #: filtered collect (the shape of a Lucene query node).  Above it, the
+    #: distributed per-slice kernel runs — at 100 TB hot terms go distributed,
+    #: tail terms stay sub-second on the driver.
+    driver_exec_max_postings = 2_000_000
+
+    def _norms_for_slice(self, dslice: int, fields, norms_dirs) -> pd.DataFrame:
+        """Per-slice norms frame with a driver-side cache (the per-segment
+        norms file stays hot across queries, like Lucene's norms in page
+        cache).  Bounded: cleared wholesale past 4096 slices."""
+        key = int(dslice)
+        pdf = self._norms_cache.get(key)
+        if pdf is None:
+            pdf = _read_norms(norms_dirs, key, None)
+            if len(self._norms_cache) >= 4096:
+                self._norms_cache.clear()
+            self._norms_cache[key] = pdf
+        return pdf[pdf["field"].isin(fields)]
+
+    def _blocks_for(self, pairs, need_positions: bool) -> pd.DataFrame:
+        """Block rows for (field, term) pairs via the driver postings cache.
+        Misses are fetched in ONE filtered JVM collect; hits cost no job at
+        all — hot query terms stay resident like Lucene's postings in page
+        cache.  Bounded (~2M block rows), cleared wholesale when full."""
+        missing = []
+        for p_ in pairs:
+            ent = self._blocks_cache.get(p_)
+            if ent is None or (need_positions and not ent["has_pos"]):
+                missing.append(p_)
+        if missing:
+            seg = self._segments_df()
+            f_ = sorted({f for f, _ in missing})
+            t_ = sorted({t for _, t in missing})
+            seg = seg.where(F.col("field").isin(f_) & F.col("term").isin(t_))
+            if not need_positions:
+                seg = seg.drop("positions", "pos_lens_ok")
+            fetched = seg.toPandas()
+            if self._blocks_cache_rows + len(fetched) > 2_000_000:
+                self._blocks_cache.clear()
+                self._blocks_cache_rows = 0
+            grouped = {k: g for k, g in fetched.groupby(["field", "term"], sort=False)}                 if len(fetched) else {}
+            for p_ in missing:
+                g = grouped.get(p_, fetched.iloc[0:0])
+                self._blocks_cache[p_] = {"pdf": g, "has_pos": need_positions}
+                self._blocks_cache_rows += len(g)
+        frames = [self._blocks_cache[p_]["pdf"] for p_ in pairs
+                  if p_ in self._blocks_cache and len(self._blocks_cache[p_]["pdf"])]
+        if not frames:
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)
+
+    def _search_driver(self, cq, limit: int) -> pd.DataFrame:
+        """Driver fast path: resolve the query terms' posting blocks through
+        the driver cache (at most one JVM collect for the misses) and score
+        locally with the SAME per-slice kernels — bit-identical rankings, no
+        Python-worker round trips."""
+        stats = self._field_stats()
+        pairs = sorted({(sp["field"], t) for sp in cq["specs"] for t in sp["terms"]})
+        pdf = self._blocks_for(pairs, cq["needs_positions"])
+        if not len(pdf):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        norms_dirs, tomb_dirs = self._sidecar_dirs()
+        slices = sorted(int(d) for d in pdf["dslice"].unique())
+        norms_pdf = pd.concat(
+            [self._norms_for_slice(d, cq["fields"], norms_dirs) for d in slices],
+            ignore_index=True)
+        if tomb_dirs:
+            dead_parts = [_read_tombstones(tomb_dirs, d) for d in slices]
+            dead = np.unique(np.concatenate(dead_parts)) if dead_parts else None
+            if dead is not None and not dead.size:
+                dead = None
+        else:
+            dead = None
+        # docIDs are globally unique, so the whole matched block set scores as
+        # ONE logical slice — no per-slice loop, no partial-top-k merge
+        if cq["only_terms"]:
+            out = _score_slice_wand(pdf, norms_pdf, cq["specs"], cq["df_map"],
+                                    stats, cq["doc_ranges"], limit, dead=dead)
+        else:
+            out = _score_slice(pdf, norms_pdf, cq["specs"], cq["df_map"],
+                               stats, cq["doc_ranges"], limit,
+                               cq["needs_positions"], dead=dead)
+        if out is None or not len(out):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        return out
+
+    def _search_kernel(self, node: Node, repo: str | None, limit: int) -> DataFrame:
+        cq = self._compile_query(node, repo)
+        if cq is None:
+            return self.spark.createDataFrame([], HITS_SCHEMA)
+        return self._search_kernel_compiled(cq, limit)
+
+    def _search_kernel_compiled(self, cq, limit: int) -> DataFrame:
+        specs, df_map = cq["specs"], cq["df_map"]
+        fields = cq["fields"]
+        doc_ranges = cq["doc_ranges"]
+        needs_positions = cq["needs_positions"]
+        stats = self._field_stats()
+        seg = self._filtered_segments(cq)
+        norms_dirs, tomb_dirs = self._sidecar_dirs()
         kernel = _make_slice_kernel(specs, df_map, stats, doc_ranges, limit,
                                     needs_positions, norms_dirs, fields,
                                     tomb_dirs)
@@ -360,6 +654,8 @@ def _read_norms(norms_dirs: list[str], dslice: int, fields: list[str]) -> pd.Dat
     if not frames:
         return pd.DataFrame({"field": [], "doc_id": [], "dl": []})
     out = pd.concat(frames, ignore_index=True)
+    if fields is None:
+        return out
     return out[out["field"].isin(fields)]
 
 
@@ -416,6 +712,36 @@ def _make_slice_kernel(specs, df_map, stats, doc_ranges, k, needs_positions,
     return kernel
 
 
+def _make_multi_slice_kernel(compiled, df_map, stats, k, norms_dirs, fields,
+                             tomb_dirs=()):
+    """Batched variant of _make_slice_kernel: per doc-slice, read norms and
+    tombstones once, then score every compiled query against the slice."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        for dslice, sl in pdf.groupby("dslice", sort=False):
+            norms_pdf = _read_norms(norms_dirs, int(dslice), fields)
+            dead = _read_tombstones(list(tomb_dirs), int(dslice)) if tomb_dirs \
+                else None
+            for c in compiled:
+                if c["only_terms"]:
+                    out = _score_slice_wand(sl, norms_pdf, c["specs"], df_map,
+                                            stats, c["doc_ranges"], k, dead=dead)
+                else:
+                    out = _score_slice(sl, norms_pdf, c["specs"], df_map, stats,
+                                       c["doc_ranges"], k, c["needs_positions"],
+                                       dead=dead)
+                if out is not None and len(out):
+                    out = out.copy()
+                    out.insert(0, "query_id", c["qid"])
+                    yield out
+
+    return kernel
+
+
 def _decode_leaf_postings(sl: pd.DataFrame, field: str, terms: list[str],
                           want_positions: bool):
     """Decode this slice's blocks for (field, terms) -> per-term dict:
@@ -425,17 +751,11 @@ def _decode_leaf_postings(sl: pd.DataFrame, field: str, terms: list[str],
     sub = sl[mask]
     for term, rows in sub.groupby("term", sort=False):
         rows = rows.sort_values(["first_doc"])
-        ids_parts, tf_parts, pos_parts = [], [], []
-        for _, r in rows.iterrows():
-            ids = codec.decode_ids(r["doc_gaps"])
-            tfs = codec.varint_decode(r["tfs"]).astype(np.int64)
-            ids_parts.append(ids)
-            tf_parts.append(tfs)
-            if want_positions:
-                pos_parts.append(codec.decode_positions(r["positions"], tfs))
-        ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
-        tfs = np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int64)
-        pos = np.concatenate(pos_parts) if (want_positions and pos_parts) else None
+        ids = codec.decode_ids_concat(rows["doc_gaps"].tolist(),
+                                      rows["doc_count"].to_numpy(np.int64))
+        tfs = codec.varint_decode(b"".join(rows["tfs"].tolist())).astype(np.int64)
+        pos = codec.decode_positions(b"".join(rows["positions"].tolist()), tfs) \
+            if want_positions else None
         out[term] = (ids, tfs, pos)
     return out
 
@@ -653,9 +973,8 @@ def _score_slice_wand(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs,
         rows = sl[mask].sort_values("first_doc")
         if not len(rows):
             continue
-        ids_parts = [codec.decode_ids(g) for g in rows["doc_gaps"]]
-        ids = np.concatenate(ids_parts)
-        counts = np.array([p.size for p in ids_parts], dtype=np.int64)
+        counts = rows["doc_count"].to_numpy(np.int64)
+        ids = codec.decode_ids_concat(rows["doc_gaps"].tolist(), counts)
         bounds = np.concatenate([[0], np.cumsum(counts)])
         idf_t = float(bm25.idf(df, n_docs))
         ub_blocks = idf_t * bm25.tf_norm(

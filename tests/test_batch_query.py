@@ -1,0 +1,78 @@
+"""Batched multi-query execution (search_many) and the warmed engine path
+must be rank/score-identical to per-query search() — same kernels, one job.
+"""
+
+import pytest
+
+from lucene_plugin_spark.corpus import corpus_df
+from lucene_plugin_spark.index.builder import IndexBuilder
+from lucene_plugin_spark.query.executor import SearchEngine
+from lucene_plugin_spark.storage.catalog import Catalog
+
+QUERIES = [
+    ("q0", None, "get"),
+    ("q1", None, "user name"),
+    ("q2", None, "index query cache"),
+    ("q3", None, "parse AND token"),
+    ("q4", None, '"get user"'),
+    ("q5", None, "segment -merge"),
+    ("q6", None, "getUserName"),
+    ("q7", None, "[se TO st]"),
+    ("q8", "repo-01", "query table"),
+    ("q9", "no_such_repo", "query"),
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("batchq")
+    catalog = Catalog(str(wh))
+    docs = corpus_df(spark, 600)
+    IndexBuilder(spark, catalog, docs_per_slice=97).build(docs)
+    return SearchEngine(spark, catalog)
+
+
+def _rows(df):
+    return [(r["query_id"], r["doc_id"], round(r["score"], 9))
+            for r in df.collect()]
+
+
+def test_search_many_matches_per_query(spark, engine):
+    k = 12
+    batched = _rows(engine.search_many(QUERIES, limit=k))
+    single = []
+    for qid, repo, q in QUERIES:
+        for r in engine.search(repo, q, limit=k).collect():
+            single.append((qid, r["doc_id"], round(r["score"], 9)))
+    assert sorted(batched) == sorted(single)
+    assert any(q == "q8" for q, _, _ in batched)      # collection-scoped query hit
+    assert not any(q == "q9" for q, _, _ in batched)  # unknown repo -> no hits
+
+
+def test_warm_engine_identical_and_cached(spark, engine):
+    k = 10
+    cold = _rows(engine.search_many(QUERIES[:6], limit=k))
+    engine.warm()
+    try:
+        warm = _rows(engine.search_many(QUERIES[:6], limit=k))
+        assert sorted(cold) == sorted(warm)
+        # df cache primed: a repeat lookup must not miss
+        pairs = sorted({(s, t) for s in ["text"] for t in ["get", "user"]})
+        engine._df_for_pairs(pairs)
+        before = dict(engine._df_cache)
+        engine._df_for_pairs(pairs)
+        assert engine._df_cache == before
+    finally:
+        engine.unwarm()
+
+
+def test_search_many_ordering_contract(spark, engine):
+    df = engine.search_many([("a", None, "get user"), ("b", None, "cache")], limit=5)
+    rows = df.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["score"], r["doc_id"]))
+    for q, hits in per_q.items():
+        assert len(hits) <= 5
+        ranked = sorted(hits, key=lambda h: (-h[0], h[1]))
+        assert hits == ranked
