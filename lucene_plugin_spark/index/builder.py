@@ -301,50 +301,64 @@ class IndexBuilder:
         seg = self.catalog.table("segments").read(self.spark)
         norm_rows = seg.where(F.col("term") == fused.NORMS_TERM)
 
-        # ---- norms sidecars decoded from the per-slice norms rows (tiny
-        # scans: row-group stats put term='' first in every file)
-        if not self._stage_done("doc_norms", fp):
-            norms = (norm_rows
-                     .select("dslice", "field", "doc_gaps", "tfs")
-                     .mapInArrow(fused.decode_norms_kernel, fused.NORMS_DDL))
-            self.catalog.table("doc_norms").overwrite(
-                norms, partition_by=["dslice"],
-                properties={"stage": "doc_norms", "fingerprint": fp})
-        if not self._stage_done("field_lens", fp):
-            # field_lens is doc_norms minus the dslice column: share the same
-            # data files (Iceberg analogue: a second table over the same
-            # manifest) instead of rewriting them
-            self.catalog.table("field_lens").commit_dirs(
-                self.catalog.table("doc_norms").snapshot().data_dirs,
-                properties={"stage": "field_lens", "fingerprint": fp})
-        lens = (self.catalog.table("field_lens").read(self.spark)
-                .select("field", "doc_id", "dl"))
+        # ---- derived tables: three independent chains over the segments
+        # scan, submitted CONCURRENTLY (Spark schedules jobs from multiple
+        # driver threads; the driver must not serialize commit+planning
+        # latencies it doesn't have to — this is most of the small-corpus
+        # build constant)
+        def _norms_chain() -> None:
+            # norms sidecars decoded from the per-slice norms rows (tiny
+            # scans: row-group stats put term='' first in every file)
+            if not self._stage_done("doc_norms", fp):
+                norms = (norm_rows
+                         .select("dslice", "field", "doc_gaps", "tfs")
+                         .mapInArrow(fused.decode_norms_kernel, fused.NORMS_DDL))
+                self.catalog.table("doc_norms").overwrite(
+                    norms, partition_by=["dslice"],
+                    properties={"stage": "doc_norms", "fingerprint": fp})
+            if not self._stage_done("field_lens", fp):
+                # field_lens is doc_norms minus the dslice column: share the
+                # same data files (Iceberg analogue: a second table over the
+                # same manifest) instead of rewriting them
+                self.catalog.table("field_lens").commit_dirs(
+                    self.catalog.table("doc_norms").snapshot().data_dirs,
+                    properties={"stage": "field_lens", "fingerprint": fp})
+            if not self._stage_done("stats", fp):
+                lens = (self.catalog.table("field_lens").read(self.spark)
+                        .select("field", "doc_id", "dl"))
+                st = lens.groupBy("field").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.avg("dl").alias("avgdl"))
+                self.catalog.table("stats").overwrite(
+                    st, properties={"stage": "stats", "fingerprint": fp})
 
-        # ---- term dictionary: columnar agg over block metadata (positions /
-        # codec columns pruned from the scan); df = Σ doc_count, cf = Σ tf_sum
-        if not self._stage_done("term_dict", fp):
-            td = (seg.where(F.col("term") != fused.NORMS_TERM)
-                  .groupBy("field", "term").agg(
-                      F.sum("doc_count").cast("long").alias("df"),
-                      F.sum("tf_sum").cast("long").alias("cf")))
-            self.catalog.table("term_dict").overwrite(
-                td, properties={"stage": "term_dict", "fingerprint": fp})
+        def _term_dict_stage() -> None:
+            # term dictionary: columnar agg over block metadata (positions /
+            # codec columns pruned); df = Σ doc_count, cf = Σ tf_sum
+            if not self._stage_done("term_dict", fp):
+                td = (seg.where(F.col("term") != fused.NORMS_TERM)
+                      .groupBy("field", "term").agg(
+                          F.sum("doc_count").cast("long").alias("df"),
+                          F.sum("tf_sum").cast("long").alias("cf")))
+                self.catalog.table("term_dict").overwrite(
+                    td, properties={"stage": "term_dict", "fingerprint": fp})
 
-        if not self._stage_done("stats", fp):
-            st = lens.groupBy("field").agg(
-                F.count(F.lit(1)).cast("long").alias("n_docs"),
-                F.avg("dl").alias("avgdl"))
-            self.catalog.table("stats").overwrite(
-                st, properties={"stage": "stats", "fingerprint": fp})
+        def _flat_stage() -> None:
+            # flat postings for the declarative/oracle executor and the
+            # mutation path: a vectorized DECODE of the segments
+            # (shuffle-free, slice-file-per-task), not a second tokenize
+            if not self._stage_done("postings_flat", fp):
+                flat = seg.mapInArrow(fused.decode_flat_kernel, fused.FLAT_DDL)
+                self.catalog.table("postings_flat").overwrite(
+                    flat, properties={"stage": "postings_flat", "fingerprint": fp},
+                    lineage={"input": {"table": "segments", "fingerprint": fp}})
 
-        # ---- flat postings for the declarative/oracle executor and the
-        # mutation path: a vectorized DECODE of the segments (shuffle-free,
-        # slice-file-per-task), not a second tokenize
-        if not self._stage_done("postings_flat", fp):
-            flat = seg.mapInArrow(fused.decode_flat_kernel, fused.FLAT_DDL)
-            self.catalog.table("postings_flat").overwrite(
-                flat, properties={"stage": "postings_flat", "fingerprint": fp},
-                lineage={"input": {"table": "segments", "fingerprint": fp}})
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [pool.submit(fn) for fn in
+                       (_norms_chain, _term_dict_stage, _flat_stage)]
+            for fut in futures:
+                fut.result()
 
         return BuildResult(n_docs=n_docs, docs_snapshot=docs_snap,
                            segments_snapshot=self.catalog.table("segments").current_snapshot_id())

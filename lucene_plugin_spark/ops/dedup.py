@@ -37,16 +37,25 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) distinct word n-gram shingles."""
-    t = _tokens(df, id_col, text_col)
-    # n-grams via self-equi-joins on (id, pos+i) — co-partitioned, no UDF
-    out = t.select("id", "pos", F.col("token").alias("t0"))
-    for i in range(1, n):
-        nxt = t.select("id", (F.col("pos") - i).alias("pos"),
-                       F.col("token").alias(f"t{i}"))
-        out = out.join(nxt, ["id", "pos"])
-    sh = out.select("id", F.concat_ws(" ", *[f"t{i}" for i in range(n)]).alias("shingle"))
-    return sh.distinct()
+    """(id, shingle) distinct word n-gram shingles.
+
+    Built with higher-order array functions (transform + slice over the token
+    array) — zero shuffles until the final distinct, vs the naive pos-join
+    formulation which costs n-1 self-joins.  Empty tokens from the regex
+    split occur only at string boundaries (the + quantifier collapses
+    interior separator runs), so filtering them before shingling yields the
+    same n-grams as position-aware removal."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+                 lambda x: x != "").alias("toks"))
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (toks.select("id", F.explode(grams).alias("shingle"))
+            .distinct())
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
