@@ -58,7 +58,7 @@ def _engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEngine]:
         builder = IndexBuilder(spark, catalog, docs_per_slice=200)
         if not catalog.table("segments").exists():
             builder.build(_docs_source(spark, sf_dir), fields_map_col="fields")
-        _ENGINES[sf_dir] = (catalog, SearchEngine(spark, catalog))
+        _ENGINES[sf_dir] = (catalog, SearchEngine(spark, catalog).warm())
     return _ENGINES[sf_dir]
 
 
