@@ -278,7 +278,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = S.ivf_topk(corpus, qs, "id", "vec", "label", k=5, nprobe=2)
         return out.select("query_id", "id", F.round("cosine", 6).alias("cosine"))
 
-    q.update(sim_cosine_topk=sim_cosine_topk, sim_ivf_topk=sim_ivf_topk)
+    def dedup_embedding(spark, sf):
+        emb = _embeddings(spark, sf)
+        corpus = emb.select(F.col("vec_id").alias("id"),
+                            F.col("embedding").alias("vec"), "label")
+        out = S.embedding_near_dup_pairs(corpus, "id", "vec",
+                                         threshold=0.35, cluster_col="label")
+        return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+    q.update(sim_cosine_topk=sim_cosine_topk, sim_ivf_topk=sim_ivf_topk,
+             dedup_embedding=dedup_embedding)
 
     # ---- text analysis ----
     def text_token_counts(spark, sf):
@@ -486,6 +495,13 @@ scored AS (
                                      e.vec_id) AS rk
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
 SELECT query_id, id, round(cosine, 6) AS cosine FROM scored WHERE rk <= 5
+"""
+
+    o["dedup_embedding"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
 """
 
     o["sim_ivf_topk"] = """

@@ -96,3 +96,36 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k).drop("rk"))
+
+
+def embedding_near_dup_pairs(corpus: DataFrame, id_col: str, vec_col: str,
+                             threshold: float = 0.95,
+                             cluster_col: str | None = None) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold — embedding-based
+    near-duplicate detection for training-data dedup.
+
+    Exact mode (``cluster_col=None``): self cross-join, every unordered pair
+    compared once (id_a < id_b), dot products JVM-side.  Exact all-pairs is
+    O(n²) and infeasible at 100 TB; pass ``cluster_col`` (coarse IVF cell /
+    LSH bucket) to restrict candidates to same-cell pairs — the bucketed
+    near-dup pipeline whose equi-join on cell shuffles each side once and
+    whose recall is bounded by the bucketing (exactly like MinHash bands).
+    """
+    c = embedding_norms(corpus, id_col, vec_col)
+    a = c.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = c.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    if cluster_col is not None:
+        cells = corpus.select(F.col(id_col).alias("id"),
+                              F.col(cluster_col).alias("cell"))
+        a = a.join(cells.withColumnRenamed("id", "id_a"), "id_a")
+        b = b.join(cells.withColumnRenamed("id", "id_b"), "id_b")
+        pairs = a.join(b, "cell")
+    else:
+        pairs = a.crossJoin(b)
+    return (pairs.where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    (_dot(F.col("va"), F.col("vb"))
+                     / (F.col("na") * F.col("nb"))).alias("cosine"))
+            .where(F.col("cosine") >= F.lit(threshold)))

@@ -115,6 +115,7 @@ class SearchEngine:
         self._path_map: dict[int, str] | None = None
         self._df_cache: dict[tuple[str, str], float] = {}
         self._norms_cache: dict[int, pd.DataFrame] = {}
+        self._norm_lookup_cache: dict = {}
         # (field, term) -> {"pdf": block rows, "has_pos": bool}; the driver
         # fast path's postings cache (Lucene page-cache/terms-cache analogue)
         self._blocks_cache: dict[tuple[str, str], dict] = {}
@@ -524,7 +525,7 @@ class SearchEngine:
     #: filtered collect (the shape of a Lucene query node).  Above it, the
     #: distributed per-slice kernel runs — at 100 TB hot terms go distributed,
     #: tail terms stay sub-second on the driver.
-    driver_exec_max_postings = 2_000_000
+    driver_exec_max_postings = 4_000_000
 
     def _norms_for_slice(self, dslice: int, fields, norms_dirs) -> pd.DataFrame:
         """Per-slice norms frame with a driver-side cache (the per-segment
@@ -560,16 +561,37 @@ class SearchEngine:
             if self._blocks_cache_rows + len(fetched) > 2_000_000:
                 self._blocks_cache.clear()
                 self._blocks_cache_rows = 0
-            grouped = {k: g for k, g in fetched.groupby(["field", "term"], sort=False)}                 if len(fetched) else {}
+            grouped = ({k: g for k, g in fetched.groupby(["field", "term"], sort=False)}
+                       if len(fetched) else {})
             for p_ in missing:
-                g = grouped.get(p_, fetched.iloc[0:0])
-                self._blocks_cache[p_] = {"pdf": g, "has_pos": need_positions}
-                self._blocks_cache_rows += len(g)
-        frames = [self._blocks_cache[p_]["pdf"] for p_ in pairs
-                  if p_ in self._blocks_cache and len(self._blocks_cache[p_]["pdf"])]
-        if not frames:
-            return pd.DataFrame()
-        return pd.concat(frames, ignore_index=True)
+                g = grouped.get(p_)
+                ent = _SliceIndex(g).entries.get(p_) if g is not None else None
+                self._blocks_cache[p_] = {"ent": ent, "has_pos": need_positions}
+                self._blocks_cache_rows += len(g) if g is not None else 0
+        entries = {}
+        dslices: set = set()
+        for p_ in pairs:
+            cached = self._blocks_cache.get(p_)
+            if cached is not None and cached["ent"] is not None:
+                entries[p_] = cached["ent"]
+                dslices |= cached["ent"]["dslices"]
+        return _SliceIndex.from_entries(entries), sorted(dslices)
+
+    def _norm_lookup_for(self, slices: tuple, fields: tuple, norms_dirs) -> dict:
+        """Prebuilt field->(sorted ids, dls) lookup for a slice set, cached —
+        hot queries touch the same slices and skip the concat+argsort."""
+        key = (slices, fields)
+        hit = self._norm_lookup_cache.get(key)
+        if hit is None:
+            pdf = pd.concat(
+                [self._norms_for_slice(d, list(fields), norms_dirs) for d in slices],
+                ignore_index=True) if slices else pd.DataFrame(
+                    {"field": [], "doc_id": [], "dl": []})
+            hit = _build_norm_lookup(pdf)
+            if len(self._norm_lookup_cache) >= 64:
+                self._norm_lookup_cache.clear()
+            self._norm_lookup_cache[key] = hit
+        return hit
 
     def _search_driver(self, cq, limit: int) -> pd.DataFrame:
         """Driver fast path: resolve the query terms' posting blocks through
@@ -578,15 +600,13 @@ class SearchEngine:
         Python-worker round trips."""
         stats = self._field_stats()
         pairs = sorted({(sp["field"], t) for sp in cq["specs"] for t in sp["terms"]})
-        pdf = self._blocks_for(pairs, cq["needs_positions"])
-        if not len(pdf):
+        idx, slices = self._blocks_for(pairs, cq["needs_positions"])
+        if not idx.entries:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
         norms_dirs, tomb_dirs = self._sidecar_dirs()
-        slices = sorted(int(d) for d in pdf["dslice"].unique())
-        norms_pdf = pd.concat(
-            [self._norms_for_slice(d, cq["fields"], norms_dirs) for d in slices],
-            ignore_index=True)
+        norms_pdf = self._norm_lookup_for(tuple(slices), tuple(cq["fields"]),
+                                          norms_dirs)
         if tomb_dirs:
             dead_parts = [_read_tombstones(tomb_dirs, d) for d in slices]
             dead = np.unique(np.concatenate(dead_parts)) if dead_parts else None
@@ -597,10 +617,10 @@ class SearchEngine:
         # docIDs are globally unique, so the whole matched block set scores as
         # ONE logical slice — no per-slice loop, no partial-top-k merge
         if cq["only_terms"]:
-            out = _score_slice_wand(pdf, norms_pdf, cq["specs"], cq["df_map"],
+            out = _score_slice_wand(idx, norms_pdf, cq["specs"], cq["df_map"],
                                     stats, cq["doc_ranges"], limit, dead=dead)
         else:
-            out = _score_slice(pdf, norms_pdf, cq["specs"], cq["df_map"],
+            out = _score_slice(idx, norms_pdf, cq["specs"], cq["df_map"],
                                stats, cq["doc_ranges"], limit,
                                cq["needs_positions"], dead=dead)
         if out is None or not len(out):
@@ -723,7 +743,10 @@ def _make_multi_slice_kernel(compiled, df_map, stats, k, norms_dirs, fields,
             return
         pdf = pd.concat(frames, ignore_index=True)
         for dslice, sl in pdf.groupby("dslice", sort=False):
-            norms_pdf = _read_norms(norms_dirs, int(dslice), fields)
+            # slice prep ONCE: inverted block index (decodes cached inside)
+            # and the norms lookup are shared by every query in the batch
+            sl = _SliceIndex(sl)
+            norms_pdf = _build_norm_lookup(_read_norms(norms_dirs, int(dslice), fields))
             dead = _read_tombstones(list(tomb_dirs), int(dslice)) if tomb_dirs \
                 else None
             for c in compiled:
@@ -742,21 +765,101 @@ def _make_multi_slice_kernel(compiled, df_map, stats, k, norms_dirs, fields,
     return kernel
 
 
-def _decode_leaf_postings(sl: pd.DataFrame, field: str, terms: list[str],
-                          want_positions: bool):
-    """Decode this slice's blocks for (field, terms) -> per-term dict:
-    term -> (doc_ids int64[], tfs int64[], positions list|None)."""
+class _SliceIndex:
+    """Per-slice inverted access to segment block rows.
+
+    Groups the slice's rows by (field, term) ONCE and caches every decode, so
+    when many queries score against the same slice (search_many, the driver
+    postings cache) the per-query cost is dict lookups + scoring math — none
+    of the frame scans, sorts, or varint decodes repeat.  Lazy tf blocks
+    (``tf_parts``) are shared too: a block decoded for one query is free for
+    the next (the WAND guarantee only ever shrinks the decoded set).
+    """
+    __slots__ = ("entries",)
+
+    def __init__(self, sl: pd.DataFrame):
+        self.entries: dict = {}
+        if not len(sl):
+            return
+        f = sl["field"].to_numpy()
+        t = sl["term"].to_numpy()
+        fd = sl["first_doc"].to_numpy()
+        order = np.lexsort((fd, t, f))
+        f_s, t_s = f[order], t[order]
+        nb = np.ones(len(order), dtype=bool)
+        nb[1:] = (f_s[1:] != f_s[:-1]) | (t_s[1:] != t_s[:-1])
+        starts = np.flatnonzero(nb)
+        ends = np.append(starts[1:], len(order))
+        dc = sl["doc_count"].to_numpy()
+        bmt = sl["block_max_tf"].to_numpy()
+        bmd = sl["block_min_dl"].to_numpy()
+        gaps = sl["doc_gaps"].to_numpy()
+        tfs_col = sl["tfs"].to_numpy()
+        pos_col = sl["positions"].to_numpy() if "positions" in sl.columns else None
+        for a, b in zip(starts, ends):
+            rid = order[a:b]
+            self.entries[(f_s[a], t_s[a])] = {
+                "doc_count": np.asarray(dc[rid], dtype=np.int64),
+                "block_max_tf": np.asarray(bmt[rid], dtype=np.int64),
+                "block_min_dl": np.asarray(bmd[rid], dtype=np.int64),
+                "doc_gaps": [gaps[i] for i in rid],
+                "tf_raw": [tfs_col[i] for i in rid],
+                "pos_raw": [pos_col[i] for i in rid] if pos_col is not None else None,
+                "tf_parts": [None] * len(rid),
+                "dslices": (set(np.unique(sl["dslice"].to_numpy()[rid]).tolist())
+                            if "dslice" in sl.columns else set()),
+                "_ids": None, "_tf": None, "_pos": None,
+            }
+
+    @classmethod
+    def from_entries(cls, entries: dict) -> "_SliceIndex":
+        """Compose an index from prebuilt per-term entries (driver postings
+        cache).  Decode results live INSIDE each entry, so composition shares
+        every decode with past and future queries touching the same term."""
+        out = cls.__new__(cls)
+        out.entries = entries
+        return out
+
+    def blocks(self, field: str, term: str):
+        return self.entries.get((field, term))
+
+    def ids_only(self, field: str, term: str) -> np.ndarray:
+        """Decode docIDs only (tf streams stay lazy for WAND)."""
+        ent = self.entries.get((field, term))
+        if ent is None:
+            return np.empty(0, np.int64)
+        if ent["_ids"] is None:
+            ent["_ids"] = codec.decode_ids_concat(ent["doc_gaps"], ent["doc_count"])
+        return ent["_ids"]
+
+    def decoded(self, field: str, term: str, want_positions: bool):
+        """(ids, tfs, positions|None), fully decoded and cached."""
+        ent = self.entries.get((field, term))
+        if ent is None:
+            return (np.empty(0, np.int64), np.empty(0, np.int64), None)
+        ids = self.ids_only(field, term)
+        if ent["_tf"] is None:
+            ent["_tf"] = codec.varint_decode(b"".join(ent["tf_raw"])).astype(np.int64)
+        if not want_positions:
+            return (ids, ent["_tf"], None)
+        if ent["_pos"] is None and ent["pos_raw"] is not None:
+            ent["_pos"] = codec.decode_positions(b"".join(ent["pos_raw"]), ent["_tf"])
+        return (ids, ent["_tf"], ent["_pos"])
+
+
+def _as_slice_index(sl) -> _SliceIndex:
+    return sl if isinstance(sl, _SliceIndex) else _SliceIndex(sl)
+
+
+def _build_norm_lookup(norms_pdf) -> dict:
+    """field -> (sorted doc_ids, dls); accepts a prebuilt dict unchanged."""
+    if isinstance(norms_pdf, dict):
+        return norms_pdf
     out = {}
-    mask = (sl["field"].to_numpy() == field) & sl["term"].isin(terms).to_numpy()
-    sub = sl[mask]
-    for term, rows in sub.groupby("term", sort=False):
-        rows = rows.sort_values(["first_doc"])
-        ids = codec.decode_ids_concat(rows["doc_gaps"].tolist(),
-                                      rows["doc_count"].to_numpy(np.int64))
-        tfs = codec.varint_decode(b"".join(rows["tfs"].tolist())).astype(np.int64)
-        pos = codec.decode_positions(b"".join(rows["positions"].tolist()), tfs) \
-            if want_positions else None
-        out[term] = (ids, tfs, pos)
+    for field, nf in norms_pdf.groupby("field", sort=False):
+        nd = nf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(nd, kind="mergesort")
+        out[field] = (nd[order], nf["dl"].to_numpy(np.float64)[order])
     return out
 
 
@@ -774,10 +877,20 @@ def _phrase_match(decoded, terms, offsets):
     ids0, tfs0, pos0 = first
     if pos0 is None or ids0.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    # candidate start keys: doc*M + pos (M > max position)
+    # candidate start keys: doc*M + pos (M > max position).  Keys are built
+    # from ascending (doc, pos) streams, so every key array is STRICTLY
+    # INCREASING — intersection is a searchsorted probe, no re-sorting of
+    # multi-million-element arrays (np.intersect1d would sort both sides)
     reps0 = np.repeat(ids0, tfs0)
     M = np.int64(1) << 32
     keys = reps0 * M + pos0
+
+    def isect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        if a.size == 0 or b.size == 0:
+            return np.empty(0, np.int64)
+        i = np.minimum(np.searchsorted(b, a), b.size - 1)
+        return a[b[i] == a]
+
     for t, off in zip(terms[1:], offsets[1:]):
         ent = decoded.get(t)
         if ent is None:
@@ -786,8 +899,7 @@ def _phrase_match(decoded, terms, offsets):
         if pos_t is None or ids_t.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         kt = np.repeat(ids_t, tfs_t) * M + pos_t
-        # keep start keys p with (doc*M + p + off) present in term t's keys
-        keys = np.intersect1d(keys + np.int64(off), kt, assume_unique=False) - np.int64(off)
+        keys = isect_sorted(keys + np.int64(off), kt) - np.int64(off)
         if keys.size == 0:
             break
     if keys.size == 0:
@@ -818,31 +930,28 @@ def _empty_hits() -> pd.DataFrame:
                          "score": pd.Series([], dtype="float64")})
 
 
-def _score_slice(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs, df_map,
+def _score_slice(sl, norms_pdf, specs, df_map,
                  stats, doc_ranges, k, needs_positions,
                  dead: np.ndarray | None = None) -> pd.DataFrame:
-    """Score one doc-slice: top-k (doc_id, score), numpy throughout."""
-    # dl lookup arrays per field (sorted by doc_id at build time)
-    norm_lookup = {}
-    for field, nf in norms_pdf.groupby("field", sort=False):
-        nd = nf["doc_id"].to_numpy(np.int64)
-        order = np.argsort(nd, kind="mergesort")
-        norm_lookup[field] = (nd[order], nf["dl"].to_numpy(np.float64)[order])
+    """Score one doc-slice: top-k (doc_id, score), numpy throughout.
+
+    ``sl`` may be a block-row DataFrame or a prebuilt _SliceIndex;
+    ``norms_pdf`` a norms frame or a prebuilt lookup dict (batch callers
+    prebuild both so per-query cost excludes all slice prep)."""
+    idx = _as_slice_index(sl)
+    norm_lookup = _build_norm_lookup(norms_pdf)
 
     def dl_of(field, ids):
         nd, dls = norm_lookup[field]
-        idx = np.searchsorted(nd, ids)
-        return dls[idx]
-
-    # ---- decode postings per leaf, compute per-leaf (ids, score, ub)
-    leaf_hits = {}     # leaf_id -> (ids sorted, exact scores | None, ub scalar)
-    decoded_cache = {}
+        i = np.searchsorted(nd, ids)
+        return dls[i]
 
     def decoded_for(field, terms, want_pos):
-        key = (field, tuple(terms), want_pos)
-        if key not in decoded_cache:
-            decoded_cache[key] = _decode_leaf_postings(sl, field, terms, want_pos)
-        return decoded_cache[key]
+        out = {}
+        for t in terms:
+            if idx.blocks(field, t) is not None:
+                out[t] = idx.decoded(field, t, want_pos)
+        return out
 
     scored_frames = []   # (leaf_id, ids, scores) for positive leaves
     must_sets = []
@@ -937,7 +1046,7 @@ def _score_slice(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs, df_map,
     return pd.DataFrame({"doc_id": uniq[order], "score": total[order]})
 
 
-def _score_slice_wand(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs,
+def _score_slice_wand(sl, norms_pdf, specs,
                       df_map, stats, doc_ranges, k,
                       stats_out: dict | None = None,
                       dead: np.ndarray | None = None) -> pd.DataFrame:
@@ -954,14 +1063,11 @@ def _score_slice_wand(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs,
     decoded and the same float64 expression evaluated, only the *set* of docs
     fully scored shrinks.  ``stats_out`` (tests) receives tf-decode counts.
     """
-    norm_lookup = {}
-    for field, nf in norms_pdf.groupby("field", sort=False):
-        nd = nf["doc_id"].to_numpy(np.int64)
-        order = np.argsort(nd, kind="mergesort")
-        norm_lookup[field] = (nd[order], nf["dl"].to_numpy(np.float64)[order])
+    idx = _as_slice_index(sl)
+    norm_lookup = _build_norm_lookup(norms_pdf)
 
-    # ---- phase 1: per-term structure, docID decode only
-    terms = []   # dicts: ids, idf, tf_parts(lazy), block_bounds, rows
+    # ---- phase 1: per-term structure, docID decode only (cached in idx)
+    terms = []   # dicts: ids, idf, tf_parts(lazy, SHARED via idx), bounds
     for s in specs:
         field = s["field"]
         t = s["terms"][0]
@@ -969,20 +1075,19 @@ def _score_slice_wand(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs,
         df = df_map.get((field, t), 0.0)
         if df <= 0 or n_docs == 0:
             continue
-        mask = (sl["field"].to_numpy() == field) & (sl["term"].to_numpy() == t)
-        rows = sl[mask].sort_values("first_doc")
-        if not len(rows):
+        ent = idx.blocks(field, t)
+        if ent is None:
             continue
-        counts = rows["doc_count"].to_numpy(np.int64)
-        ids = codec.decode_ids_concat(rows["doc_gaps"].tolist(), counts)
+        counts = ent["doc_count"]
+        ids = idx.ids_only(field, t)
         bounds = np.concatenate([[0], np.cumsum(counts)])
         idf_t = float(bm25.idf(df, n_docs))
         ub_blocks = idf_t * bm25.tf_norm(
-            rows["block_max_tf"].to_numpy(np.float64),
-            rows["block_min_dl"].to_numpy(np.float64), avgdl)
+            ent["block_max_tf"].astype(np.float64),
+            ent["block_min_dl"].astype(np.float64), avgdl)
         terms.append({
             "field": field, "ids": ids, "bounds": bounds,
-            "tf_raw": rows["tfs"].tolist(), "tf_parts": [None] * len(rows),
+            "tf_raw": ent["tf_raw"], "tf_parts": ent["tf_parts"],
             "idf": idf_t, "df": df, "n_docs": n_docs, "avgdl": avgdl,
             "ub_blocks": ub_blocks,
         })
@@ -1030,10 +1135,13 @@ def _score_slice_wand(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs,
             out[hit] += bm25.score(tfs, dl, t["df"], t["n_docs"], t["avgdl"])
         return out
 
-    # ---- phase 2: chunked exact scoring in UB order with early exit
-    # chunk ≈ 2k: large enough to amortize the vectorized scoring pass,
-    # small enough that theta converges before most blocks are touched
-    CHUNK = max(2 * k, 128)
+    # ---- phase 2: chunked exact scoring in UB order with early exit.
+    # Chunks GROW geometrically: when upper bounds barely discriminate (a
+    # single hot term), theta never prunes and a fixed small chunk would mean
+    # thousands of Python iterations each paying a searchsorted over the full
+    # posting list — doubling bounds iterations at ~log2(n) while keeping the
+    # first chunks small enough for fast-converging queries to exit early.
+    chunk = max(4 * k, 256)
     best_ids: np.ndarray = np.empty(0, np.int64)
     best_scores: np.ndarray = np.empty(0, np.float64)
     i = 0
@@ -1042,7 +1150,8 @@ def _score_slice_wand(sl: pd.DataFrame, norms_pdf: pd.DataFrame, specs,
         theta = best_scores[k - 1] if best_scores.size >= k else -np.inf
         if ub_o[i] <= theta:
             break  # WAND exit: no remaining doc can enter the top-k
-        j = min(i + CHUNK, n)
+        j = min(i + chunk, n)
+        chunk *= 2
         # within the chunk, only docs whose UB beats theta can matter
         cand_mask = ub_o[i:j] > theta
         cand = uniq_o[i:j][cand_mask]

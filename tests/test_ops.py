@@ -128,3 +128,28 @@ def test_multimodal_decode_stub_raises_without_fake(spark):
     media = synthetic_media(spark, n=3)
     with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
         extract_features(media, fake=False).collect()
+
+
+def test_embedding_near_dup_pairs(spark):
+    from lucene_plugin_spark.ops.similarity import embedding_near_dup_pairs
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    rows = [
+        (0, [float(x) for x in base], 0),
+        (1, [float(x) for x in base * 2.0], 0),             # same direction
+        (2, [float(x) for x in base + rng.normal(size=8) * 0.05], 0),  # near dup
+        (3, [float(x) for x in rng.normal(size=8)], 0),     # unrelated
+        (4, [float(x) for x in base], 1),                   # dup but other cell
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>, cell int")
+    # exact mode finds all near pairs regardless of cell
+    exact = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             embedding_near_dup_pairs(df, "id", "vec", threshold=0.95).collect()}
+    assert round(exact[(0, 1)], 9) == 1.0
+    assert (0, 2) in exact and (0, 3) not in exact
+    assert (0, 4) in exact
+    # bucketed mode only compares within a cell (the ANN-bucketed scale path)
+    bucketed = {(r["id_a"], r["id_b"]) for r in
+                embedding_near_dup_pairs(df, "id", "vec", threshold=0.95,
+                                         cluster_col="cell").collect()}
+    assert (0, 1) in bucketed and (0, 4) not in bucketed

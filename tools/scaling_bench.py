@@ -7,7 +7,7 @@ Methodology
 One pre-generated parquet corpus; each parallelism level runs in its OWN JVM
 (subprocess) over identical input: full index build (timed source-read ->
 last stage commit), then a warmed engine serving (a) single queries (latency)
-and (b) a 128-query batch (throughput).  Efficiency = (T_N / T_4N) / 4 for
+and (b) a 64-query batch (throughput).  Efficiency = (T_N / T_4N) / 4 for
 build, (QPS_4N / QPS_N) / 4 for queries.
 
 The primary pair is N=2 vs 4N=8 cores.  A secondary 8 vs 32 pair is also
@@ -52,7 +52,7 @@ shutil.rmtree(wh, ignore_errors=True)
 catalog = Catalog(wh)
 t0 = time.perf_counter()
 IndexBuilder(spark, catalog,
-             docs_per_slice=max(4096, n_docs // 256)).build(src)
+             docs_per_slice=max(16384, n_docs // 64)).build(src)
 build_sec = time.perf_counter() - t0
 
 engine = SearchEngine(spark, catalog).warm()
@@ -66,8 +66,8 @@ for rep in range(3):
         engine.search(None, q, limit=10).collect()
         lat.append(time.perf_counter() - t1)
 lat_warm = sorted(lat[len(queries):])   # drop the cache-fill pass
-# batched throughput: 128 distinct-id queries over the suite, 2 runs
-batch = [(f"q{{i}}", None, queries[i % len(queries)]) for i in range(128)]
+# batched throughput: 64 distinct-id queries over the suite, 2 runs
+batch = [(f"q{{i}}", None, queries[i % len(queries)]) for i in range(64)]
 runs = []
 for _ in range(2):
     t1 = time.perf_counter()
@@ -154,7 +154,7 @@ def main() -> None:
            "## Top-k BM25 queries (warmed engine, k=10; suite: hot term, "
            "multi-term OR, AND, phrase, NOT, camelCase, range)",
            "",
-           "| cores | single p50 ms | single p95 ms | 128-query batch sec | batch q/s |",
+           "| cores | single p50 ms | single p95 ms | 64-query batch sec | batch q/s |",
            "|---|---|---|---|---|"]
     for c in (2, 8, 32):
         r = results[c]
