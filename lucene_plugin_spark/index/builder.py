@@ -127,9 +127,10 @@ class IndexBuilder:
         here — it used to, and at high task concurrency that serialization
         alone saturated memory bandwidth).
 
-        The sorted frame is persisted between the count pass and the write so
-        both observe identical partitioning (on a real cluster: DISK_ONLY
-        persist / staging table).  Caller releases via _release_id_cache().
+        The sorted frame is persisted between the count pass and its
+        consumers; docIDs are deterministic regardless (the within-partition
+        sort fixes row order), the cache only avoids recompute.  Caller
+        releases via _release_id_cache().
         """
         if n_parts is None:
             try:
@@ -266,31 +267,49 @@ class IndexBuilder:
         fp = f"docs-{docs_snap}"
 
         # ---- docs_meta: one range shuffle, all JVM; written partitioned by
-        # dslice so every slice is its own file -> every downstream pass is a
-        # shuffle-free map over whole slice files
+        # dslice so every slice is its own file.  While the id-staging frame
+        # is cached, the fused segment pass consumes it DIRECTLY (range
+        # partitions are contiguous docID ranges = whole slices), so segment
+        # building never re-reads the corpus from parquet; on resume it falls
+        # back to the slice-aligned docs_meta files.
         n_docs = docs.count()
+        meta_df = None
         if not self._stage_done("docs_meta", fp):
             n_parts = max(int(np.ceil(max(n_docs, 1) / self.docs_per_slice)),
                           self.spark.sparkContext.defaultParallelism, 1)
-            meta = self.assign_doc_ids(docs, n_parts)
-            meta = meta.withColumn(
+            meta_df = self.assign_doc_ids(docs, n_parts).withColumn(
                 "dslice", (F.col("doc_id") / F.lit(self.docs_per_slice)).cast("int"))
+            # the persisted mapping is SKINNY (no content/fields): the corpus
+            # already lives in the docs table, and at 100 TB writing it a
+            # second time just to attach docIDs would double the ingest I/O.
+            # Content flows to the segment pass through the id shuffle below.
+            skinny = [c for c in ("repo", "path", "commit", "lang", "doc_id",
+                                  "dslice") if c in meta_df.columns]
             self.catalog.table("docs_meta").overwrite(
-                meta, partition_by=["dslice"],
+                meta_df.select(*skinny), partition_by=["dslice"],
                 properties={"stage": "docs_meta", "fingerprint": fp},
                 lineage={"input": {"table": "docs", "snapshot": docs_snap}})
-            self._release_id_cache()
         docs_meta = self.catalog.table("docs_meta").read(self.spark)
 
         # ---- compressed doc-range segments: the fused tokenize->blocks map
         # pass (analysis + W1 inverted-index build + per-slice norms), NO
-        # shuffle — task in = one slice of docs_meta, task out = that slice's
-        # segment file
+        # shuffle — task in = one doc-slice, task out = that slice's file
         if not self._stage_done("segments", fp):
+            if meta_df is not None:
+                seg_src = meta_df
+            else:
+                # resume path: docs_meta is committed but skinny — rejoin the
+                # corpus content by key and restore slice alignment (tasks
+                # must hold whole slices, and a slice's docIDs must not
+                # interleave across tasks).  Only ever paid on resume.
+                seg_src = (docs.join(
+                    docs_meta.select("repo", "path", "doc_id", "dslice"),
+                    ["repo", "path"])
+                    .repartition(F.col("dslice")))
             cols = ["dslice", "doc_id", "content"]
-            if "fields" in docs_meta.columns:
+            if "fields" in seg_src.columns:
                 cols.append("fields")
-            seg = docs_meta.select(*cols).mapInArrow(
+            seg = seg_src.select(*cols).mapInArrow(
                 fused.make_fused_segment_kernel(self.docs_per_slice, self.block_size),
                 fused.SEGMENT_DDL)
             self.catalog.table("segments").overwrite(
@@ -298,6 +317,7 @@ class IndexBuilder:
                 properties={"stage": "segments", "fingerprint": fp},
                 lineage={"doc_slices": "dslice = doc_id // %d" % self.docs_per_slice,
                          "input": {"table": "docs_meta", "fingerprint": fp}})
+        self._release_id_cache()
         seg = self.catalog.table("segments").read(self.spark)
         norm_rows = seg.where(F.col("term") == fused.NORMS_TERM)
 
@@ -353,12 +373,25 @@ class IndexBuilder:
                     flat, properties={"stage": "postings_flat", "fingerprint": fp},
                     lineage={"input": {"table": "segments", "fingerprint": fp}})
 
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            futures = [pool.submit(fn) for fn in
-                       (_norms_chain, _term_dict_stage, _flat_stage)]
-            for fut in futures:
-                fut.result()
+        # Concurrent chains help when stages are FIXED-COST dominated (small
+        # corpora: overlap planning/commit latencies) and hurt when they are
+        # throughput-dominated (large corpora: three interleaved stages
+        # thrash task slots and Python workers).  Cut over on corpus size;
+        # LPS_BUILD_CONCURRENCY overrides.
+        import os as _os
+        default_workers = 3 if n_docs <= 100_000 else 1
+        workers = int(_os.environ.get("LPS_BUILD_CONCURRENCY", default_workers))
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                futures = [pool.submit(fn) for fn in
+                           (_norms_chain, _term_dict_stage, _flat_stage)]
+                for fut in futures:
+                    fut.result()
+        else:
+            _norms_chain()
+            _term_dict_stage()
+            _flat_stage()
 
         return BuildResult(n_docs=n_docs, docs_snapshot=docs_snap,
                            segments_snapshot=self.catalog.table("segments").current_snapshot_id())

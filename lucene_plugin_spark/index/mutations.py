@@ -115,16 +115,20 @@ class IndexMutator:
         new_meta = (new_meta.withColumn("doc_id", F.col("doc_id") + F.lit(base))
                     .withColumn("gen", F.lit(gen))
                     .withColumn("dslice", (F.col("doc_id") / F.lit(dps)).cast("int")))
+        meta_cols = [c for c in ("repo", "path", "commit", "lang", "doc_id",
+                                 "dslice", "gen") if c in new_meta.columns]
+        meta_row = new_meta.select(*meta_cols)  # skinny (table schema)
         meta_t = self.catalog.table("docs_meta")
         if "gen" not in meta.columns:
             meta_with_gen = meta.withColumn("gen", F.lit(0))
             if "dslice" not in meta.columns:
                 meta_with_gen = meta_with_gen.withColumn(
                     "dslice", (F.col("doc_id") / F.lit(dps)).cast("int"))
-            meta_t.overwrite(meta_with_gen.unionByName(new_meta),
+            keep = [c for c in meta_with_gen.columns if c in set(meta_cols)]
+            meta_t.overwrite(meta_with_gen.select(*keep).unionByName(meta_row),
                              properties={"stage": "docs_meta"})
         else:
-            meta_t.append(new_meta, properties={"stage": "docs_meta"})
+            meta_t.append(meta_row, properties={"stage": "docs_meta"})
         self.builder._release_id_cache()
 
         # incremental postings/lens/norms/segments for the NEW docs only

@@ -116,6 +116,7 @@ class SearchEngine:
         self._df_cache: dict[tuple[str, str], float] = {}
         self._norms_cache: dict[int, pd.DataFrame] = {}
         self._norm_lookup_cache: dict = {}
+        self._compile_cache: dict = {}
         # (field, term) -> {"pdf": block rows, "has_pos": bool}; the driver
         # fast path's postings cache (Lucene page-cache/terms-cache analogue)
         self._blocks_cache: dict[tuple[str, str], dict] = {}
@@ -299,23 +300,35 @@ class SearchEngine:
         compiled = []
         all_pairs: set[tuple[str, str]] = set()
         for qid, repo, q in queries:
-            node = parse_query(q)
-            should, must, must_not = _leaves_of(node)
-            range_terms = self._expand_ranges(should + must + must_not)
-            specs = _compile_leaf_specs(should, must, must_not, range_terms)
-            if not any(s["terms"] for s in specs if s["polarity"] != "must_not"):
-                continue  # no positive leaves -> no hits for this query
-            doc_ranges = None
-            if repo is not None:
-                doc_ranges = self.repo_doc_ranges(repo) or [(-1, -1)]
-            compiled.append({
-                "qid": qid, "specs": specs, "doc_ranges": doc_ranges,
-                "needs_positions": any(sp["kind"] == "phrase" for sp in specs),
-                "only_terms": (len(specs) > 0 and all(
-                    sp["kind"] == "term" and sp["polarity"] == "should"
-                    for sp in specs)),
-            })
-            all_pairs |= {(sp["field"], t) for sp in specs for t in sp["terms"]}
+            ckey = (repo, q)
+            cached = self._compile_cache.get(ckey)
+            if cached is None:
+                node = parse_query(q)
+                should, must, must_not = _leaves_of(node)
+                range_terms = self._expand_ranges(should + must + must_not)
+                specs = _compile_leaf_specs(should, must, must_not, range_terms)
+                if not any(s["terms"] for s in specs if s["polarity"] != "must_not"):
+                    cached = {"empty": True}  # no positive leaves -> no hits
+                else:
+                    doc_ranges = None
+                    if repo is not None:
+                        doc_ranges = self.repo_doc_ranges(repo) or [(-1, -1)]
+                    cached = {
+                        "empty": False, "specs": specs, "doc_ranges": doc_ranges,
+                        "needs_positions": any(sp["kind"] == "phrase" for sp in specs),
+                        "only_terms": (len(specs) > 0 and all(
+                            sp["kind"] == "term" and sp["polarity"] == "should"
+                            for sp in specs)),
+                    }
+                if len(self._compile_cache) >= 1024:  # reference query-cache size
+                    self._compile_cache.clear()
+                self._compile_cache[ckey] = cached
+            if cached["empty"]:
+                continue
+            compiled.append({"qid": qid, **{k: v for k, v in cached.items()
+                                            if k != "empty"}})
+            all_pairs |= {(sp["field"], t) for sp in cached["specs"]
+                          for t in sp["terms"]}
         if not compiled:
             return self.spark.createDataFrame(
                 [], "query_id string, doc_id long, path string, score double")

@@ -98,11 +98,20 @@ def test_resume_from_partial_build(spark, tmp_path_factory):
     wh2 = str(tmp_path_factory.mktemp("wh-clean"))
     c2 = Catalog(wh2)
     IndexBuilder(spark, c2, docs_per_slice=64).build(src())
-    cols = ["field", "term", "dslice", "block_id", "doc_count", "first_doc",
-            "last_doc", "block_max_tf", "block_min_dl"]
-    a = sorted(map(tuple, c1.table("segments").read(spark).select(cols).collect()))
-    b = sorted(map(tuple, c2.table("segments").read(spark).select(cols).collect()))
-    assert a == b
+
+    # physical block geometry may differ between a resumed and a clean build
+    # (like Lucene segment geometry varying with flush timing); the invariant
+    # is LOGICAL: identical decoded postings, positions included
+    from lucene_plugin_spark.index import fused
+
+    def logical(cat):
+        seg = cat.table("segments").read(spark)
+        flat = seg.mapInArrow(fused.decode_flat_kernel, fused.FLAT_DDL)
+        rows = flat.select("field", "term", "doc_id", "tf", "dl",
+                           F.col("positions").cast("string").alias("p")).collect()
+        return sorted(map(tuple, rows))
+
+    assert logical(c1) == logical(c2)
 
 
 def test_deterministic_rebuild(spark, tmp_path_factory):
