@@ -234,6 +234,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(merge_upsert=merge_upsert, delete_where=delete_where)
 
+    # ---- event-time windows over the events stream table ----
+    def _events(spark, sf):
+        return spark.read.parquet(os.path.join(sf, "events.parquet"))
+
+    def ev_window_counts(spark, sf):
+        from lucene_plugin_spark.ops import windows as W
+        return W.tumbling_counts(_events(spark, sf)).select(
+            "window_start", "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"), "sum_value")
+
+    def ev_sessionize(spark, sf):
+        from lucene_plugin_spark.ops import windows as W
+        return W.sessionize(_events(spark, sf)).select(
+            "user_id", "session_start",
+            F.col("n_events").cast("bigint").alias("n_events"), "sum_value")
+
+    def ev_json_extract(spark, sf):
+        from lucene_plugin_spark.ops import windows as W
+        return W.json_props(_events(spark, sf))
+
+    q.update(ev_window_counts=ev_window_counts, ev_sessionize=ev_sessionize,
+             ev_json_extract=ev_json_extract)
+
     # ---- dedup suite ----
     def dedup_exact(spark, sf):
         d = _documents(spark, sf)
@@ -495,6 +518,33 @@ scored AS (
                                      e.vec_id) AS rk
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
 SELECT query_id, id, round(cosine, 6) AS cosine FROM scored WHERE rk <= 5
+"""
+
+    o["ev_window_counts"] = """
+SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::bigint AS window_start,
+       event_type, count(*)::bigint AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    o["ev_sessionize"] = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, floor(epoch(min(ts)))::bigint AS session_start,
+       count(*)::bigint AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+    o["ev_json_extract"] = """
+SELECT event_id, json_extract(props, '$.k')::bigint AS k FROM events
 """
 
     o["dedup_embedding"] = """
