@@ -476,8 +476,10 @@ FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
 WHERE i / (sa.sz + sb.sz - i) >= 0.4
 """
 
+    from lucene_plugin_spark.ops.hashing import minhash_mix_sql
+    base_h = md5_long_sql("shingle")
     minh = ", ".join(
-        f"min({md5_long_sql('shingle', seed=j)}) AS m{j}" for j in range(8))
+        f"min({minhash_mix_sql(base_h, j)}) AS m{j}" for j in range(8))
     band_keys = []
     for b in range(4):
         i0, i1 = 2 * b, 2 * b + 1

@@ -95,10 +95,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3, num_hashes: int = 16) -> DataFrame:
-    """(id, sig array<long>): sig[j] = min over shingles of h_j(shingle),
-    h_j = md5-based seeded hash (portable to the SQL oracle)."""
-    sh = shingles(df, id_col, text_col, n)
-    mins = [F.min(F.when(F.lit(True), md5_long(F.col("shingle"), seed=j))).alias(f"m{j}")
+    """(id, sig array<long>): sig[j] = min over shingles of h_j(shingle).
+
+    One md5 per shingle, then a cheap affine mix per hash function
+    (h_j = (a_j*md5 + b_j) mod p) — K minhashes cost ONE digest instead of
+    K, and the family is portable to the SQL oracle."""
+    from lucene_plugin_spark.ops.hashing import minhash_mix
+    sh = shingles(df, id_col, text_col, n).withColumn(
+        "h0", md5_long(F.col("shingle")))
+    mins = [F.min(minhash_mix(F.col("h0"), j)).alias(f"m{j}")
             for j in range(num_hashes)]
     sig = sh.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"m{j}" for j in range(num_hashes)]).alias("sig"))
