@@ -538,7 +538,7 @@ class SearchEngine:
     #: filtered collect (the shape of a Lucene query node).  Above it, the
     #: distributed per-slice kernel runs — at 100 TB hot terms go distributed,
     #: tail terms stay sub-second on the driver.
-    driver_exec_max_postings = 4_000_000
+    driver_exec_max_postings = 8_000_000
 
     def _norms_for_slice(self, dslice: int, fields, norms_dirs) -> pd.DataFrame:
         """Per-slice norms frame with a driver-side cache (the per-segment
@@ -1101,11 +1101,49 @@ def _score_slice_wand(sl, norms_pdf, specs,
         terms.append({
             "field": field, "ids": ids, "bounds": bounds,
             "tf_raw": ent["tf_raw"], "tf_parts": ent["tf_parts"],
+            "ent": ent,
             "idf": idf_t, "df": df, "n_docs": n_docs, "avgdl": avgdl,
             "ub_blocks": ub_blocks,
         })
     if not terms:
         return _empty_hits()
+
+    # ---- single-term fast path: postings are already unique and sorted, and
+    # every posting's exact score is one vectorized expression — scoring all
+    # of them + argpartition top-k beats bound-ordered traversal outright
+    # (hot single terms are the most common query shape)
+    if len(terms) == 1 and specs and specs[0].get("kind") == "term":
+        t = terms[0]
+        ids = t["ids"]
+        tfs_all = []
+        for b in range(len(t["tf_raw"])):
+            if t["tf_parts"][b] is None:
+                t["tf_parts"][b] = codec.varint_decode(t["tf_raw"][b]).astype(np.int64)
+            tfs_all.append(t["tf_parts"][b])
+        tfs = np.concatenate(tfs_all) if tfs_all else np.empty(0, np.int64)
+        keep = _in_ranges(ids, doc_ranges, dead)
+        ids, tfs = ids[keep], tfs[keep]
+        if ids.size == 0:
+            return _empty_hits()
+        nd, dls = norm_lookup[t["field"]]
+        dl = dls[np.searchsorted(nd, ids)]
+        sc = bm25.score(tfs.astype(np.float64), dl, t["df"], t["n_docs"],
+                        t["avgdl"])
+        if stats_out is not None:
+            stats_out["tf_blocks_total"] = len(t["tf_raw"])
+            stats_out["tf_blocks_decoded"] = len(t["tf_raw"])
+        if ids.size > k:
+            # argpartition breaks score ties arbitrarily; keep EVERY doc at
+            # or above the k-th score, then sort that small set with the
+            # exact (score desc, doc_id asc) tie-break
+            part = np.argpartition(-sc, k - 1)[:k]
+            thr = sc[part].min()
+            cand = np.flatnonzero(sc >= thr)
+            order = cand[np.lexsort((ids[cand], -sc[cand]))][:k]
+        else:
+            order = np.lexsort((ids, -sc))
+        return pd.DataFrame({"doc_id": ids[order], "score": sc[order]})
+
     if stats_out is not None:
         stats_out["tf_blocks_total"] = sum(len(t["tf_raw"]) for t in terms)
         stats_out["tf_blocks_decoded"] = 0
@@ -1135,14 +1173,27 @@ def _score_slice_wand(sl, norms_pdf, specs,
             if not hit.any():
                 continue
             pos = idx_c[hit]
-            blk = np.searchsorted(t["bounds"], pos, side="right") - 1
-            for b in np.unique(blk):
-                if t["tf_parts"][b] is None:
-                    t["tf_parts"][b] = codec.varint_decode(t["tf_raw"][b]).astype(np.int64)
+            if 3 * pos.size >= t["ids"].size:
+                # large subset: ONE concatenated varint decode of the whole
+                # tf stream (cached on the shared slice-index entry) beats a
+                # per-block Python loop over thousands of tiny blocks
+                ent = t["ent"]
+                if ent.get("_tf") is None:
+                    ent["_tf"] = codec.varint_decode(
+                        b"".join(t["tf_raw"])).astype(np.int64)
                     if stats_out is not None:
-                        stats_out["tf_blocks_decoded"] += 1
-            tfs = np.array([t["tf_parts"][b][p - t["bounds"][b]]
-                            for b, p in zip(blk, pos)], dtype=np.float64)
+                        stats_out["tf_blocks_decoded"] += len(t["tf_raw"])
+                tfs = ent["_tf"][pos].astype(np.float64)
+            else:
+                blk = np.searchsorted(t["bounds"], pos, side="right") - 1
+                for b in np.unique(blk):
+                    if t["tf_parts"][b] is None:
+                        t["tf_parts"][b] = codec.varint_decode(
+                            t["tf_raw"][b]).astype(np.int64)
+                        if stats_out is not None:
+                            stats_out["tf_blocks_decoded"] += 1
+                tfs = np.array([t["tf_parts"][b][p - t["bounds"][b]]
+                                for b, p in zip(blk, pos)], dtype=np.float64)
             nd, dls = norm_lookup[t["field"]]
             dl = dls[np.searchsorted(nd, doc_subset[hit])]
             out[hit] += bm25.score(tfs, dl, t["df"], t["n_docs"], t["avgdl"])
@@ -1159,10 +1210,16 @@ def _score_slice_wand(sl, norms_pdf, specs,
     best_scores: np.ndarray = np.empty(0, np.float64)
     i = 0
     n = uniq_o.size
+    rounds = 0
     while i < n:
         theta = best_scores[k - 1] if best_scores.size >= k else -np.inf
         if ub_o[i] <= theta:
             break  # WAND exit: no remaining doc can enter the top-k
+        rounds += 1
+        if rounds > 4:
+            # bounds are not discriminating (flat-ub workload): one exact
+            # vectorized pass over everything left beats more traversal
+            chunk = n
         j = min(i + chunk, n)
         chunk *= 2
         # within the chunk, only docs whose UB beats theta can matter

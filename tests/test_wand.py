@@ -78,3 +78,42 @@ def test_wand_respects_doc_ranges():
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     for d in got["doc_id"]:
         assert any(lo <= d <= hi for lo, hi in ranges)
+
+
+def test_single_term_fast_path_tie_break():
+    """Many docs tie at the k-th score: the fast path must keep the exact
+    (score desc, doc_id asc) Lucene tie-break, same as the exhaustive path."""
+    rng = np.random.default_rng(5)
+    n_docs = 5000
+    dls = np.full(n_docs, 100, dtype=np.int64)     # equal dl
+    ids = np.arange(n_docs, dtype=np.int64)
+    tfs = np.ones(n_docs, dtype=np.int64)          # equal tf -> all scores tie
+    tfs[::7] = 3                                   # a few higher-scoring docs
+    rows = {k: [] for k in ("field", "term", "dslice", "block_id", "doc_count",
+                            "first_doc", "last_doc", "doc_gaps", "tfs",
+                            "positions", "pos_lens_ok", "block_max_tf",
+                            "block_min_dl")}
+    block = 128
+    for b0 in range(0, n_docs, block):
+        b1 = min(b0 + block, n_docs)
+        bids, btf = ids[b0:b1], tfs[b0:b1]
+        rows["field"].append("text"); rows["term"].append("t")
+        rows["dslice"].append(0); rows["block_id"].append(b0 // block)
+        rows["doc_count"].append(b1 - b0)
+        rows["first_doc"].append(int(bids[0])); rows["last_doc"].append(int(bids[-1]))
+        rows["doc_gaps"].append(codec.encode_ids(bids))
+        rows["tfs"].append(codec.varint_encode(btf.astype(np.uint64)))
+        rows["positions"].append(b""); rows["pos_lens_ok"].append(0)
+        rows["block_max_tf"].append(int(btf.max()))
+        rows["block_min_dl"].append(100)
+    sl = pd.DataFrame(rows)
+    norms = pd.DataFrame({"field": "text", "doc_id": ids, "dl": dls})
+    stats = {"text": (float(n_docs), 100.0)}
+    df_map = {("text", "t"): float(n_docs)}
+    specs = [{"kind": "term", "field": "text", "terms": ["t"], "offsets": None,
+              "leaf_id": 0, "polarity": "should"}]
+    for k in (10, 100, 1000):
+        fast = _score_slice_wand(sl, norms, specs, df_map, stats, None, k)
+        slow = _score_slice(sl, norms, specs, df_map, stats, None, k, False)
+        assert fast["doc_id"].tolist() == slow["doc_id"].tolist(), k
+        assert np.allclose(fast["score"], slow["score"]), k
