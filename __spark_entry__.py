@@ -62,6 +62,42 @@ def _engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEngine]:
     return _ENGINES[sf_dir]
 
 
+_MUT_ENGINES: dict[str, tuple[Catalog, SearchEngine]] = {}
+
+
+def _mut_engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEngine]:
+    """Index with REAL mutations applied through IndexMutator (W2/W3 end to
+    end: build -> upsert (text||' updated marker' for doc_id%50==0) ->
+    delete src3 -> search), oracle-checked against the post-state corpus.
+    Exercises tombstones, partition-scoped docs rewrite, segment append and
+    the delta term_dict/stats updates — BM25 df/N/avgdl must equal exact
+    live-set values for the scores to hash-match the oracle."""
+    if sf_dir not in _MUT_ENGINES:
+        import shutil
+
+        from lucene_plugin_spark.index.mutations import IndexMutator
+        wh = os.path.join("/tmp/lps_entry_mut", sf_dir.strip("/").replace("/", "_"))
+        catalog = Catalog(wh)
+        done = (catalog.table("segments").exists()
+                and catalog.table("tombstones").exists())
+        if not done:
+            shutil.rmtree(wh, ignore_errors=True)
+            catalog = Catalog(wh)
+            builder = IndexBuilder(spark, catalog, docs_per_slice=200)
+            builder.build(_docs_source(spark, sf_dir), fields_map_col="fields")
+            mut = IndexMutator(spark, catalog, builder)
+            upd = (_docs_source(spark, sf_dir)
+                   .where(F.col("path").cast("int") % 50 == 0)
+                   .withColumn("content",
+                               F.concat(F.col("content"), F.lit(" updated marker"))))
+            mut.upsert(upd, fields_map_col="fields")
+            mut.delete_keys(_docs_source(spark, sf_dir)
+                            .where(F.col("repo") == "src3")
+                            .select("repo", "path"))
+        _MUT_ENGINES[sf_dir] = (catalog, SearchEngine(spark, catalog).warm())
+    return _MUT_ENGINES[sf_dir]
+
+
 def _hits_as_orig_ids(hits: DataFrame, round_to: int = 6) -> DataFrame:
     return hits.select(F.col("path").cast("int").cast("bigint").alias("doc_id"),
                        F.round("score", round_to).alias("score"))
@@ -81,8 +117,9 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # analyzed tokens (engine analyzer == whitespace+lower+stopfilter on this
 # corpus: text is guaranteed [a-z0-9 ] single-spaced)
-_TOK = f"""
-raw AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+def _tok_cte(src: str = "documents") -> str:
+    return f"""
+raw AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM {src}),
 tok AS (SELECT doc_id, toks[i] AS term, i-1 AS pos
         FROM raw, UNNEST(generate_series(1, len(toks))) s(i)
         WHERE toks[i] NOT IN ({STOPWORDS_SQL_LIST}) AND toks[i] <> ''),
@@ -90,6 +127,17 @@ tf AS (SELECT doc_id, term, count(*)::double tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::double dl FROM tok GROUP BY 1),
 st AS (SELECT count(*)::double n, avg(dl) avgdl FROM dl),
 dfx AS (SELECT term, count(*)::double df FROM tf GROUP BY 1)
+"""
+
+
+_TOK = _tok_cte()
+
+# post-mutation corpus: the state _mut_engine drives the REAL IndexMutator to
+_POST_CTE = """
+post AS (SELECT doc_id,
+                CASE WHEN doc_id % 50 = 0 THEN text || ' updated marker'
+                     ELSE text END AS text
+         FROM documents WHERE source <> 'src3')
 """
 
 # raw tokens (ops tokenizer: split on non-alnum, keep stopwords)
@@ -104,10 +152,11 @@ _BM25 = ("ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) * "
          "tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))")
 
 
-def _bm25_or_sql(terms: list[str], k: int, extra_where: str = "") -> str:
+def _bm25_or_sql(terms: list[str], k: int, extra_where: str = "",
+                 src: str = "documents", pre_cte: str = "") -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
-WITH {_TOK},
+WITH {pre_cte}{_tok_cte(src)},
 scores AS (
   SELECT tf.doc_id, sum({_BM25}) AS score
   FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
@@ -233,6 +282,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kept.select("doc_id", F.sha2("text", 256).alias("content_sha256"))
 
     q.update(merge_upsert=merge_upsert, delete_where=delete_where)
+
+    # ---- REAL mutation machinery, oracle-gated end-to-end (W2/W3/W5):
+    # build -> IndexMutator.upsert -> IndexMutator.delete_keys -> search.
+    # Untruncated limits: constant-score ties would otherwise cut differently
+    # between engine-internal docIDs and the oracle's original doc_ids.
+    def mut_upsert_search(spark, sf):  # 'marker' exists only in upserted docs
+        _, eng = _mut_engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "marker", limit=1_000_000))
+
+    def mut_delete_search(spark, sf):  # df/N/avgdl must be exact live values
+        _, eng = _mut_engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "spark", limit=1_000_000))
+
+    def mut_docs_sha(spark, sf):  # post-state docs table = exact live set
+        cat, _ = _mut_engine(spark, sf)
+        d = cat.table("docs").read(spark)
+        return d.select(F.col("path").cast("int").cast("bigint").alias("doc_id"),
+                        "content_sha256")
+
+    q.update(mut_upsert_search=mut_upsert_search,
+             mut_delete_search=mut_delete_search, mut_docs_sha=mut_docs_sha)
 
     # ---- event-time windows over the events stream table ----
     def _events(spark, sf):
@@ -455,6 +525,17 @@ FROM documents
 
     o["delete_where"] = """
 SELECT doc_id, sha256(text) AS content_sha256
+FROM documents WHERE source <> 'src3'
+"""
+
+    o["mut_upsert_search"] = _bm25_or_sql(["marker"], 1_000_000, src="post",
+                                          pre_cte=_POST_CTE + ",")
+    o["mut_delete_search"] = _bm25_or_sql(["spark"], 1_000_000, src="post",
+                                          pre_cte=_POST_CTE + ",")
+    o["mut_docs_sha"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 50 = 0 THEN sha256(text || ' updated marker')
+            ELSE sha256(text) END AS content_sha256
 FROM documents WHERE source <> 'src3'
 """
 

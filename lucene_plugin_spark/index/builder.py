@@ -8,10 +8,13 @@ Stages (each snapshot-committed, checkpoint-resumable via stage fingerprints):
 2. ``docs_meta``  — deterministic dense docIDs: range-partition by (repo,path),
                     sort within partitions, offset-prefix-sum assignment
                     (reproducible tie-breaks, SURVEY.md §2.7.5).
-3. ``postings_flat`` — (field, term, doc_id, tf, positions): tokenize via the
-                    vectorized analyzer inside mapInPandas, then a single
-                    groupBy (map-side partial aggregation is automatic).
-                    Also: ``field_lens``, ``term_dict``, ``stats``.
+3. derived tables — ``doc_norms``/``field_lens`` (per-doc lengths, decoded
+                    from per-slice norms rows), ``term_dict`` (columnar agg
+                    over block metadata), ``stats`` (n_docs, sum_dl, avgdl).
+                    There is NO materialized flat-postings table: segments
+                    are the single durable postings store, and flat postings
+                    are derived on demand via :func:`flat_postings_view`
+                    (term/slice-filtered decode).
 4. ``segments``   — compressed posting blocks, **partitioned by doc-range**
                     (``dslice``), term-sorted within each file so parquet
                     row-group stats prune non-query terms.  Doc-range
@@ -94,23 +97,42 @@ class IndexBuilder:
     """
 
     def __init__(self, spark: SparkSession, catalog: Catalog,
-                 docs_per_slice: int = 250_000, block_size: int = BLOCK_SIZE):
+                 docs_per_slice: int = 250_000, block_size: int = BLOCK_SIZE,
+                 doc_buckets: int = 8):
         self.spark = spark
         self.catalog = catalog
         self.docs_per_slice = docs_per_slice
         self.block_size = block_size
+        self.doc_buckets = doc_buckets
+        self.stage_times: dict[str, float] = {}
 
     # ------------------------------------------------------------------ docs
+    def key_bucket(self, repo_col, path_col):
+        """Deterministic key bucket for the docs table layout: mutations
+        rewrite only the buckets their keys hash into (O(batch), not O(N))."""
+        return F.pmod(F.hash(repo_col, path_col), F.lit(self.doc_buckets)).cast("int")
+
     def ingest_docs(self, source: DataFrame, fields_map_col: str | None = None) -> int:
-        """Stage 1: persist the source corpus + sha256 invariant column."""
+        """Stage 1: persist the source corpus + sha256 invariant column.
+
+        Layout: hive-partitioned by (repo, kb) — collection + key-hash bucket.
+        ``clear(repo)`` is then a metadata-only partition drop (the Iceberg
+        partition-level DELETE, reference W4), and upsert/delete rewrite only
+        the touched buckets via ``Table.replace_partitions``.  The write is
+        hash-distributed on the partition key (one shuffle) so file count is
+        O(partitions), not O(tasks x partitions)."""
         cols = [F.col(c) for c in ("repo", "path", "commit", "lang", "content")]
         if fields_map_col:
             cols.append(F.col(fields_map_col).alias("fields"))
         else:
             cols.append(F.lit(None).cast("map<string,string>").alias("fields"))
-        docs = source.select(*cols).withColumn("content_sha256", F.sha2(F.col("content"), 256))
-        snap = self.catalog.table("docs").overwrite(docs, partition_by=None,
-                                                    properties={"stage": "docs"})
+        docs = (source.select(*cols)
+                .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+                .withColumn("kb", self.key_bucket(F.col("repo"), F.col("path"))))
+        snap = self.catalog.table("docs").overwrite(
+            docs.repartition(F.col("repo"), F.col("kb")),
+            partition_by=["repo", "kb"],
+            properties={"stage": "docs", "doc_buckets": self.doc_buckets})
         return snap.snapshot_id
 
     # ------------------------------------------------------------- docs_meta
@@ -258,6 +280,8 @@ class IndexBuilder:
         return t.snapshot().properties.get("fingerprint") == fingerprint
 
     def build_from_docs(self, docs_snap: int | None = None) -> BuildResult:
+        import time as _time
+
         from lucene_plugin_spark.index import fused
 
         docs_t = self.catalog.table("docs")
@@ -265,6 +289,14 @@ class IndexBuilder:
             docs_snap = docs_t.current_snapshot_id()
         docs = docs_t.read(self.spark, docs_snap)
         fp = f"docs-{docs_snap}"
+        self.stage_times = {}
+        _t0 = _time.perf_counter()
+
+        def _mark(stage: str) -> None:
+            nonlocal _t0
+            now = _time.perf_counter()
+            self.stage_times[stage] = round(now - _t0, 3)
+            _t0 = now
 
         # ---- docs_meta: one range shuffle, all JVM; written partitioned by
         # dslice so every slice is its own file.  While the id-staging frame
@@ -273,23 +305,27 @@ class IndexBuilder:
         # building never re-reads the corpus from parquet; on resume it falls
         # back to the slice-aligned docs_meta files.
         n_docs = docs.count()
+        _mark("count")
         meta_df = None
         if not self._stage_done("docs_meta", fp):
             n_parts = max(int(np.ceil(max(n_docs, 1) / self.docs_per_slice)),
                           self.spark.sparkContext.defaultParallelism, 1)
-            meta_df = self.assign_doc_ids(docs, n_parts).withColumn(
-                "dslice", (F.col("doc_id") / F.lit(self.docs_per_slice)).cast("int"))
+            meta_df = (self.assign_doc_ids(docs, n_parts)
+                       .withColumn("dslice", (F.col("doc_id")
+                                              / F.lit(self.docs_per_slice)).cast("int"))
+                       .withColumn("gen", F.lit(0)))
             # the persisted mapping is SKINNY (no content/fields): the corpus
             # already lives in the docs table, and at 100 TB writing it a
             # second time just to attach docIDs would double the ingest I/O.
             # Content flows to the segment pass through the id shuffle below.
             skinny = [c for c in ("repo", "path", "commit", "lang", "doc_id",
-                                  "dslice") if c in meta_df.columns]
+                                  "dslice", "gen") if c in meta_df.columns]
             self.catalog.table("docs_meta").overwrite(
                 meta_df.select(*skinny), partition_by=["dslice"],
                 properties={"stage": "docs_meta", "fingerprint": fp},
                 lineage={"input": {"table": "docs", "snapshot": docs_snap}})
         docs_meta = self.catalog.table("docs_meta").read(self.spark)
+        _mark("docs_meta")
 
         # ---- compressed doc-range segments: the fused tokenize->blocks map
         # pass (analysis + W1 inverted-index build + per-slice norms), NO
@@ -318,6 +354,7 @@ class IndexBuilder:
                 lineage={"doc_slices": "dslice = doc_id // %d" % self.docs_per_slice,
                          "input": {"table": "docs_meta", "fingerprint": fp}})
         self._release_id_cache()
+        _mark("segments")
         seg = self.catalog.table("segments").read(self.spark)
         norm_rows = seg.where(F.col("term") == fused.NORMS_TERM)
 
@@ -346,8 +383,11 @@ class IndexBuilder:
             if not self._stage_done("stats", fp):
                 lens = (self.catalog.table("field_lens").read(self.spark)
                         .select("field", "doc_id", "dl"))
+                # sum_dl kept exact (integer) so mutations can delta-update
+                # avgdl without rescanning lens (avgdl = sum_dl / n_docs)
                 st = lens.groupBy("field").agg(
                     F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum("dl").cast("long").alias("sum_dl"),
                     F.avg("dl").alias("avgdl"))
                 self.catalog.table("stats").overwrite(
                     st, properties={"stage": "stats", "fingerprint": fp})
@@ -363,42 +403,51 @@ class IndexBuilder:
                 self.catalog.table("term_dict").overwrite(
                     td, properties={"stage": "term_dict", "fingerprint": fp})
 
-        def _flat_stage() -> None:
-            # flat postings for the declarative/oracle executor and the
-            # mutation path: a vectorized DECODE of the segments
-            # (shuffle-free, slice-file-per-task), not a second tokenize
-            if not self._stage_done("postings_flat", fp):
-                flat = seg.mapInArrow(fused.decode_flat_kernel, fused.FLAT_DDL)
-                self.catalog.table("postings_flat").overwrite(
-                    flat, properties={"stage": "postings_flat", "fingerprint": fp},
-                    lineage={"input": {"table": "segments", "fingerprint": fp}})
-
+        # NOTE: there is deliberately NO materialized flat-postings stage.
+        # Segments are the single durable postings store; the declarative
+        # executor and the mutation deltas DERIVE flat postings on demand via
+        # flat_view() (a term/slice-filtered decode).  A persisted flat copy
+        # would double-to-triple index bytes at 100 TB and go stale on every
+        # mutation (round-1 VERDICT item 5).
+        #
         # Concurrent chains help when stages are FIXED-COST dominated (small
         # corpora: overlap planning/commit latencies) and hurt when they are
-        # throughput-dominated (large corpora: three interleaved stages
-        # thrash task slots and Python workers).  Cut over on corpus size;
+        # throughput-dominated (large corpora: interleaved stages thrash task
+        # slots and Python workers).  Cut over on corpus size;
         # LPS_BUILD_CONCURRENCY overrides.
         import os as _os
-        default_workers = 3 if n_docs <= 100_000 else 1
+        default_workers = 2 if n_docs <= 100_000 else 1
         workers = int(_os.environ.get("LPS_BUILD_CONCURRENCY", default_workers))
         if workers > 1:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 futures = [pool.submit(fn) for fn in
-                           (_norms_chain, _term_dict_stage, _flat_stage)]
+                           (_norms_chain, _term_dict_stage)]
                 for fut in futures:
                     fut.result()
         else:
             _norms_chain()
             _term_dict_stage()
-            _flat_stage()
+        _mark("derived")
 
         return BuildResult(n_docs=n_docs, docs_snapshot=docs_snap,
                            segments_snapshot=self.catalog.table("segments").current_snapshot_id())
 
+    # ------------------------------------------------------------- flat view
+    def flat_view(self, terms: list[str] | None = None,
+                  fields: list[str] | None = None,
+                  dslices: list[int] | None = None) -> DataFrame:
+        """See :func:`flat_postings_view`."""
+        return flat_postings_view(self.spark, self.catalog, terms=terms,
+                                  fields=fields, dslices=dslices)
+
     # ---------------------------------------------------------- segments
-    def segment_blocks(self, flat: DataFrame, lens: DataFrame) -> DataFrame:
-        """Compressed posting blocks for the given (live) flat postings.
+    def segment_blocks(self, flat: DataFrame, lens: DataFrame | None = None) -> DataFrame:
+        """Compressed posting blocks + per-slice norms rows for the given
+        (live) flat postings — a COMPLETE slice-file image, so callers
+        (mutation appends, dirty-slice compaction) can swap whole dslice
+        partitions and every downstream decode (flat_view dl fill, the norms
+        chain) keeps working.
 
         Grouped by doc-slice: each applyInPandas group is one bounded doc
         range, so hot-term skew never concentrates in one task (the grouping
@@ -407,6 +456,7 @@ class IndexBuilder:
         """
         bsz = self.block_size
         dps = self.docs_per_slice
+        from lucene_plugin_spark.index.fused import NORMS_TERM
 
         # dl travels inline on every posting row (written by doc_postings_df),
         # so no flat-postings x lens join is needed here; ``lens`` is accepted
@@ -420,6 +470,22 @@ class IndexBuilder:
             if len(pdf) == 0:
                 return pd.DataFrame(columns=[f.name for f in SEGMENT_SCHEMA.fields])
             pdf = pdf.sort_values(["field", "term", "doc_id"], kind="mergesort")
+            norm_frames = []
+            for fname, fg in pdf.groupby("field", sort=True):
+                u = (fg[["doc_id", "dl"]].drop_duplicates("doc_id")
+                     .sort_values("doc_id"))
+                ids = u["doc_id"].to_numpy(np.int64)
+                dls = u["dl"].to_numpy(np.int64)
+                norm_frames.append({
+                    "field": fname, "term": NORMS_TERM,
+                    "dslice": int(pdf["dslice"].iloc[0]), "block_id": 0,
+                    "doc_count": len(ids), "first_doc": int(ids[0]),
+                    "last_doc": int(ids[-1]),
+                    "doc_gaps": codec.encode_ids(ids),
+                    "tfs": codec.varint_encode(dls.astype(np.uint64)),
+                    "positions": b"", "pos_lens_ok": 0, "block_max_tf": 0,
+                    "block_min_dl": 0, "tf_sum": 0,
+                })
             doc_ids = pdf["doc_id"].to_numpy(np.int64)
             tfs = pdf["tf"].to_numpy(np.int64)
             dls = pdf["dl"].to_numpy(np.int64)
@@ -459,17 +525,39 @@ class IndexBuilder:
                     out["block_max_tf"].append(int(btf.max()))
                     out["block_min_dl"].append(int(bdl.min()))
                     out["tf_sum"].append(int(btf.sum()))
-            return pd.DataFrame(out)
+            blocks = pd.DataFrame(out)
+            norms = pd.DataFrame(norm_frames)
+            return pd.concat([norms, blocks], ignore_index=True)
 
         return joined.groupBy("dslice").applyInPandas(build_blocks, schema=SEGMENT_SCHEMA)
 
-    def _build_segments(self, flat: DataFrame, lens: DataFrame, fingerprint: str) -> None:
-        seg = self.segment_blocks(flat, lens)
-        # term-sorted within each partition file -> parquet row-group stats
-        # prune non-query terms inside every doc-slice directory
-        seg = seg.repartition(F.col("dslice")).sortWithinPartitions("field", "term", "first_doc")
-        self.catalog.table("segments").overwrite(
-            seg, partition_by=["dslice"],
-            properties={"stage": "segments", "fingerprint": fingerprint},
-            lineage={"doc_slices": "dslice = doc_id // %d" % self.docs_per_slice,
-                     "input": {"table": "postings_flat", "fingerprint": fingerprint}})
+
+def flat_postings_view(spark: SparkSession, catalog: Catalog,
+                       terms: list[str] | None = None,
+                       fields: list[str] | None = None,
+                       dslices: list[int] | None = None) -> DataFrame:
+    """Flat postings (field, term, doc_id, tf, dl, positions) DERIVED from
+    the segments table — the on-demand replacement for a persisted flat copy
+    (segments are the single durable postings store; a materialized flat
+    table would double-to-triple index bytes at 100 TB and go stale on every
+    mutation).  Filters apply to the *segments* scan — ``term`` reaches
+    parquet as a pushed predicate over the term-sorted row groups and
+    ``dslice`` prunes partitions — BEFORE the vectorized block decode, so
+    decode cost is O(matching blocks).  Norms rows (term='') travel with
+    their slice so dl is filled task-locally, no shuffle anywhere."""
+    from lucene_plugin_spark.index import fused
+    seg = catalog.table("segments").read(spark)
+    if dslices is not None:
+        seg = seg.where(F.col("dslice").isin([int(d) for d in dslices]))
+    cond = None
+    if terms is not None:
+        cond = F.col("term").isin(list(terms) + [fused.NORMS_TERM])
+    if fields is not None:
+        fcond = F.col("field").isin(list(fields) )
+        cond = fcond if cond is None else (cond & fcond)
+    if cond is not None:
+        seg = seg.where(cond)
+    flat = seg.mapInArrow(fused.decode_flat_kernel, fused.FLAT_DDL)
+    if terms is not None:
+        flat = flat.where(F.col("term").isin(list(terms)))
+    return flat

@@ -26,6 +26,7 @@ predicate that prunes doc-slice partitions at the parquet level.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -124,7 +125,12 @@ class SearchEngine:
         self._range_cache: dict[tuple[str, str, str], list[str]] = {}
 
     # ------------------------------------------------------------- warm path
-    def warm(self, collect_paths: bool = True) -> "SearchEngine":
+    #: warm() collects the docID->path map to the driver only below this many
+    #: docs; above it the distributed broadcast-topk join resolves paths (the
+    #: scale-safe default — a full-corpus collect() must never be implicit)
+    warm_collect_paths_max_docs = 1_000_000
+
+    def warm(self, collect_paths: bool | None = None) -> "SearchEngine":
         """Pin the hot read-side tables in executor memory for repeated
         queries (the analogue of Lucene's NRT searcher holding segment files
         in the page cache; reference reuses one searcher until the version
@@ -135,6 +141,12 @@ class SearchEngine:
         persist term_dict + the hottest segment partitions only and let
         parquet row-group pruning serve the cold tail; persisting everything
         is the right call at bench scale.
+
+        ``collect_paths=None`` (default) auto-decides: the driver-side
+        docID->path map (the reference's 8192-row _keysCache,
+        LuceneIndexBean.java:789-790, made total) is collected only when the
+        corpus is under ``warm_collect_paths_max_docs``; larger corpora never
+        pull a full table to the driver.
         """
         n_parts = self.spark.sparkContext.defaultParallelism
         self._seg_cached = (self.catalog.table("segments")
@@ -145,12 +157,10 @@ class SearchEngine:
         self._td_cached.count()
         self._meta_cached = (self.catalog.table("docs_meta").read(self.spark)
                              .select("doc_id", "path").persist())
-        self._meta_cached.count()
+        n_meta = self._meta_cached.count()
+        if collect_paths is None:
+            collect_paths = n_meta <= self.warm_collect_paths_max_docs
         if collect_paths:
-            # docID -> externalId map on the driver (the reference's 8192-row
-            # _keysCache, LuceneIndexBean.java:789-790, made total): lets the
-            # driver fast path answer without a join job.  At 100 TB pass
-            # collect_paths=False and the distributed join resolves paths.
             self._path_map = {r["doc_id"]: r["path"]
                               for r in self._meta_cached.collect()}
         self._field_stats()
@@ -363,8 +373,23 @@ class SearchEngine:
         arithmetic.  Range leaves: constant score 1.0 per matching doc.
         Phrase leaves: per-term position arrays self-joined on doc_id and
         verified with higher-order array functions (no Python).
+
+        Flat postings are DERIVED from the segments table, filtered to the
+        union of the query's terms BEFORE the block decode (term predicate
+        pushed to the term-sorted parquet row groups) — segments are the only
+        durable postings store, so this path can never read stale data after
+        a mutation.
         """
-        flat = self.catalog.table("postings_flat").read(self.spark)
+        from lucene_plugin_spark.index.builder import flat_postings_view
+        needed: set[str] = set()
+        for l in leaves:
+            if isinstance(l, Term):
+                needed.add(l.term)
+            elif isinstance(l, Range):
+                needed.update(range_terms.get(l, []))
+            elif isinstance(l, Phrase):
+                needed.update(l.terms)
+        flat = flat_postings_view(self.spark, self.catalog, terms=sorted(needed))
         lens = self.catalog.table("field_lens").read(self.spark)
         stats = self._field_stats()
         frames = []
@@ -670,17 +695,17 @@ class SearchEngine:
         return seg.mapInPandas(kernel, schema=HITS_SCHEMA)
 
 
-def _read_norms(norms_dirs: list[str], dslice: int, fields: list[str]) -> pd.DataFrame:
-    """Task-local read of the doc_norms sidecar partition for one doc-slice."""
+def _read_norms(norms_dirs: list, dslice: int, fields: list[str]) -> pd.DataFrame:
+    """Task-local read of the doc_norms sidecar partition for one doc-slice.
+    ``norms_dirs`` are snapshot data-dir entries (str roots or partition-dir
+    dicts from partition-level commits)."""
     import glob
-    import os
 
     import pyarrow.parquet as pq
+
+    from lucene_plugin_spark.storage.catalog import partition_data_dirs
     frames = []
-    for d in norms_dirs:
-        part = os.path.join(d, f"dslice={dslice}")
-        if not os.path.isdir(part):
-            continue
+    for part in partition_data_dirs(norms_dirs, "dslice", dslice):
         for f in glob.glob(os.path.join(part, "*.parquet")):
             t = pq.read_table(f, columns=["field", "doc_id", "dl"])
             frames.append(t.to_pandas())
@@ -692,17 +717,15 @@ def _read_norms(norms_dirs: list[str], dslice: int, fields: list[str]) -> pd.Dat
     return out[out["field"].isin(fields)]
 
 
-def _read_tombstones(tomb_dirs: list[str], dslice: int) -> np.ndarray:
+def _read_tombstones(tomb_dirs: list, dslice: int) -> np.ndarray:
     """Task-local read of one slice's tombstoned docIDs (liveDocs analogue)."""
     import glob
-    import os
 
     import pyarrow.parquet as pq
+
+    from lucene_plugin_spark.storage.catalog import partition_data_dirs
     parts = []
-    for d in tomb_dirs:
-        part = os.path.join(d, f"dslice={dslice}")
-        if not os.path.isdir(part):
-            continue
+    for part in partition_data_dirs(tomb_dirs, "dslice", dslice):
         for f in glob.glob(os.path.join(part, "*.parquet")):
             parts.append(pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy())
     if not parts:

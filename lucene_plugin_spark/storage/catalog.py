@@ -28,6 +28,17 @@ checkpoint-resume).  The CURRENT pointer is swapped with ``os.replace`` —
 atomic on POSIX — so readers never observe a partial commit (the analogue of
 Iceberg optimistic commit; reference analogue: ``IndexWriter.commit()`` at
 LuceneIndexBean.java:490-509).
+
+Partition-level commits (the Iceberg ``overwritePartitions`` analogue):
+``replace_partitions`` / ``drop_partitions`` commit a snapshot whose data-dir
+list keeps the untouched hive partition directories of the parent and swaps
+only the named partitions — so a mutation of k partitions rewrites O(k)
+bytes, never O(table).  Such entries are stored as ``{"path": <partition
+dir>, "base": <parquet root>}`` (``base`` preserves partition-column
+recovery via Spark's ``basePath`` option); plain-string entries remain whole
+parquet roots.  Partition values must hive-encode to themselves (ints and
+sanitized collection names do; arbitrary strings would need Iceberg's
+escaping).
 """
 
 from __future__ import annotations
@@ -44,6 +55,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 class SnapshotError(RuntimeError):
     pass
+
+
+def entry_path(e) -> str:
+    """Data-dir entry -> readable path (str entries are whole parquet roots;
+    dict entries are single hive partition dirs)."""
+    return e if isinstance(e, str) else e["path"]
+
+
+def entry_base(e) -> str:
+    """Data-dir entry -> Spark ``basePath`` (partition-column recovery)."""
+    return e if isinstance(e, str) else e.get("base", e["path"])
+
+
+def partition_data_dirs(data_dirs: list, col: str, value) -> list[str]:
+    """Directories holding files of hive partition ``col=value`` across a
+    snapshot's data-dir entries (used by task-local sidecar readers: norms,
+    tombstones — the analogue of Lucene reading one segment's sidecar file)."""
+    tag = f"{col}={value}"
+    out = []
+    for e in data_dirs:
+        p = entry_path(e)
+        if tag in p.split(os.sep):
+            out.append(p)
+        else:
+            sub = os.path.join(p, tag)
+            if os.path.isdir(sub):
+                out.append(sub)
+    return out
 
 
 @dataclass
@@ -156,19 +195,90 @@ class Table:
         stage writes its own files; the commit only swaps the pointer)."""
         return self._commit(self._next_id(), data_dirs, lineage or {}, properties or {})
 
+    # ---- partition-level commits (Iceberg overwritePartitions analogue) ----
+    def _partition_leaves(self, entry, partition_by: list[str]):
+        """Yield (path, base, values) leaf partition dirs of one data-dir
+        entry, where ``values`` is the tuple of hive partition values."""
+        p, base = entry_path(entry), entry_base(entry)
+        rel = os.path.relpath(p, base)
+        bound = [] if rel == "." else [seg.split("=", 1) for seg in rel.split(os.sep)]
+        roots = [(p, tuple(v for _, v in bound))]
+        for level in range(len(bound), len(partition_by)):
+            col = partition_by[level]
+            nxt = []
+            for d, vals in roots:
+                if not os.path.isdir(d):
+                    continue
+                for name in sorted(os.listdir(d)):
+                    if name.startswith(f"{col}="):
+                        nxt.append((os.path.join(d, name),
+                                    vals + (name.split("=", 1)[1],)))
+            roots = nxt
+        yield from roots
+
+    def partition_values(self, partition_by: list[str]) -> set[tuple[str, ...]]:
+        """All live partition-value tuples of the current snapshot."""
+        if self.current_snapshot_id() is None:
+            return set()
+        out: set[tuple[str, ...]] = set()
+        for e in self.snapshot().data_dirs:
+            for _, vals in self._partition_leaves(e, partition_by):
+                out.add(vals)
+        return out
+
+    def _kept_entries(self, partition_by: list[str], replaced: set) -> list:
+        kept = []
+        for e in self.snapshot().data_dirs:
+            base = entry_base(e)
+            for d, vals in self._partition_leaves(e, partition_by):
+                if vals not in replaced:
+                    kept.append({"path": d, "base": base})
+        return kept
+
+    def replace_partitions(self, df: DataFrame, partition_by: list[str],
+                           replaced_values, lineage: dict | None = None,
+                           properties: dict | None = None) -> Snapshot:
+        """Overwrite ONLY the named partitions: commit the parent's untouched
+        partition dirs plus newly-written files for ``df`` (which must contain
+        only rows of the replaced partitions).  O(touched partitions) bytes —
+        the scale contract for mutations."""
+        replaced = {tuple(str(v) for v in vals) for vals in replaced_values}
+        sid = self._next_id()
+        d = self._write_data(df, sid, partition_by)
+        kept = self._kept_entries(partition_by, replaced) \
+            if self.current_snapshot_id() is not None else []
+        return self._commit(sid, kept + [d], lineage or {}, properties or {})
+
+    def drop_partitions(self, partition_by: list[str], dropped_values,
+                        lineage: dict | None = None,
+                        properties: dict | None = None) -> Snapshot:
+        """Metadata-only delete of whole partitions (Iceberg partition-level
+        DELETE): no data files written or read, just a manifest without them."""
+        dropped = {tuple(str(v) for v in vals) for vals in dropped_values}
+        parent = self.snapshot()
+        with open(os.path.join(self._meta, f"manifest-{parent.snapshot_id}.json")) as f:
+            self._last_schema = json.load(f).get("schema_json")
+        kept = self._kept_entries(partition_by, dropped)
+        return self._commit(self._next_id(), kept, lineage or {}, properties or {})
+
     # ---- reads -----------------------------------------------------------
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         snap = self.snapshot(snapshot_id)
-        if not snap.data_dirs:
-            raise SnapshotError(f"snapshot {snap.snapshot_id} of {self.name} is empty")
+        # zero data dirs (e.g. every partition dropped) falls through to the
+        # schema-typed empty frame below
         # each data dir is its own parquet root (possibly hive-partitioned);
         # read each with its own basePath and union — a multi-root read would
         # trip Spark's conflicting-directory-structure check
         out = None
         from pyspark.sql.utils import AnalysisException
-        for d in snap.data_dirs:
+        # group partition-dir entries by their base so one read covers all of
+        # a root's surviving partitions (keeps scan/plan size O(roots))
+        by_base: dict[str, list[str]] = {}
+        for e in snap.data_dirs:
+            by_base.setdefault(entry_base(e), []).append(entry_path(e))
+        for base, paths in by_base.items():
             try:
-                df = spark.read.option("basePath", d).parquet(d)
+                df = spark.read.option("basePath", base).parquet(*paths)
             except AnalysisException:
                 continue  # empty snapshot dir (zero-row write)
             out = df if out is None else out.unionByName(df, allowMissingColumns=True)

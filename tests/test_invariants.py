@@ -43,8 +43,8 @@ def test_doc_ids_dense_and_sorted(spark, built):
 
 
 def test_term_dict_matches_flat(spark, built):
-    catalog, _, _ = built
-    flat = catalog.table("postings_flat").read(spark)
+    catalog, builder, _ = built
+    flat = builder.flat_view()
     td = catalog.table("term_dict").read(spark)
     recomputed = flat.groupBy("field", "term").agg(
         F.count(F.lit(1)).alias("df2"), F.sum("tf").alias("cf2"))
@@ -55,14 +55,17 @@ def test_term_dict_matches_flat(spark, built):
 
 
 def test_segments_cover_flat_postings(spark, built):
-    """Total postings in compressed segments == rows in flat postings."""
-    catalog, _, _ = built
+    """Total postings in compressed segments == rows in the derived flat view
+    (segments are the ONLY durable postings store; flat is decoded on demand)."""
+    catalog, builder, _ = built
     from lucene_plugin_spark.index.fused import NORMS_TERM
     seg_total = (catalog.table("segments").read(spark)
                  .where(F.col("term") != NORMS_TERM)
                  .agg(F.sum("doc_count")).collect()[0][0])
-    flat_total = catalog.table("postings_flat").read(spark).count()
+    flat_total = builder.flat_view().count()
     assert seg_total == flat_total
+    # and no flat-postings table is materialized on disk at all
+    assert not catalog.table("postings_flat").exists()
 
 
 def test_build_is_resumable_and_idempotent(spark, built):
@@ -71,7 +74,7 @@ def test_build_is_resumable_and_idempotent(spark, built):
     north rule)."""
     catalog, builder, _ = built
     before = {t: catalog.table(t).current_snapshot_id()
-              for t in ("docs_meta", "postings_flat", "term_dict", "stats",
+              for t in ("docs_meta", "term_dict", "stats",
                         "field_lens", "doc_norms", "segments")}
     builder.build_from_docs()  # resume: all fingerprints match
     after = {t: catalog.table(t).current_snapshot_id() for t in before}
@@ -121,9 +124,9 @@ def test_deterministic_rebuild(spark, tmp_path_factory):
     for name in ("d1", "d2"):
         wh = str(tmp_path_factory.mktemp(name))
         c = Catalog(wh)
-        IndexBuilder(spark, c, docs_per_slice=64).build(
-            spark.createDataFrame(rows).select("repo", "path", "commit", "lang", "content"))
+        b = IndexBuilder(spark, c, docs_per_slice=64)
+        b.build(spark.createDataFrame(rows).select("repo", "path", "commit", "lang", "content"))
         outs.append(sorted(map(tuple,
-                               c.table("postings_flat").read(spark)
+                               b.flat_view()
                                .select("field", "term", "doc_id", "tf").collect())))
     assert outs[0] == outs[1]

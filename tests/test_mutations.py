@@ -96,11 +96,79 @@ def test_compaction_preserves_results(spark, mutated):
     catalog, builder, mut, effective = mutated
     before = {q: _hits_by_path(spark, catalog, q) for q in QUERIES}
     mut.compact()
-    # tombstones reclaimed (table dropped entirely)
-    assert not catalog.table("tombstones").exists()
+    # tombstones of every compacted slice reclaimed (partition-level drop)
+    assert catalog.table("tombstones").read(spark).count() == 0
     after = {q: _hits_by_path(spark, catalog, q) for q in QUERIES}
     assert before == after
     # still matches oracle
     got = _hits_by_path(spark, catalog, "freshMarkerToken")
     want = _oracle_hits(effective, "freshMarkerToken")
     assert set(got) == set(want)
+
+
+def _live_files(catalog, table):
+    import os
+    out = set()
+    for e in catalog.table(table).snapshot().data_dirs:
+        p = e if isinstance(e, str) else e["path"]
+        for root, _, fs in os.walk(p):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    out.add(os.path.join(root, f))
+    return out
+
+
+def test_mutations_rewrite_O_of_k_not_O_of_N(spark, tmp_path_factory):
+    """Scale contract: an upsert of k docs must leave every untouched docs
+    bucket's files byte-identical (partition-scoped copy-on-write), append —
+    never rewrite — segment files, and compaction must swap only dirty
+    doc-slices."""
+    import pyspark.sql.functions as F
+    wh = str(tmp_path_factory.mktemp("wh-okn"))
+    rows = generate_rows(120, seed=9)
+    catalog = Catalog(wh)
+    builder = IndexBuilder(spark, catalog, docs_per_slice=32)
+    builder.build(_src(spark, rows))
+    mut = IndexMutator(spark, catalog, builder)
+
+    docs_before = _live_files(catalog, "docs")
+    seg_before = _live_files(catalog, "segments")
+
+    # upsert two existing docs
+    upd = [dict(rows[i], content=rows[i]["content"] + " swapped") for i in (4, 40)]
+    mut.upsert(_src(spark, upd))
+
+    affected = {(r["repo"], r["kb"]) for r in
+                _src(spark, upd)
+                .withColumn("kb", builder.key_bucket(F.col("repo"), F.col("path")))
+                .select("repo", "kb").collect()}
+    docs_after = _live_files(catalog, "docs")
+    removed = docs_before - docs_after
+    # every file dropped from the live set belongs to an affected bucket
+    for f in removed:
+        assert any(f"repo={r}/kb={b}" in f for r, b in affected), f
+    # untouched buckets' files are carried forward byte-identically (paths)
+    untouched = {f for f in docs_before
+                 if not any(f"repo={r}/kb={b}" in f for r, b in affected)}
+    assert untouched <= docs_after
+    assert len(untouched) > 0  # the test corpus spans many buckets
+
+    # segments: pure append — every pre-existing file still live
+    seg_after = _live_files(catalog, "segments")
+    assert seg_before <= seg_after
+
+    # compaction: only the dirty slices (the two upserted docs' old slices)
+    # are replaced; clean slices' files survive verbatim
+    dirty = mut.compact()
+    meta = catalog.table("docs_meta").read(spark)
+    all_slices = {int(r["dslice"]) for r in meta.select("dslice").distinct().collect()}
+    assert set(dirty) < all_slices
+    seg_final = _live_files(catalog, "segments")
+    clean_files = {f for f in seg_after
+                   if not any(f"dslice={d}/" in f for d in dirty)}
+    assert clean_files <= seg_final
+    replaced = seg_after - seg_final
+    for f in replaced:
+        assert any(f"dslice={d}/" in f for d in dirty), f
+    # and the tombstones of those slices are reclaimed
+    assert catalog.table("tombstones").read(spark).count() == 0
