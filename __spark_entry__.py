@@ -62,7 +62,30 @@ def _engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEngine]:
     return _ENGINES[sf_dir]
 
 
+#: appended to every document to exercise UAX#29 word-internal punctuation
+#: (apostrophe between letters, './,' between digits — Lucene
+#: StandardTokenizer semantics, LuceneIndexBean.java:666): 7 tokens —
+#: don't  3.14  o'neil's  1,024  dogs  can't  1.2.3
+_PUNCT_SUFFIX = " don't 3.14 o'neil's 1,024 dogs' can't 1.2.3"
+
 _MUT_ENGINES: dict[str, tuple[Catalog, SearchEngine]] = {}
+_PUNCT_ENGINES: dict[str, tuple[Catalog, SearchEngine]] = {}
+
+
+def _punct_engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEngine]:
+    """Index over the punctuation-augmented corpus — makes analyzer fidelity
+    (apostrophes, numeric tokens) visible to the DuckDB oracle, which
+    re-expresses the same tokenization rule in SQL."""
+    if sf_dir not in _PUNCT_ENGINES:
+        wh = os.path.join("/tmp/lps_entry_punct", sf_dir.strip("/").replace("/", "_"))
+        catalog = Catalog(wh)
+        if not catalog.table("segments").exists():
+            src = _docs_source(spark, sf_dir).withColumn(
+                "content", F.concat(F.col("content"), F.lit(_PUNCT_SUFFIX)))
+            IndexBuilder(spark, catalog, docs_per_slice=200).build(
+                src, fields_map_col="fields")
+        _PUNCT_ENGINES[sf_dir] = (catalog, SearchEngine(spark, catalog).warm())
+    return _PUNCT_ENGINES[sf_dir]
 
 
 def _mut_engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEngine]:
@@ -138,6 +161,37 @@ post AS (SELECT doc_id,
                 CASE WHEN doc_id % 50 = 0 THEN text || ' updated marker'
                      ELSE text END AS text
          FROM documents WHERE source <> 'src3')
+"""
+
+# punct-corpus analyzed tokens: text || _PUNCT_SUFFIX tokenized with the
+# ENGINE'S rule expressed in SQL — lowercase, protect UAX#29 mid-word
+# punctuation (apostrophe between letters, './,' between digits) with
+# control-char placeholders (each pass twice for overlapping seams), split
+# on the extended class, restore, stop-filter.  Any engine-side analyzer
+# drift on these characters breaks the value hash.
+_PUNCT_TOK = f"""
+ptxt AS (SELECT doc_id, text || '{_PUNCT_SUFFIX.replace("'", "''")}' AS text
+         FROM documents),
+prot AS (SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    lower(text),
+    '([a-z])''([a-z])', '\\1' || chr(1) || '\\2', 'g'),
+    '([a-z])''([a-z])', '\\1' || chr(1) || '\\2', 'g'),
+    '([0-9])\\.([0-9])', '\\1' || chr(2) || '\\2', 'g'),
+    '([0-9])\\.([0-9])', '\\1' || chr(2) || '\\2', 'g'),
+    '([0-9]),([0-9])', '\\1' || chr(3) || '\\2', 'g'),
+    '([0-9]),([0-9])', '\\1' || chr(3) || '\\2', 'g') AS t
+  FROM ptxt),
+ptokens AS (SELECT doc_id,
+    replace(replace(replace(u.tok, chr(1), ''''), chr(2), '.'), chr(3), ',') AS term
+  FROM prot, UNNEST(list_filter(string_split_regex(t,
+       '[^a-z0-9' || chr(1) || chr(2) || chr(3) || ']+'), x -> x <> '')) u(tok)),
+tok AS (SELECT doc_id, term FROM ptokens
+        WHERE term NOT IN ({STOPWORDS_SQL_LIST})),
+tf AS (SELECT doc_id, term, count(*)::double tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double dl FROM tok GROUP BY 1),
+st AS (SELECT count(*)::double n, avg(dl) avgdl FROM dl),
+dfx AS (SELECT term, count(*)::double df FROM tf GROUP BY 1)
 """
 
 # raw tokens (ops tokenizer: split on non-alnum, keep stopwords)
@@ -304,6 +358,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(mut_upsert_search=mut_upsert_search,
              mut_delete_search=mut_delete_search, mut_docs_sha=mut_docs_sha)
 
+    # ---- analyzer fidelity over word-internal punctuation (A1, UAX#29):
+    # the oracle re-implements the SAME tokenization rule in SQL, so any
+    # engine/Lucene divergence on apostrophes or numerics fails the hash
+    def ft_punct_doc_len(spark, sf):
+        cat, _ = _punct_engine(spark, sf)
+        lens = cat.table("field_lens").read(spark).where(F.col("field") == "text")
+        meta = cat.table("docs_meta").read(spark).select("doc_id", "path")
+        return (lens.join(meta, "doc_id")
+                .select(F.col("path").cast("int").cast("bigint").alias("doc_id"),
+                        F.col("dl").cast("bigint").alias("dl")))
+
+    def ft_punct_term(spark, sf):  # BM25 over apostrophe + numeric tokens
+        _, eng = _punct_engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "don't 3.14", limit=1_000_000))
+
+    q.update(ft_punct_doc_len=ft_punct_doc_len, ft_punct_term=ft_punct_term)
+
     # ---- event-time windows over the events stream table ----
     def _events(spark, sf):
         return spark.read.parquet(os.path.join(sf, "events.parquet"))
@@ -340,9 +411,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
     def dedup_minhash(spark, sf):
+        # full two-stage pipeline: banded-LSH candidates -> exact Jaccard
+        # verification over the CANDIDATE docs' shingles only (O(candidates))
         d = _documents(spark, sf)
-        return D.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=8,
-                                   bands=4, verify_threshold=None)
+        out = D.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=8,
+                                  bands=4, verify_threshold=0.4)
+        return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
     def dedup_simhash(spark, sf):
         d = _documents(spark, sf)
@@ -379,8 +453,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          threshold=0.35, cluster_col="label")
         return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
+    def sim_ivf_kmeans(spark, sf):
+        # IVF with the deterministic seeded k-means quantizer (no label
+        # column): md5-smallest seeds -> 1 Lloyd iteration -> probe 2 of 4
+        emb = _embeddings(spark, sf)
+        corpus = emb.select(F.col("vec_id").alias("id"),
+                            F.col("embedding").alias("vec"))
+        qs = (emb.where(F.col("vec_id") < 3)
+              .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")))
+        out = S.ivf_topk(corpus, qs, "id", "vec", cluster_col=None,
+                         k=5, nprobe=2, n_cells=4)
+        return out.select("query_id", "id", F.round("cosine", 6).alias("cosine"))
+
     q.update(sim_cosine_topk=sim_cosine_topk, sim_ivf_topk=sim_ivf_topk,
-             dedup_embedding=dedup_embedding)
+             sim_ivf_kmeans=sim_ivf_kmeans, dedup_embedding=dedup_embedding)
 
     # ---- text analysis ----
     def text_token_counts(spark, sf):
@@ -539,6 +625,22 @@ SELECT doc_id,
 FROM documents WHERE source <> 'src3'
 """
 
+    o["ft_punct_doc_len"] = f"""
+WITH {_PUNCT_TOK}
+SELECT doc_id, count(*)::bigint AS dl FROM tok GROUP BY doc_id
+"""
+
+    o["ft_punct_term"] = f"""
+WITH {_PUNCT_TOK},
+scores AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('don''t', '3.14')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id
+"""
+
     o["dedup_exact"] = """
 SELECT sha256(text) AS content_sha256, count(*)::bigint AS n_dups,
        min(doc_id) AS keep_id
@@ -571,9 +673,22 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.4
 WITH {_RAWTOK},
 {_shingle_sql(3)},
 sig AS (SELECT doc_id AS id, {minh} FROM sh GROUP BY doc_id),
-bands AS ({bands_union})
-SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+bands AS ({bands_union}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+sz AS (SELECT doc_id, count(*)::double sz FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*)::double i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY c.id_a, c.id_b)
+SELECT c.id_a, c.id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM cand c
+JOIN inter USING (id_a, id_b)
+JOIN sz sa ON sa.doc_id = c.id_a
+JOIN sz sb ON sb.doc_id = c.id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.4
 """
     # NOTE: engine band key = concat_ws('_', band, sig[i0], sig[i1]); oracle
     # band column + 'm0_m1' key is the same partition of pairs.
@@ -660,6 +775,47 @@ scored AS (
   JOIN probe p ON e.label = p.label
   JOIN q ON q.query_id = p.query_id
   WHERE e.vec_id <> q.query_id)
+SELECT query_id, id, round(cosine, 6) AS cosine FROM scored WHERE rk <= 5
+"""
+
+    seed_h = md5_long_sql("cast(id as varchar)")
+    o["sim_ivf_kmeans"] = f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+seeds AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS cell, vec AS cvec
+          FROM (SELECT id, vec, {seed_h} AS h FROM v ORDER BY h, id LIMIT 4)),
+a1 AS (SELECT id, cell FROM (
+         SELECT v.id, s.cell,
+                row_number() OVER (PARTITION BY v.id
+                    ORDER BY list_cosine_similarity(v.vec, s.cvec) DESC, s.cell) rk
+         FROM v CROSS JOIN seeds s) WHERE rk = 1),
+m AS (SELECT cell, i, round(avg(vec[i]), 9) AS m
+      FROM a1 JOIN v USING (id), UNNEST(generate_series(1, 64)) s(i)
+      GROUP BY cell, i),
+cent AS (SELECT cell, list(m ORDER BY i) AS cvec FROM m GROUP BY cell),
+a2 AS (SELECT id, cell FROM (
+         SELECT v.id, c.cell,
+                row_number() OVER (PARTITION BY v.id
+                    ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC, c.cell) rk
+         FROM v CROSS JOIN cent c) WHERE rk = 1),
+pc AS (SELECT cell, i, avg(vec[i]) AS c
+       FROM a2 JOIN v USING (id), UNNEST(generate_series(1, 64)) s(i)
+       GROUP BY cell, i),
+pcent AS (SELECT cell, list(c ORDER BY i) AS cvec FROM pc GROUP BY cell),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 3),
+probe AS (SELECT query_id, cell FROM (
+            SELECT q.query_id, p.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(p.cvec, q.qv) DESC, p.cell) rk
+            FROM q CROSS JOIN pcent p) WHERE rk <= 2),
+scored AS (SELECT q.query_id, v.id,
+                  list_cosine_similarity(v.vec, q.qv) AS cosine,
+                  row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY list_cosine_similarity(v.vec, q.qv) DESC, v.id) rk
+           FROM v JOIN a2 USING (id)
+           JOIN probe p ON a2.cell = p.cell
+           JOIN q ON q.query_id = p.query_id
+           WHERE v.id <> q.query_id)
 SELECT query_id, id, round(cosine, 6) AS cosine FROM scored WHERE rk <= 5
 """
 

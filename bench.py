@@ -73,10 +73,19 @@ def main() -> None:
     for name, fn in queries:
         timed(name, fn)
 
-    # batched throughput: 64 distinct-id queries, one distributed job
-    batch = [(f"b{i}", None, ["table", "join hash", "scan index", '"table hash"',
-                              "merge", "query plan", "[sc TO sz]", "hash AND join"][i % 8])
-             for i in range(64)]
+    # batched throughput: 64 DISTINCT queries, one distributed job (identical
+    # queries are deduped inside search_many, so repeats would measure less)
+    words = ["table", "join", "hash", "scan", "index", "merge", "query",
+             "plan", "spark", "data", "group", "sort", "filter", "read",
+             "write", "cache"]
+
+    def mk_q(i):
+        a, b = words[i % len(words)], words[(3 * i + 1) % len(words)]
+        kind = i % 8
+        return [a, f"{a} {b}", f"{a} AND {b}", f'"{a} {b}"', f"{a} -{b}",
+                f"+{a} +{b}", f"[{a[:2]} TO {a[:2]}z]", f"{a} {b} table"][kind]
+
+    batch = [(f"b{i}", None, mk_q(i)) for i in range(64)]
     timed("q_batch64", lambda: engine.search_many(batch, limit=10).count(), runs=2)
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))

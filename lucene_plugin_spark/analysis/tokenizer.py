@@ -40,7 +40,22 @@ from lucene_plugin_spark.analysis.stopwords import ENGLISH_STOP_WORDS
 #   ACRONYMWord seam           HTTPServer -> HTTP Server
 _CAMEL_1 = (r"([a-z0-9])([A-Z])", r"\1 \2")
 _CAMEL_2 = (r"([A-Z])([A-Z][a-z])", r"\1 \2")
-_SPLIT_RE = "[^a-z0-9]+"
+
+# UAX#29 word-internal punctuation (Lucene StandardTokenizer semantics,
+# LuceneIndexBean.java:666): an apostrophe BETWEEN letters (MidLetter) and a
+# '.'/',' BETWEEN digits (MidNum) do not break the token — don't -> don't,
+# 3.14 -> 3.14, 1,024 -> 1,024; dogs' -> dogs (edge punctuation still
+# splits).  RE2 has no lookarounds, so the kept characters are swapped for
+# control-char placeholders before the split and restored on the (small)
+# batch vocabulary afterwards.  Each pattern runs twice: a consumed capture
+# can hide an overlapping seam (a'b'c, 1.2.3).
+_MID_PROTECT = (
+    (r"([a-z])'([a-z])", "\\1\x01\\2"),
+    (r"([0-9])\.([0-9])", "\\1\x02\\2"),
+    (r"([0-9]),([0-9])", "\\1\x03\\2"),
+)
+_MID_RESTORE = (("\x01", "'"), ("\x02", "."), ("\x03", ","))
+_SPLIT_RE = "[^a-z0-9\x01\x02\x03]+"
 
 _EMPTY = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64),
           pa.array([], type=pa.string()))
@@ -75,8 +90,17 @@ def tokenize_codes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]
         return _EMPTY
     s = pc.replace_substring_regex(arr, pattern=_CAMEL_1[0], replacement=_CAMEL_1[1])
     s = pc.replace_substring_regex(s, pattern=_CAMEL_2[0], replacement=_CAMEL_2[1])
-    s = pc.replace_substring(s, pattern="_", replacement=" ")
+    # no explicit snake_case pass: '_' is outside [a-z0-9], so the split
+    # regex separates snake segments with identical tokens AND positions —
+    # one fewer full string copy in a memory-bandwidth-bound kernel
     s = pc.utf8_lower(s)
+    # the protect passes cost 6 full string scans — skip them when the batch
+    # has no word-internal punctuation candidates at all (pure-alnum corpora)
+    has_mid = bool(pc.any(pc.match_substring_regex(s, "['.,]")).as_py())
+    if has_mid:
+        for pat, rep in _MID_PROTECT:
+            s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
+            s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
     lists = pc.split_pattern_regex(s, pattern=_SPLIT_RE)
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()
@@ -107,6 +131,9 @@ def tokenize_codes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]
         d = d.combine_chunks()
     code = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = d.dictionary
+    if has_mid:  # restore protected mid-word punctuation on the small vocab
+        for ph, ch in _MID_RESTORE:
+            vocab = pc.replace_substring(vocab, pattern=ph, replacement=ch)
     # stop filter applied on the (small) vocab, then gathered per token
     stop_mask = pc.is_in(vocab, value_set=_STOP_ARRAY).to_numpy(zero_copy_only=False)
     if stop_mask.dtype == object:

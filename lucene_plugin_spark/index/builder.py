@@ -329,7 +329,17 @@ class IndexBuilder:
 
         # ---- compressed doc-range segments: the fused tokenize->blocks map
         # pass (analysis + W1 inverted-index build + per-slice norms), NO
-        # shuffle — task in = one doc-slice, task out = that slice's file
+        # shuffle — task in = one doc-slice, task out = that slice's file.
+        #
+        # Bandwidth-aware concurrency: the fused kernel is memory-bandwidth
+        # bound (Arrow string kernels), and on a single socket aggregate
+        # throughput PEAKS below the core count once concurrent streams
+        # saturate the memory controller (measured here: per-task tokenize
+        # time is flat through 16 concurrent workers, 2.6x at 32 — so 16
+        # tasks outperform 32).  LPS_FUSED_TASKS caps the stage's concurrent
+        # tasks via a shuffle-free coalesce (adjacent range partitions merge,
+        # slices stay whole).  On a multi-executor cluster each executor
+        # brings its own socket, so the cap is per-host there.
         if not self._stage_done("segments", fp):
             if meta_df is not None:
                 seg_src = meta_df
@@ -345,7 +355,19 @@ class IndexBuilder:
             cols = ["dslice", "doc_id", "content"]
             if "fields" in seg_src.columns:
                 cols.append("fields")
-            seg = seg_src.select(*cols).mapInArrow(
+            seg_in = seg_src.select(*cols)
+            import os as _os
+            fused_tasks = int(_os.environ.get("LPS_FUSED_TASKS", "0"))
+            if fused_tasks <= 0 and \
+                    self.spark.sparkContext.master.startswith("local") and \
+                    self.spark.sparkContext.defaultParallelism > 16:
+                # single-socket local mode: measured knee of the memory
+                # controller is ~16 concurrent Arrow-kernel streams — beyond
+                # it per-task time inflates faster than parallelism grows
+                fused_tasks = 16
+            if fused_tasks > 0:
+                seg_in = seg_in.coalesce(fused_tasks)
+            seg = seg_in.mapInArrow(
                 fused.make_fused_segment_kernel(self.docs_per_slice, self.block_size),
                 fused.SEGMENT_DDL)
             self.catalog.table("segments").overwrite(

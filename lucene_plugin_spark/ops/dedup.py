@@ -75,6 +75,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """(id_a, id_b, jaccard) for pairs with shingle-Jaccard >= threshold.
 
     Equi-join on shingle -> |A∩B| per pair; sizes joined back for the union.
+    Corpus-wide this join is quadratic in per-shingle document frequency —
+    use it as a small-corpus baseline or a candidate VERIFIER (see
+    :func:`jaccard_for_pairs`), never as the full-corpus near-dup path.
     """
     sh = shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -93,16 +96,48 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     return out
 
 
+def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard for GIVEN candidate pairs only.
+
+    ``sh``: (id, shingle) rows; ``pairs``: (id_a, id_b).  The shingle table is
+    first semi-joined to the candidate ids, so the expensive shingle equi-join
+    touches only candidate docs' shingles — O(candidates), independent of
+    corpus size (the scale contract of the LSH->verify pipeline).  Returns
+    (id_a, id_b, jaccard) for every input pair.
+    """
+    cand_ids = (pairs.select(F.col("id_a").alias("id"))
+                .unionByName(pairs.select(F.col("id_b").alias("id")))
+                .distinct())
+    sh_c = sh.join(cand_ids, "id", "left_semi")
+    sizes = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (pairs
+             .join(sh_c.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+             .join(sh_c.select(F.col("id").alias("id_b"), "shingle"),
+                   ["id_b", "shingle"])
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
+    return (pairs
+            .join(inter, ["id_a", "id_b"], "left")
+            .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+            .select("id_a", "id_b",
+                    (F.coalesce(F.col("inter"), F.lit(0)) /
+                     (F.col("sz_a") + F.col("sz_b")
+                      - F.coalesce(F.col("inter"), F.lit(0)))).alias("jaccard")))
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       n: int = 3, num_hashes: int = 16) -> DataFrame:
+                       n: int = 3, num_hashes: int = 16,
+                       sh: DataFrame | None = None) -> DataFrame:
     """(id, sig array<long>): sig[j] = min over shingles of h_j(shingle).
 
     One md5 per shingle, then a cheap affine mix per hash function
     (h_j = (a_j*md5 + b_j) mod p) — K minhashes cost ONE digest instead of
-    K, and the family is portable to the SQL oracle."""
+    K, and the family is portable to the SQL oracle.  ``sh`` accepts a
+    prebuilt (id, shingle) frame so callers can share one shingle pass."""
     from lucene_plugin_spark.ops.hashing import minhash_mix
-    sh = shingles(df, id_col, text_col, n).withColumn(
-        "h0", md5_long(F.col("shingle")))
+    if sh is None:
+        sh = shingles(df, id_col, text_col, n)
+    sh = sh.withColumn("h0", md5_long(F.col("shingle")))
     mins = [F.min(minhash_mix(F.col("h0"), j)).alias(f"m{j}")
             for j in range(num_hashes)]
     sig = sh.groupBy("id").agg(*mins)
@@ -116,10 +151,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
     ``bands`` bands of ``num_hashes/bands`` rows; candidates share at least
     one full band.  With verify_threshold set, candidates are verified with
-    exact shingle Jaccard (the standard two-stage near-dup pipeline).
+    exact shingle Jaccard computed over the CANDIDATE docs' shingles only
+    (:func:`jaccard_for_pairs`) — the standard two-stage near-dup pipeline
+    with a verify stage that stays O(candidates) at any corpus size.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sh = shingles(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, sh=sh)
     band_rows = []
     for b in range(bands):
         key = F.concat_ws("_", F.lit(b),
@@ -135,32 +173,53 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b").distinct())
     if verify_threshold is None:
         return cand
-    ver = ngram_jaccard_pairs(df, id_col, text_col, n, verify_threshold)
-    return cand.join(ver, ["id_a", "id_b"])
+    ver = jaccard_for_pairs(sh, cand)
+    return ver.where(F.col("jaccard") >= verify_threshold)
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash): 64-bit SimHash over token md5 hashes, tf-weighted.
 
-    Bit-fold is a vectorized pandas UDF (numpy bit ops over Arrow batches);
-    token hashing stays JVM-side.
+    Bit-fold runs as ONE ``mapInPandas`` segment reduction per partition
+    (ids are co-located by the repartition): each Arrow batch contributes
+    per-id bit sums via ``np.add.reduceat``, partial sums accumulate across
+    batches, and the fold emits once per partition — no per-document Python
+    group overhead (millions of tiny applyInPandas groups would pay per-group
+    serialization at billions of docs).  Token hashing stays JVM-side.
     """
     t = (_tokens(df, id_col, text_col)
          .groupBy("id", "token").agg(F.count(F.lit(1)).alias("w"))
-         .withColumn("h", md5_long("token")))
+         .withColumn("h", md5_long("token"))
+         .repartition(F.col("id")))
 
-    from pyspark.sql.types import StructType, StructField
-    schema = StructType([StructField("id", LongType()), StructField("simhash", LongType())])
+    from typing import Iterator
 
-    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        hv = pdf["h"].to_numpy(np.uint64)
-        wv = pdf["w"].to_numpy(np.int64)
-        bits = ((hv[:, None] >> np.arange(60, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        contrib = np.where(bits == 1, wv[:, None], -wv[:, None]).sum(axis=0)
-        val = int(((contrib > 0).astype(np.uint64) << np.arange(60, dtype=np.uint64)).sum())
-        return pd.DataFrame({"id": [pdf["id"].iloc[0]], "simhash": [np.int64(val)]})
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(60, dtype=np.uint64)
+        acc: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(np.int64)
+            hv = pdf["h"].to_numpy(np.uint64)
+            wv = pdf["w"].to_numpy(np.int64)
+            order = np.argsort(ids, kind="mergesort")
+            ids, hv, wv = ids[order], hv[order], wv[order]
+            bits = ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            contrib = np.where(bits == 1, wv[:, None], -wv[:, None])
+            starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+            sums = np.add.reduceat(contrib, starts, axis=0)
+            for uid, srow in zip(ids[starts], sums):
+                prev = acc.get(int(uid))
+                acc[int(uid)] = srow if prev is None else prev + srow
+        if not acc:
+            return
+        uids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+        mat = np.stack([acc[int(u)] for u in uids])
+        vals = ((mat > 0).astype(np.uint64) << shifts).sum(axis=1).astype(np.int64)
+        yield pd.DataFrame({"id": uids, "simhash": vals})
 
-    return t.groupBy("id").applyInPandas(agg, schema=schema)
+    return t.mapInPandas(fold, schema="id long, simhash long")
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,

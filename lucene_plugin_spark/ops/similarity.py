@@ -7,10 +7,10 @@
   shuffle of the corpus.
 - ``ivf_topk``: the scale path — coarse quantization (IVF): corpus vectors
   are bucketed by nearest centroid; a query probes only ``nprobe`` buckets.
-  Centroids here come from a provided label/cluster column or a deterministic
-  k-means-- (single Lloyd iteration from seeded init) — at 100 TB the
-  centroid table is broadcast and the corpus scan is partition-pruned by
-  centroid id.
+  Centroids come from a provided label/cluster column or from
+  ``kmeans_cells`` — a deterministic seeded k-means (md5-smallest seeds +
+  Lloyd iterations) — at 100 TB the centroid table is broadcast and the
+  corpus scan is partition-pruned by centroid id.
 - ``embedding_norms`` precomputes L2 norms once (stored with the corpus) so
   repeated queries never recompute them.
 """
@@ -61,14 +61,69 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             .where(F.col("rk") <= k).drop("rk"))
 
 
+def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(id, cell): nearest centroid by cosine, ties to the smallest cell id.
+    ``centroids`` (cell, cvec) is broadcast — the corpus never shuffles."""
+    from pyspark.sql import Window
+    scored = (vectors.crossJoin(F.broadcast(centroids))
+              .select("id", "cell",
+                      (_dot(F.col("vec"), F.col("cvec"))
+                       / (_norm(F.col("vec")) * _norm(F.col("cvec")))).alias("csim")))
+    w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cell"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1).select("id", "cell"))
+
+
+def kmeans_cells(corpus: DataFrame, id_col: str, vec_col: str, k: int = 8,
+                 iters: int = 1) -> DataFrame:
+    """Deterministic seeded k-means coarse quantizer -> (id, cell).
+
+    Seeds: the ``k`` corpus vectors with the smallest md5(id) (order-free,
+    reproducible, oracle-expressible).  Then ``iters`` Lloyd iterations:
+    assign by broadcast-centroid cosine, recompute centroids as per-cell
+    per-dimension means (posexplode -> groupBy(cell, dim) — Spark's map-side
+    partial aggregation makes the shuffle k*dim rows, not corpus-sized).
+    Centroid components are rounded to 9 decimals so assignment does not
+    depend on floating-point summation order across partitions.
+    """
+    from lucene_plugin_spark.ops.hashing import md5_long
+    spark = corpus.sparkSession
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    seeds = (c.withColumn("h", md5_long(F.col("id").cast("string")))
+             .orderBy("h", "id").limit(k).select("vec").collect())
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in r["vec"]]) for i, r in enumerate(seeds)],
+        "cell int, cvec array<double>")
+    for _ in range(iters):
+        asg = _assign_cells(c, cent)
+        means = (asg.join(c, "id")
+                 .select("cell", F.posexplode("vec").alias("i", "x"))
+                 .groupBy("cell", "i").agg(F.round(F.avg("x"), 9).alias("m"))
+                 .groupBy("cell")
+                 .agg(F.transform(F.sort_array(F.collect_list(F.struct("i", "m"))),
+                                  lambda s: s["m"]).alias("cvec")))
+        cent = means
+    return _assign_cells(c, cent)
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
-             cluster_col: str, k: int = 10, nprobe: int = 2) -> DataFrame:
+             cluster_col: str | None = None, k: int = 10, nprobe: int = 2,
+             n_cells: int = 8) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest centroids only.
 
     ``cluster_col`` assigns each corpus vector to a coarse cell (a label, a
-    k-means id, ...).  Centroids = per-cell mean vectors (tiny, broadcast).
-    At scale the corpus is partitioned by cell so probing prunes partitions.
+    k-means id, ...); when None, cells come from the deterministic seeded
+    :func:`kmeans_cells` quantizer (one Lloyd iteration).  Centroids =
+    per-cell mean vectors (tiny, broadcast).  At scale the corpus is
+    partitioned by cell so probing prunes partitions.
     """
+    if cluster_col is None:
+        cells_map = kmeans_cells(corpus, id_col, vec_col, k=n_cells)
+        corpus = (corpus.withColumnRenamed(id_col, "id")
+                  .join(cells_map, "id")
+                  .withColumnRenamed("id", id_col)
+                  .withColumnRenamed("cell", "__ivf_cell__"))
+        cluster_col = "__ivf_cell__"
     dim_df = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1)
     dim = dim_df.collect()[0]["d"]
     cells = corpus.select(F.col(cluster_col).alias("cell"),

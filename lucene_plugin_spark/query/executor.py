@@ -309,8 +309,18 @@ class SearchEngine:
         stats = self._field_stats()
         compiled = []
         all_pairs: set[tuple[str, str]] = set()
+        # identical (repo, query) entries are evaluated ONCE in the kernel and
+        # fanned back out to every alias qid afterwards (a query stream with
+        # repeats pays per-distinct-query, like the reference's results cache)
+        rep_of: dict[tuple[str | None, str], str] = {}
+        alias_rows: list[tuple[str, str]] = []
         for qid, repo, q in queries:
             ckey = (repo, q)
+            if ckey in rep_of:
+                alias_rows.append((rep_of[ckey], qid))
+                continue
+            rep_of[ckey] = qid
+            alias_rows.append((qid, qid))
             cached = self._compile_cache.get(ckey)
             if cached is None:
                 node = parse_query(q)
@@ -361,9 +371,14 @@ class SearchEngine:
         topk = (hits.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") <= limit).drop("_rn"))
         # broadcast the (batch x k)-row hit set, probe docs_meta (S7 shape)
-        return (meta.join(F.broadcast(topk), "doc_id")
-                .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
-                .select("query_id", "doc_id", "path", "score"))
+        out = (meta.join(F.broadcast(topk), "doc_id")
+               .select("query_id", "doc_id", "path", "score"))
+        if len(alias_rows) > len(rep_of):  # duplicates present: fan out
+            amap = self.spark.createDataFrame(alias_rows, "rep string, qid string")
+            out = (out.withColumnRenamed("query_id", "rep")
+                   .join(F.broadcast(amap), "rep")
+                   .select(F.col("qid").alias("query_id"), "doc_id", "path", "score"))
+        return out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
 
     # ----------------------------------------------------- DataFrame strategy
     def _leaf_scores_df(self, leaves: list[Node], range_terms) -> DataFrame | None:

@@ -132,3 +132,50 @@ def test_score_ordering(facade):
     scores = [e.score for e in r]
     assert scores == sorted(scores, reverse=True)
     assert r[0].external_id == "b"  # shortest doc, same tf -> highest norm
+
+
+# --- TestSearchByFirstWord.java:29-70 across formats (Tika analogue, S3) -----------
+def test_index_file_formats(facade, tmp_path):
+    """The same passage indexed as .txt/.xml/.html/.json — first and last
+    words must be reachable through every format's extraction."""
+    body = LOREM
+    files = {
+        "test-00.txt": body,
+        "test-00.xml": ("<?xml version=\"1.0\"?><doc><title>t</title>"
+                        f"<body>{body}</body></doc>"),
+        "test-00.html": f"<html><head><title>x</title></head><body><p>{body}</p></body></html>",
+        "test-00.json": '{"meta": {"k": 1}, "chunks": ["' + body[:60] + '", "'
+                        + body[60:].replace('"', '') + '"]}',
+    }
+    paths = []
+    for name, content in files.items():
+        p = tmp_path / name
+        p.write_text(content, encoding="utf-8")
+        facade.index_file("default", str(p))
+        paths.append(str(p))
+    assert ids(facade.search("default", "Lorem")) == sorted(paths)
+    assert ids(facade.search("default", "versions")) == sorted(paths)
+
+
+def test_index_file_unsupported_format_raises(facade, tmp_path):
+    from lucene_plugin_spark.ops.extract import UnsupportedFormatError
+    p = tmp_path / "doc.pdf"
+    p.write_text("%PDF-1.4 not really", encoding="utf-8")
+    import pytest as _pytest
+    with _pytest.raises(UnsupportedFormatError):
+        facade.index_file("default", str(p))
+
+
+def test_bulk_extract_text(spark):
+    """Spark-side extraction: xml/html JVM tag-strip, json via mapInPandas."""
+    from lucene_plugin_spark.ops.extract import extract_text
+    rows = [
+        ("a", "<doc><b>hello &amp; goodbye</b> world</doc>"),
+        ("b", '{"x": ["json text", {"y": "nested value"}], "n": 3}'),
+        ("c", "plain text stays"),
+    ]
+    df = spark.createDataFrame(rows, "id string, content string")
+    got = {r["id"]: r["content"] for r in extract_text(df).collect()}
+    assert got["a"] == "hello & goodbye world"
+    assert got["b"] == "json text nested value"
+    assert got["c"] == "plain text stays"

@@ -81,8 +81,22 @@ for rep in range(3):
         engine.search(None, q, limit=10).collect()
         lat.append(time.perf_counter() - t1)
 lat_warm = sorted(lat[len(queries):])
-# batched throughput: 64 distinct-id queries over the suite, 2 runs
-batch = [(f"q{{i}}", None, queries[i % len(queries)]) for i in range(64)]
+# batched throughput: 64 DISTINCT queries (a repeated-8 batch would be
+# answered per-distinct-query by the search_many dedup and measure nothing)
+from lucene_plugin_spark.corpus import _STEMS
+def _mk_query(i):
+    a = _STEMS[i % len(_STEMS)]
+    b = _STEMS[(3 * i + 1) % len(_STEMS)]
+    kind = i % 8
+    if kind == 0: return a
+    if kind == 1: return f"{{a}} {{b}}"
+    if kind == 2: return f"{{a}} AND {{b}}"
+    if kind == 3: return f'"{{a}} {{b}}"'
+    if kind == 4: return a + b.capitalize()
+    if kind == 5: return f"{{a}} -{{b}}"
+    if kind == 6: return f"+{{a}} +{{b}}"
+    return f"[{{a[:2]}} TO {{a[:2]}}z]"
+batch = [(f"q{{i}}", None, _mk_query(i)) for i in range(64)]
 runs = []
 for _ in range(2):
     t1 = time.perf_counter()
