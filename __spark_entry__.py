@@ -395,8 +395,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from lucene_plugin_spark.ops import windows as W
         return W.json_props(_events(spark, sf))
 
+    def ev_sliding_counts(spark, sf):  # overlapping windows (1h / 30m slide)
+        from lucene_plugin_spark.ops import windows as W
+        return W.sliding_counts(_events(spark, sf)).select(
+            "window_start", "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"), "sum_value")
+
     q.update(ev_window_counts=ev_window_counts, ev_sessionize=ev_sessionize,
-             ev_json_extract=ev_json_extract)
+             ev_json_extract=ev_json_extract, ev_sliding_counts=ev_sliding_counts)
 
     # ---- dedup suite ----
     def dedup_exact(spark, sf):
@@ -423,8 +429,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sh = D.simhash64(d, "doc_id", "text")
         return sh.select(F.col("id").alias("doc_id"), "simhash")
 
+    def dedup_simhash_pairs(spark, sf):  # 4-block pigeonhole LSH, hamming<=3
+        d = _documents(spark, sf)
+        out = D.simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+        return out.select("id_a", "id_b",
+                          F.col("hamming").cast("bigint").alias("hamming"))
+
     q.update(dedup_exact=dedup_exact, dedup_ngram_pairs=dedup_ngram_pairs,
-             dedup_minhash=dedup_minhash, dedup_simhash=dedup_simhash)
+             dedup_minhash=dedup_minhash, dedup_simhash=dedup_simhash,
+             dedup_simhash_pairs=dedup_simhash_pairs)
 
     # ---- similarity search ----
     def sim_cosine_topk(spark, sf):
@@ -704,6 +717,32 @@ tw AS (SELECT doc_id AS id, token, count(*)::bigint w,
        FROM rtok GROUP BY doc_id, token),
 bits AS ({simbits})
 SELECT id AS doc_id, sum(bit << b)::bigint AS simhash FROM bits GROUP BY id
+"""
+
+    o["dedup_simhash_pairs"] = f"""
+WITH {_RAWTOK},
+tw AS (SELECT doc_id AS id, token, count(*)::bigint w,
+              {md5_long_sql('token')} AS h
+       FROM rtok GROUP BY doc_id, token),
+bits AS ({simbits}),
+sim AS (SELECT id, sum(bit << b)::bigint AS simhash FROM bits GROUP BY id),
+blk AS (SELECT id, simhash, u.b, (simhash >> (u.b * 15)) & 32767 AS bkey
+        FROM sim, UNNEST([0, 1, 2, 3]) u(b)),
+cand AS (SELECT DISTINCT a.id AS id_a, a.simhash AS sa,
+                b2.id AS id_b, b2.simhash AS sb
+         FROM blk a JOIN blk b2
+           ON a.b = b2.b AND a.bkey = b2.bkey AND a.id < b2.id)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::bigint AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+    o["ev_sliding_counts"] = """
+SELECT epoch(s)::bigint AS window_start, event_type,
+       count(*)::bigint AS n_events, round(sum(value), 6) AS sum_value
+FROM events,
+     UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+             time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) u(s)
+GROUP BY 1, 2
 """
 
     o["sim_cosine_topk"] = """

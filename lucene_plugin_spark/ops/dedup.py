@@ -224,12 +224,22 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
                        max_hamming: int = 3) -> DataFrame:
-    """(id_a, id_b, hamming) pairs within Hamming distance, via 4-block LSH
-    (pigeonhole: <=3 differing bits => at least one 15-bit block equal)."""
+    """(id_a, id_b, hamming) pairs within Hamming distance, via block LSH.
+
+    The 60-bit simhash is split into ``max_hamming + 1`` contiguous blocks
+    (pigeonhole: <= max_hamming differing bits => at least one block equal),
+    candidates equi-join on (block, block-key), and exact ``bit_count(xor)``
+    filters to the radius.  max_hamming=3 gives the classic 4 x 15-bit
+    layout; larger radii trade narrower keys (more candidates) for the same
+    recall guarantee."""
     sh = simhash64(df, id_col, text_col)
-    blocks = []
-    for b in range(4):
-        key = F.shiftrightunsigned(F.col("simhash"), b * 15).bitwiseAND(F.lit((1 << 15) - 1))
+    nb = max_hamming + 1
+    base, rem = divmod(60, nb)
+    blocks, off = [], 0
+    for b in range(nb):
+        width = base + (1 if b < rem else 0)
+        key = F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(F.lit((1 << width) - 1))
+        off += width
         blocks.append(sh.select("id", "simhash", F.lit(b).alias("blk"), key.alias("bkey")))
     bl = blocks[0]
     for x in blocks[1:]:

@@ -38,6 +38,24 @@ def tumbling_counts(events: DataFrame, ts_col: str = "ts",
                     F.col(key_col), "n_events", "sum_value"))
 
 
+def sliding_counts(events: DataFrame, ts_col: str = "ts",
+                   key_col: str = "event_type", value_col: str = "value",
+                   window: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """(window_start, key, n_events, sum_value) per SLIDING window.
+
+    ``F.window(ts, window, slide)`` assigns each event to window/slide
+    overlapping windows (an internal explode — rows multiply by the overlap
+    factor, then the same two-phase hash aggregation as tumbling).  Streaming
+    form is identical under a watermark.
+    """
+    w = F.window(F.col(ts_col), window, slide)
+    return (events.groupBy(w.alias("w"), F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(value_col), 6).alias("sum_value"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("window_start"),
+                    F.col(key_col), "n_events", "sum_value"))
+
+
 def sessionize(events: DataFrame, ts_col: str = "ts",
                user_col: str = "user_id", value_col: str = "value",
                gap: str = "30 minutes") -> DataFrame:

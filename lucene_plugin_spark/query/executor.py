@@ -245,9 +245,44 @@ class SearchEngine:
                 terms = (td.where((F.col("field") == r.field)
                                   & (F.col("term") >= r.lo) & (F.col("term") <= r.hi))
                          .select("term").collect())
-                self._range_cache[key] = [x["term"] for x in terms]
+                self._range_cache[key] = sorted(x["term"] for x in terms)
             out[r] = self._range_cache[key]
         return out
+
+    def _prefetch_ranges(self, ranges: list[Range]) -> None:
+        """Expand MANY range leaves in ONE term_dict scan (batch path).
+
+        Each uncached (field, lo, hi) contributes one disjunct to a single
+        pushed filter; matched terms are assigned back to their ranges
+        driver-side (overlapping ranges each claim the term).  One Spark job
+        per batch instead of one per range query — the per-job fixed cost is
+        what flattens small-core batch scaling (range terms are
+        constant-score, so term order within a range is score-irrelevant;
+        sorted for determinism)."""
+        missing, seen = [], set()
+        for r in ranges:
+            key = (r.field, r.lo, r.hi)
+            if key not in self._range_cache and key not in seen:
+                seen.add(key)
+                missing.append(r)
+        if not missing:
+            return
+        cond = None
+        for r in missing:
+            c = ((F.col("field") == r.field)
+                 & (F.col("term") >= r.lo) & (F.col("term") <= r.hi))
+            cond = c if cond is None else (cond | c)
+        rows = (self._term_dict_df().where(cond)
+                .select("field", "term").collect())
+        hits: dict[tuple[str, str, str], list[str]] = {
+            (r.field, r.lo, r.hi): [] for r in missing}
+        for row in rows:
+            f, t = row["field"], row["term"]
+            for r in missing:
+                if r.field == f and r.lo <= t <= r.hi:
+                    hits[(r.field, r.lo, r.hi)].append(t)
+        for key, terms in hits.items():
+            self._range_cache[key] = sorted(terms)
 
     # ---------------------------------------------------------------- search
     def search(self, repo: str | None, query: str, limit: int = 255,
@@ -309,6 +344,21 @@ class SearchEngine:
         stats = self._field_stats()
         compiled = []
         all_pairs: set[tuple[str, str]] = set()
+        # prepass: parse every uncached query and expand ALL their range
+        # leaves in one term_dict job (one Spark job per batch, not one per
+        # range query — per-job fixed cost is serial driver time that does
+        # not shrink with cores)
+        prepass: dict[str, tuple] = {}
+        pending_ranges: list[Range] = []
+        for _qid, repo, q in queries:
+            if (repo, q) in self._compile_cache or q in prepass:
+                continue
+            leaves = _leaves_of(parse_query(q))
+            prepass[q] = leaves
+            pending_ranges += [l for grp in leaves for l in grp
+                               if isinstance(l, Range)]
+        if pending_ranges:
+            self._prefetch_ranges(pending_ranges)
         # identical (repo, query) entries are evaluated ONCE in the kernel and
         # fanned back out to every alias qid afterwards (a query stream with
         # repeats pays per-distinct-query, like the reference's results cache)
@@ -323,8 +373,8 @@ class SearchEngine:
             alias_rows.append((qid, qid))
             cached = self._compile_cache.get(ckey)
             if cached is None:
-                node = parse_query(q)
-                should, must, must_not = _leaves_of(node)
+                should, must, must_not = (prepass.get(q)
+                                          or _leaves_of(parse_query(q)))
                 range_terms = self._expand_ranges(should + must + must_not)
                 specs = _compile_leaf_specs(should, must, must_not, range_terms)
                 if not any(s["terms"] for s in specs if s["polarity"] != "must_not"):

@@ -153,3 +153,51 @@ def test_embedding_near_dup_pairs(spark):
                 embedding_near_dup_pairs(df, "id", "vec", threshold=0.95,
                                          cluster_col="cell").collect()}
     assert (0, 1) in bucketed and (0, 4) not in bucketed
+
+
+def test_sliding_counts_overlap(spark):
+    from lucene_plugin_spark.ops import windows as W
+    import pyspark.sql.functions as F
+    rows = [(1, 7, "view", "2024-01-01 10:10:00", 1.0),
+            (2, 7, "view", "2024-01-01 10:40:00", 2.0)]
+    ev = (spark.createDataFrame(rows, "event_id long, user_id long, "
+                                "event_type string, ts string, value double")
+          .withColumn("ts", F.to_timestamp("ts")))
+    out = {(r["window_start"], r["n_events"], r["sum_value"])
+           for r in W.sliding_counts(ev).collect()}
+    base = 1704103200  # 2024-01-01 10:00:00 UTC
+    # 10:10 -> windows starting 09:30, 10:00; 10:40 -> 10:00, 10:30
+    assert out == {(base - 1800, 1, 1.0), (base, 2, 3.0), (base + 1800, 1, 2.0)}
+
+
+def test_jaccard_for_pairs_matches_full(spark):
+    """Candidate-scoped Jaccard == corpus-wide Jaccard on the same pairs."""
+    from lucene_plugin_spark.ops import dedup as D
+    import pyspark.sql.functions as F
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over a lazy dog"),
+            (2, "completely different text with other words entirely"),
+            (3, "the quick brown fox jumps over the lazy dog")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in D.ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                           threshold=0.0).collect()}
+    sh = D.shingles(df, "doc_id", "text", 3)
+    pairs = spark.createDataFrame([(0, 1), (0, 3), (1, 2)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+           for r in D.jaccard_for_pairs(sh, pairs).collect()}
+    assert got[(0, 3)] == 1.0
+    assert got[(0, 1)] == full[(0, 1)]
+    assert got[(1, 2)] == full.get((1, 2), 0.0)  # zero-overlap pair -> 0.0
+
+
+def test_simhash_near_pairs_finds_near_dupes(spark):
+    from lucene_plugin_spark.ops import dedup as D
+    rows = [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappax"),
+            (2, "one two three four five six seven eight nine ten")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           D.simhash_near_pairs(df, "doc_id", "text", max_hamming=12).collect()}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got

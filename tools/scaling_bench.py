@@ -207,12 +207,21 @@ def main() -> None:
            "  same service threads overlap with compute for free, which",
            "  understates the pair.  True per-executor scaling lies between",
            "  the two pairs.",
-           "- **8 -> 32** runs into this box's measured hardware ceiling:",
-           "  under full 32-way load each core runs at ~0.70x its 8-way speed",
-           "  (fixed CPU spin: ~1.6 s at 8 concurrent procs, ~2.15 s at 32),",
-           "  capping ANY software at ~0.74 for that pair.  On a real cluster",
-           "  each added executor brings its own sockets, memory bandwidth and",
-           "  disks, which no single-box pair can emulate.",
+           "- **8 -> 32** hits this box's measured MEMORY-BANDWIDTH wall, not",
+           "  a software bottleneck (BENCH/PLANS.md §6): a pure-CPU spin is",
+           "  flat at 32-way (2.99 s vs 3.07 s solo), but the bandwidth-bound",
+           "  Arrow tokenize kernel runs 1.00 s/batch at 8- and 16-way and",
+           "  2.64 s at 32-way — the single socket's memory controller",
+           "  saturates between 16 and 32 concurrent streams, so 32",
+           "  concurrent fused tasks yield LESS aggregate throughput than 16",
+           "  (32/2.64 = 12.1 vs 16/1.00 = 16 units/s).  The builder",
+           "  therefore caps the fused stage at the knee in local mode",
+           "  (stage profile: BENCH/build_profile.json).  Disk-bound stages",
+           "  (ingest write, range shuffle, derived writes) are saturated at",
+           "  8 cores already.  On a real cluster each added executor brings",
+           "  its own socket, memory bandwidth and disks — the resources this",
+           "  pair cannot add — which is exactly why the design shards by",
+           "  doc-slice with zero cross-slice traffic.",
            "",
            "### Why the design scales past one box",
            "",
