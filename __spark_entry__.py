@@ -276,6 +276,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _, eng = _engine(spark, sf)
         return _hits_as_orig_ids(eng.search(None, "[sc TO sz]", limit=1_000_000))
 
+    def ft_wildcard(spark, sf):  # classic-parser wildcard (te*m expansion)
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "ta*e", limit=1_000_000))
+
+    def ft_fuzzy(spark, sf):  # classic-parser fuzzy (Levenshtein expansion)
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "spark~1", limit=1_000_000))
+
+    def ft_boost(spark, sf):  # per-leaf boost scales BM25 contribution
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "join^2 hash", limit=10))
+
     def ft_field_lang(spark, sf):  # field-qualified term (map field, S4)
         _, eng = _engine(spark, sf)
         return _hits_as_orig_ids(eng.search(None, "lang:en", limit=1_000_000))
@@ -313,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(ft_term_topk=ft_term_topk, ft_or_topk=ft_or_topk, ft_and=ft_and,
              ft_not=ft_not, ft_phrase=ft_phrase, ft_range=ft_range,
+             ft_wildcard=ft_wildcard, ft_fuzzy=ft_fuzzy, ft_boost=ft_boost,
              ft_field_lang=ft_field_lang, ft_collection=ft_collection,
              ft_term_dict=ft_term_dict, ft_doc_len=ft_doc_len,
              ft_corpus_stats=ft_corpus_stats, ft_sha256=ft_sha256)
@@ -581,6 +594,36 @@ WITH {_TOK}
 SELECT DISTINCT doc_id, cast(1.0 AS double) AS score
 FROM tok WHERE term >= 'sc' AND term <= 'sz'
 ORDER BY doc_id
+"""
+
+    # wildcard ta*e -> anchored-regex term expansion, constant-score union
+    o["ft_wildcard"] = f"""
+WITH {_TOK}
+SELECT DISTINCT doc_id, cast(1.0 AS double) AS score
+FROM tok WHERE regexp_matches(term, '^ta.*e$')
+ORDER BY doc_id
+"""
+
+    # fuzzy spark~1 -> classic Levenshtein <= 1 expansion, constant-score
+    # (both Spark's F.levenshtein and DuckDB's levenshtein are the classic DP)
+    o["ft_fuzzy"] = f"""
+WITH {_TOK}
+SELECT DISTINCT doc_id, cast(1.0 AS double) AS score
+FROM tok WHERE levenshtein(term, 'spark') <= 1
+ORDER BY doc_id
+"""
+
+    # join^2 hash: the boosted leaf's BM25 contribution scales by 2.0
+    o["ft_boost"] = f"""
+WITH {_TOK},
+scores AS (
+  SELECT tf.doc_id,
+         sum((CASE tf.term WHEN 'join' THEN 2.0 ELSE 1.0 END) * ({_BM25})) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'hash')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
     # lang:en over the single-token 'lang' field: dl=1, avgdl=1, tf=1,

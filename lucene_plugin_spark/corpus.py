@@ -137,4 +137,10 @@ QUERY_SET = [
     ("phrase_3", '"get user name"'),
     ("range", "[se TO st]"),
     ("grouped", "(merge OR block) AND stream"),
+    ("wildcard", "se*ent"),
+    ("prefix", "quer*"),
+    ("fuzzy", "segment~1"),
+    ("boost_term", "index^2 query"),
+    ("boost_phrase", '"user name"^3 cache'),
+    ("boost_range", "[se TO st]^2 merge"),
 ]

@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 
 from lucene_plugin_spark.analysis.tokenizer import tokenize_text
 from lucene_plugin_spark.query import bm25
+from lucene_plugin_spark.query.expand import EXPANDABLE, exp_match
 from lucene_plugin_spark.query.parser import parse_query, sanitize_collection
 from lucene_plugin_spark.query.plan import Bool, Node, Phrase, Range, Term
 
@@ -145,19 +146,24 @@ class OracleEngine:
         return should, must, must_not
 
     def _leaf_hits(self, leaf: Node, docs: list[OracleDoc]) -> dict[int, float]:
+        boost = getattr(leaf, "boost", 1.0)
         if isinstance(leaf, Term):
-            return self._term_hits(leaf.field, leaf.term, docs)
-        if isinstance(leaf, Range):
-            terms = sorted(t for t in self._all_terms(leaf.field)
-                           if leaf.lo <= t <= leaf.hi)
-            out = {}
+            hits = self._term_hits(leaf.field, leaf.term, docs)
+        elif isinstance(leaf, EXPANDABLE):
+            # Range/Wildcard/Fuzzy: constant-score rewrite over the expansion
+            terms = {t for t in self._all_terms(leaf.field)
+                     if exp_match(leaf, leaf.field, t)}
+            hits = {}
             for d in docs:
-                if any(t in {x for x, _ in d.tokens.get(leaf.field, [])} for t in terms):
-                    out[d.doc_id] = 1.0  # constant-score rewrite
-            return out
-        if isinstance(leaf, Phrase):
-            return self._phrase_hits(leaf, docs)
-        raise TypeError(leaf)
+                if terms & {x for x, _ in d.tokens.get(leaf.field, [])}:
+                    hits[d.doc_id] = 1.0
+        elif isinstance(leaf, Phrase):
+            hits = self._phrase_hits(leaf, docs)
+        else:
+            raise TypeError(leaf)
+        if boost != 1.0:
+            hits = {k: v * boost for k, v in hits.items()}
+        return hits
 
     def _term_hits(self, f: str, term: str, docs: list[OracleDoc]) -> dict[int, float]:
         n, avgdl = self._field_stats(f)

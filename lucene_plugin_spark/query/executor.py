@@ -39,7 +39,10 @@ from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
 from lucene_plugin_spark.index import codec
 from lucene_plugin_spark.query import bm25
 from lucene_plugin_spark.query.parser import parse_query, sanitize_collection
-from lucene_plugin_spark.query.plan import (Bool, Node, Phrase, Range, Term,
+from lucene_plugin_spark.query.expand import (EXPANDABLE, exp_cond, exp_key,
+                                              exp_match)
+from lucene_plugin_spark.query.plan import (Bool, Fuzzy, Node, Phrase, Range,
+                                            Term, Wildcard,
                                             iter_positive_leaves)
 from lucene_plugin_spark.storage.catalog import Catalog
 
@@ -83,16 +86,19 @@ def _compile_leaf_specs(should, must, must_not, range_terms):
     """Compile flattened boolean leaves -> kernel spec dicts (shared by the
     single-query and batched kernel paths)."""
     def leaf_spec(i, l, polarity):
+        b = getattr(l, "boost", 1.0)
         if isinstance(l, Term):
             return {"kind": "term", "field": l.field, "terms": [l.term],
-                    "offsets": None, "leaf_id": i, "polarity": polarity}
-        if isinstance(l, Range):
+                    "offsets": None, "leaf_id": i, "polarity": polarity,
+                    "boost": b}
+        if isinstance(l, EXPANDABLE):
+            # Range/Wildcard/Fuzzy: constant-score OR over expanded terms
             return {"kind": "range", "field": l.field,
                     "terms": range_terms.get(l, []), "offsets": None,
-                    "leaf_id": i, "polarity": polarity}
+                    "leaf_id": i, "polarity": polarity, "boost": b}
         return {"kind": "phrase", "field": l.field, "terms": list(l.terms),
                 "offsets": [o - l.offsets[0] for o in l.offsets],
-                "leaf_id": i, "polarity": polarity}
+                "leaf_id": i, "polarity": polarity, "boost": b}
 
     return ([leaf_spec(i, l, "should") for i, l in enumerate(should)]
             + [leaf_spec(len(should) + i, l, "must") for i, l in enumerate(must)]
@@ -231,37 +237,35 @@ class SearchEngine:
         tt = self.catalog.table("tombstones")
         return tt if tt.exists() else None
 
-    def _expand_ranges(self, leaves: list[Node]) -> dict[Range, list[str]]:
-        """Range leaf -> matching terms via term_dict (Q7: inclusive
-        lexicographic expansion, constant-score rewrite like Lucene's
-        MultiTermQuery CONSTANT_SCORE)."""
-        out: dict[Range, list[str]] = {}
+    def _expand_ranges(self, leaves: list[Node]) -> dict[Node, list[str]]:
+        """Expandable leaf (Range/Wildcard/Fuzzy) -> matching terms via
+        term_dict (Q7 et al.: constant-score rewrite like Lucene's
+        MultiTermQuery CONSTANT_SCORE; predicates in query/expand.py)."""
+        out: dict[Node, list[str]] = {}
         td = None
-        for r in [l for l in leaves if isinstance(l, Range)]:
-            key = (r.field, r.lo, r.hi)
+        for r in [l for l in leaves if isinstance(l, EXPANDABLE)]:
+            key = exp_key(r)
             if key not in self._range_cache:
                 if td is None:
                     td = self._term_dict_df()
-                terms = (td.where((F.col("field") == r.field)
-                                  & (F.col("term") >= r.lo) & (F.col("term") <= r.hi))
-                         .select("term").collect())
+                terms = td.where(exp_cond(r)).select("term").collect()
                 self._range_cache[key] = sorted(x["term"] for x in terms)
             out[r] = self._range_cache[key]
         return out
 
-    def _prefetch_ranges(self, ranges: list[Range]) -> None:
-        """Expand MANY range leaves in ONE term_dict scan (batch path).
+    def _prefetch_ranges(self, ranges: list[Node]) -> None:
+        """Expand MANY expandable leaves in ONE term_dict scan (batch path).
 
-        Each uncached (field, lo, hi) contributes one disjunct to a single
-        pushed filter; matched terms are assigned back to their ranges
-        driver-side (overlapping ranges each claim the term).  One Spark job
-        per batch instead of one per range query — the per-job fixed cost is
-        what flattens small-core batch scaling (range terms are
-        constant-score, so term order within a range is score-irrelevant;
-        sorted for determinism)."""
+        Each uncached leaf contributes one disjunct to a single pushed
+        filter; matched terms are assigned back to their leaves driver-side
+        (overlapping expansions each claim the term).  One Spark job per
+        batch instead of one per range/wildcard/fuzzy query — the per-job
+        fixed cost is serial driver time that flattens small-core batch
+        scaling.  Expanded terms are constant-score, so term order is
+        score-irrelevant; sorted for determinism."""
         missing, seen = [], set()
         for r in ranges:
-            key = (r.field, r.lo, r.hi)
+            key = exp_key(r)
             if key not in self._range_cache and key not in seen:
                 seen.add(key)
                 missing.append(r)
@@ -269,18 +273,16 @@ class SearchEngine:
             return
         cond = None
         for r in missing:
-            c = ((F.col("field") == r.field)
-                 & (F.col("term") >= r.lo) & (F.col("term") <= r.hi))
+            c = exp_cond(r)
             cond = c if cond is None else (cond | c)
         rows = (self._term_dict_df().where(cond)
                 .select("field", "term").collect())
-        hits: dict[tuple[str, str, str], list[str]] = {
-            (r.field, r.lo, r.hi): [] for r in missing}
+        hits: dict[tuple, list[str]] = {exp_key(r): [] for r in missing}
         for row in rows:
             f, t = row["field"], row["term"]
             for r in missing:
-                if r.field == f and r.lo <= t <= r.hi:
-                    hits[(r.field, r.lo, r.hi)].append(t)
+                if exp_match(r, f, t):
+                    hits[exp_key(r)].append(t)
         for key, terms in hits.items():
             self._range_cache[key] = sorted(terms)
 
@@ -356,7 +358,7 @@ class SearchEngine:
             leaves = _leaves_of(parse_query(q))
             prepass[q] = leaves
             pending_ranges += [l for grp in leaves for l in grp
-                               if isinstance(l, Range)]
+                               if isinstance(l, EXPANDABLE)]
         if pending_ranges:
             self._prefetch_ranges(pending_ranges)
         # identical (repo, query) entries are evaluated ONCE in the kernel and
@@ -388,6 +390,7 @@ class SearchEngine:
                         "needs_positions": any(sp["kind"] == "phrase" for sp in specs),
                         "only_terms": (len(specs) > 0 and all(
                             sp["kind"] == "term" and sp["polarity"] == "should"
+                            and sp.get("boost", 1.0) == 1.0
                             for sp in specs)),
                     }
                 if len(self._compile_cache) >= 1024:  # reference query-cache size
@@ -450,7 +453,7 @@ class SearchEngine:
         for l in leaves:
             if isinstance(l, Term):
                 needed.add(l.term)
-            elif isinstance(l, Range):
+            elif isinstance(l, EXPANDABLE):
                 needed.update(range_terms.get(l, []))
             elif isinstance(l, Phrase):
                 needed.update(l.terms)
@@ -461,8 +464,9 @@ class SearchEngine:
         # ---- single terms, batched into one scan
         term_leaves = [(i, l) for i, l in enumerate(leaves) if isinstance(l, Term)]
         if term_leaves:
-            pairs = [(l.field, l.term, i) for i, l in term_leaves]
-            leaf_map = self.spark.createDataFrame(pairs, "field string, term string, leaf_id int")
+            pairs = [(l.field, l.term, i, float(l.boost)) for i, l in term_leaves]
+            leaf_map = self.spark.createDataFrame(
+                pairs, "field string, term string, leaf_id int, boost double")
             cand = flat.join(F.broadcast(leaf_map), ["field", "term"])
             td = self.catalog.table("term_dict").read(self.spark)
             cand = cand.join(F.broadcast(td), ["field", "term"])
@@ -475,17 +479,18 @@ class SearchEngine:
             idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
             tfn = (F.col("tf") * (bm25.K1 + 1.0)
                    / (F.col("tf") + bm25.K1 * (1.0 - bm25.B + bm25.B * F.col("dl") / F.col("avgdl"))))
-            frames.append(cand.select("doc_id", "leaf_id", (idf * tfn).alias("score")))
-        # ---- ranges: constant score
+            frames.append(cand.select(
+                "doc_id", "leaf_id", (idf * tfn * F.col("boost")).alias("score")))
+        # ---- ranges / wildcards / fuzzies: constant score x boost
         for i, l in enumerate(leaves):
-            if isinstance(l, Range):
+            if isinstance(l, EXPANDABLE):
                 terms = range_terms.get(l, [])
                 if not terms:
                     continue
                 cand = (flat.where((F.col("field") == l.field) & F.col("term").isin(terms))
                         .select("doc_id").distinct()
                         .select("doc_id", F.lit(i).alias("leaf_id"),
-                                F.lit(1.0).alias("score")))
+                                F.lit(float(l.boost)).alias("score")))
                 frames.append(cand)
         # ---- phrases
         for i, l in enumerate(leaves):
@@ -513,7 +518,8 @@ class SearchEngine:
                         & F.col("term").isin(list(set(ph.terms)))).collect()}
         if len(dfs) < len(set(ph.terms)) or n == 0.0:
             return self.spark.createDataFrame([], "doc_id long, leaf_id int, score double")
-        idf_sum = float(sum(bm25.idf(float(dfs[t]), n) for t in ph.terms))
+        idf_sum = ph.boost * float(sum(bm25.idf(float(dfs[t]), n)
+                                       for t in ph.terms))
         base = ph.offsets[0]
         j = None
         for k, (t, off) in enumerate(zip(ph.terms, ph.offsets)):
@@ -595,7 +601,8 @@ class SearchEngine:
             "doc_ranges": doc_ranges,
             "needs_positions": any(s["kind"] == "phrase" for s in specs),
             "only_terms": (len(specs) > 0 and all(
-                s["kind"] == "term" and s["polarity"] == "should" for s in specs)),
+                s["kind"] == "term" and s["polarity"] == "should"
+                and s.get("boost", 1.0) == 1.0 for s in specs)),
             # postings the scan will surface, known BEFORE any scan: Σ df
             "est_postings": sum(df_map.values()),
         }
@@ -810,6 +817,7 @@ def _make_slice_kernel(specs, df_map, stats, doc_ranges, k, needs_positions,
     tf streams are never decoded (SURVEY.md §4 P6).
     """
     only_terms = (all(s["kind"] == "term" and s["polarity"] == "should"
+                      and s.get("boost", 1.0) == 1.0
                       for s in specs) and len(specs) > 0)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1059,6 +1067,7 @@ def _score_slice(sl, norms_pdf, specs, df_map,
     not_sets = []
     for s in specs:
         field = s["field"]
+        boost = s.get("boost", 1.0)
         n_docs, avgdl = stats.get(field, (0.0, 1.0))
         if s["kind"] == "phrase":
             decoded = decoded_for(field, s["terms"], True)
@@ -1068,7 +1077,7 @@ def _score_slice(sl, norms_pdf, specs, df_map,
             if s["polarity"] == "must_not":
                 not_sets.append(ids)
                 continue
-            idf_sum = float(sum(
+            idf_sum = boost * float(sum(
                 bm25.idf(df_map.get((field, t), 0.0) or 1.0, n_docs)
                 for t in s["terms"]))
             if ids.size:
@@ -1089,7 +1098,8 @@ def _score_slice(sl, norms_pdf, specs, df_map,
             if s["polarity"] == "must_not":
                 not_sets.append(ids)
                 continue
-            scored_frames.append((s["leaf_id"], ids, np.ones(ids.size, np.float64)))
+            scored_frames.append((s["leaf_id"], ids,
+                                  np.full(ids.size, boost, np.float64)))
             if s["polarity"] == "must":
                 must_sets.append(ids)
         else:  # term
@@ -1115,6 +1125,8 @@ def _score_slice(sl, norms_pdf, specs, df_map,
                 continue
             scores = bm25.score(tfs.astype(np.float64), dl_of(field, ids),
                                 df, n_docs, avgdl)
+            if boost != 1.0:
+                scores = scores * boost
             scored_frames.append((s["leaf_id"], ids, scores))
             if s["polarity"] == "must":
                 must_sets.append(ids)

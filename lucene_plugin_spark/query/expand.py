@@ -1,0 +1,95 @@
+"""Multi-term leaf expansion shared by the executor and the Python oracle.
+
+Range / Wildcard / Fuzzy leaves all rewrite to an OR-of-terms against the
+term dictionary (Lucene MultiTermQuery constant-score rewrite; the reference
+reaches these through its classic QueryParser, LuceneIndexBean.java:727-735).
+This module centralizes the three predicate forms so the Spark path
+(term_dict scan), the driver-side membership check (prefetch fan-back) and
+the pure-Python oracle compute the SAME term sets:
+
+- Range:    lo <= term <= hi (inclusive lexicographic);
+- Wildcard: anchored regex from ``*``/``?`` translation;
+- Fuzzy:    classic Levenshtein <= max_edits — Spark ``F.levenshtein`` and
+  DuckDB ``levenshtein`` are both the classic DP, so the oracle uses the
+  same (Lucene's FuzzyQuery is Damerau; transpositions costing 2 here is a
+  documented deviation, see query/plan.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+from lucene_plugin_spark.query.plan import Fuzzy, Range, Wildcard
+
+#: leaf types that expand to OR-of-terms via the term dictionary
+EXPANDABLE = (Range, Wildcard, Fuzzy)
+
+
+def wildcard_regex(pattern: str) -> str:
+    """``te?t*`` -> anchored regex (``*`` any run, ``?`` one char)."""
+    parts = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    return "^" + "".join(parts) + "$"
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Classic Levenshtein DP — matches Spark's F.levenshtein and DuckDB's
+    levenshtein() exactly (unit-cost insert/delete/substitute)."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def exp_key(leaf) -> tuple:
+    """Stable cache key for an expandable leaf (boost-independent: the
+    expansion is the term set, boost only scales scores)."""
+    if isinstance(leaf, Range):
+        return ("range", leaf.field, leaf.lo, leaf.hi)
+    if isinstance(leaf, Wildcard):
+        return ("wild", leaf.field, leaf.pattern)
+    return ("fuzzy", leaf.field, leaf.term, leaf.max_edits)
+
+
+def exp_cond(leaf):
+    """Spark Column predicate over term_dict(field, term) for one leaf.
+
+    The range/length conjuncts are sargable (pushed to the parquet scan);
+    rlike/levenshtein run post-scan on the pruned rows only."""
+    base = F.col("field") == leaf.field
+    if isinstance(leaf, Range):
+        return base & (F.col("term") >= leaf.lo) & (F.col("term") <= leaf.hi)
+    if isinstance(leaf, Wildcard):
+        return base & F.col("term").rlike(wildcard_regex(leaf.pattern))
+    n = len(leaf.term)
+    return (base
+            & (F.length("term") >= n - leaf.max_edits)
+            & (F.length("term") <= n + leaf.max_edits)
+            & (F.levenshtein(F.col("term"), F.lit(leaf.term)) <= leaf.max_edits))
+
+
+def exp_match(leaf, field: str, term: str) -> bool:
+    """Driver/oracle-side membership test — same semantics as exp_cond."""
+    if field != leaf.field:
+        return False
+    if isinstance(leaf, Range):
+        return leaf.lo <= term <= leaf.hi
+    if isinstance(leaf, Wildcard):
+        return re.match(wildcard_regex(leaf.pattern), term) is not None
+    return levenshtein(term, leaf.term) <= leaf.max_edits

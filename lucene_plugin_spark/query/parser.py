@@ -1,6 +1,7 @@
-"""Recursive-descent parser for the Lucene classic QueryParser subset the
-reference exercises (SURVEY.md §2.4 Q1): bare terms, field:term, AND/OR/NOT,
-+term/-term, quoted phrases, inclusive ranges [lo TO hi], parentheses.
+"""Recursive-descent parser for the Lucene classic QueryParser surface
+(SURVEY.md §2.4 Q1): bare terms, field:term, AND/OR/NOT, +term/-term, quoted
+phrases, inclusive ranges [lo TO hi], parentheses, wildcards (te?t*), fuzzy
+terms (roam~, roam~1) and boosts (term^2, "a phrase"^3, [a TO b]^0.5).
 
 Query-side analysis mirrors indexing (the reference hands the same
 StandardAnalyzer to its QueryParser, LuceneIndexBean.java:727-735): terms are
@@ -15,12 +16,16 @@ from __future__ import annotations
 import re
 
 from lucene_plugin_spark.analysis.tokenizer import tokenize_text
-from lucene_plugin_spark.query.plan import (DEFAULT_FIELD, Bool, Node, Phrase,
-                                            Range, Term)
+from lucene_plugin_spark.query.plan import (DEFAULT_FIELD, Bool, Fuzzy, Node,
+                                            Phrase, Range, Term, Wildcard)
 
 
 class QueryParseError(ValueError):
     pass
+
+
+_BOOST_RE = re.compile(r"^(?P<body>.+?)\^(?P<boost>\d+(?:\.\d+)?)$")
+_FUZZY_RE = re.compile(r"^(?P<body>.+?)~(?P<edits>[0-2])?$")
 
 
 _TOKEN_RE = re.compile(
@@ -32,8 +37,8 @@ _TOKEN_RE = re.compile(
         (?P<not>NOT\b) |
         (?P<plus>\+) |
         (?P<minus>-) |
-        (?P<phrase>"(?P<phrase_body>[^"]*)") |
-        (?P<range>\[\s*(?P<lo>[^\s\]]+)\s+TO\s+(?P<hi>[^\s\]]+)\s*\]) |
+        (?P<phrase>"(?P<phrase_body>[^"]*)"(?:\^(?P<phrase_boost>\d+(?:\.\d+)?))?) |
+        (?P<range>\[\s*(?P<lo>[^\s\]]+)\s+TO\s+(?P<hi>[^\s\]]+)\s*\](?:\^(?P<range_boost>\d+(?:\.\d+)?))?) |
         (?P<word>[^\s()"\[\]+-][^\s()"\[\]]*)
     )""",
     re.VERBOSE,
@@ -132,16 +137,20 @@ class _Parser:
         elif m.group("word") and ":" in m.group("word"):
             field, _, val = m.group("word").partition(":")
             if val:
-                return self._term_or_phrase(field, val)
+                return self._word_leaf(field, val)
             m = self.next()
             if m is None:
                 raise QueryParseError(f"field '{field}:' with no value")
         if m.group("phrase") is not None:
-            return self._phrase(field, m.group("phrase_body"))
+            b = m.group("phrase_boost")
+            return self._phrase(field, m.group("phrase_body"),
+                                float(b) if b else 1.0)
         if m.group("range") is not None:
-            return Range(field=field, lo=m.group("lo"), hi=m.group("hi"))
+            b = m.group("range_boost")
+            return Range(field=field, lo=m.group("lo"), hi=m.group("hi"),
+                         boost=float(b) if b else 1.0)
         if m.group("word"):
-            return self._term_or_phrase(field, m.group("word"))
+            return self._word_leaf(field, m.group("word"))
         if m.group("lparen"):
             # field:(...) — grouped clause under a field
             saved = self.default_field
@@ -154,27 +163,47 @@ class _Parser:
             return inner
         raise QueryParseError(f"unexpected token {m.group(0)!r}")
 
-    def _term_or_phrase(self, field: str, raw: str) -> Node | None:
+    def _word_leaf(self, field: str, raw: str) -> Node | None:
+        """A word token: peel a trailing ``^boost``, then dispatch to fuzzy
+        (trailing ``~``/``~n``), wildcard (``*``/``?`` anywhere), or the
+        analyzed term/phrase path.  Wildcard and fuzzy terms are lowercased
+        but NOT analyzed — classic QueryParser expands them against the raw
+        term dictionary (lowercaseExpandedTerms default)."""
+        boost = 1.0
+        bm = _BOOST_RE.match(raw)
+        if bm:
+            raw, boost = bm.group("body"), float(bm.group("boost"))
+        fm = _FUZZY_RE.match(raw)
+        if fm:
+            edits = int(fm.group("edits")) if fm.group("edits") is not None else 2
+            return Fuzzy(field=field, term=fm.group("body").lower(),
+                         max_edits=edits, boost=boost)
+        if "*" in raw or "?" in raw:
+            return Wildcard(field=field, pattern=raw.lower(), boost=boost)
+        return self._term_or_phrase(field, raw, boost)
+
+    def _term_or_phrase(self, field: str, raw: str,
+                        boost: float = 1.0) -> Node | None:
         """Analyze a single query token; >1 sub-term => positional phrase
         (Lucene's analyzer-splits-token behavior)."""
         analyzed = tokenize_text(raw)
         if not analyzed:
             return None  # pure-stopword term matches nothing
         if len(analyzed) == 1:
-            return Term(field=field, term=analyzed[0][0])
+            return Term(field=field, term=analyzed[0][0], boost=boost)
         base = analyzed[0][1]
         return Phrase(field=field, terms=tuple(t for t, _ in analyzed),
-                      offsets=tuple(p - base for _, p in analyzed))
+                      offsets=tuple(p - base for _, p in analyzed), boost=boost)
 
-    def _phrase(self, field: str, body: str) -> Node | None:
+    def _phrase(self, field: str, body: str, boost: float = 1.0) -> Node | None:
         analyzed = tokenize_text(body)
         if not analyzed:
             return None
         if len(analyzed) == 1:
-            return Term(field=field, term=analyzed[0][0])
+            return Term(field=field, term=analyzed[0][0], boost=boost)
         base = analyzed[0][1]
         return Phrase(field=field, terms=tuple(t for t, _ in analyzed),
-                      offsets=tuple(p - base for _, p in analyzed))
+                      offsets=tuple(p - base for _, p in analyzed), boost=boost)
 
 
 import functools

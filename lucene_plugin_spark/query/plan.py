@@ -9,6 +9,14 @@ Semantics replicated from the reference (SURVEY.md §2.4):
   stopwords);
 - inclusive lexicographic term ranges ``field:[lo TO hi]``
   (TestSearchMap.java:51-58 pins string-range semantics);
+- wildcard (``te?t*``), fuzzy (``roam~``, ``roam~1``) and boost (``term^2``)
+  syntax from the same classic QueryParser the reference instantiates
+  (LuceneIndexBean.java:727-735 — the parser accepts these even though the
+  JUnit suite only exercises term/bool/phrase/range).  Wildcard and fuzzy
+  are multi-term expansions scored constant-score like ranges (Lucene
+  MultiTermQuery constant-score rewrite); fuzzy uses classic Levenshtein
+  (Spark/DuckDB built-in) rather than Lucene's Damerau variant — documented
+  deviation, transpositions count as 2 edits here;
 - range / phrase / term all constrained to one field.
 """
 
@@ -28,6 +36,7 @@ class Node:
 class Term(Node):
     field: str
     term: str
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -35,6 +44,7 @@ class Phrase(Node):
     field: str
     terms: tuple[str, ...]       # analyzed terms
     offsets: tuple[int, ...]     # position offsets (gaps where stopwords fell out)
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -44,6 +54,27 @@ class Range(Node):
     hi: str
     include_lo: bool = True
     include_hi: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Wildcard(Node):
+    """``te?t*`` — expands against the term dictionary (``*`` = any run,
+    ``?`` = one char), constant-score per matching doc.  Lowercased, NOT
+    analyzed (classic QueryParser lowercaseExpandedTerms behavior)."""
+    field: str
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Fuzzy(Node):
+    """``roam~``/``roam~1`` — terms within ``max_edits`` classic Levenshtein
+    of ``term``, constant-score per matching doc."""
+    field: str
+    term: str
+    max_edits: int = 2
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -56,7 +87,7 @@ class Bool(Node):
 
 def iter_positive_leaves(node: Node):
     """All scoring leaves (Term/Phrase/Range) outside MUST_NOT clauses."""
-    if isinstance(node, (Term, Phrase, Range)):
+    if isinstance(node, (Term, Phrase, Range, Wildcard, Fuzzy)):
         yield node
     elif isinstance(node, Bool):
         for c in node.should + node.must:
@@ -64,7 +95,7 @@ def iter_positive_leaves(node: Node):
 
 
 def iter_all_leaves(node: Node):
-    if isinstance(node, (Term, Phrase, Range)):
+    if isinstance(node, (Term, Phrase, Range, Wildcard, Fuzzy)):
         yield node
     elif isinstance(node, Bool):
         for c in node.should + node.must + node.must_not:

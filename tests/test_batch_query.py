@@ -20,6 +20,9 @@ QUERIES = [
     ("q7", None, "[se TO st]"),
     ("q8", "repo-01", "query table"),
     ("q9", "no_such_repo", "query"),
+    ("q10", None, "se*ent"),
+    ("q11", None, "segment~1"),
+    ("q12", None, "index^2 query"),
 ]
 
 

@@ -4,7 +4,8 @@ import pytest
 
 from lucene_plugin_spark.query.parser import (QueryParseError, parse_query,
                                               sanitize_collection)
-from lucene_plugin_spark.query.plan import Bool, Phrase, Range, Term
+from lucene_plugin_spark.query.plan import (Bool, Fuzzy, Phrase, Range, Term,
+                                            Wildcard)
 
 
 def test_bare_term():
@@ -77,6 +78,30 @@ def test_stopword_only_is_empty_bool():
 def test_empty_query_raises():
     with pytest.raises(QueryParseError):
         parse_query("   ")
+
+
+def test_wildcard_and_prefix():
+    assert parse_query("te*t") == Wildcard("text", "te*t")
+    assert parse_query("Quer?") == Wildcard("text", "quer?")  # lowercased, unanalyzed
+    assert parse_query("name:wid*") == Wildcard("name", "wid*")
+
+
+def test_fuzzy():
+    assert parse_query("roam~") == Fuzzy("text", "roam", max_edits=2)
+    assert parse_query("roam~1") == Fuzzy("text", "roam", max_edits=1)
+    assert parse_query("lang:EN~0") == Fuzzy("lang", "en", max_edits=0)
+
+
+def test_boost_forms():
+    assert parse_query("lamb^2") == Term("text", "lamb", boost=2.0)
+    assert parse_query('"mary lamb"^3') == Phrase(
+        "text", ("mary", "lamb"), (0, 1), boost=3.0)
+    assert parse_query("[a TO c]^0.5") == Range("text", "a", "c", boost=0.5)
+    assert parse_query("te*t^2") == Wildcard("text", "te*t", boost=2.0)
+    assert parse_query("roam~1^4") == Fuzzy("text", "roam", max_edits=1, boost=4.0)
+    # boost on a camelCase token rides on the resulting phrase
+    n = parse_query("getUserName^2")
+    assert isinstance(n, Phrase) and n.boost == 2.0
 
 
 def test_sanitize_collection():
