@@ -491,8 +491,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          k=5, nprobe=2, n_cells=4)
         return out.select("query_id", "id", F.round("cosine", 6).alias("cosine"))
 
+    def sim_rplsh_topk(spark, sf):
+        # random-hyperplane LSH: 16 deterministic md5-derived planes, 4 bands
+        # of 4 sign bits; candidates share >=1 band, ranked by exact cosine
+        emb = _embeddings(spark, sf)
+        corpus = emb.select(F.col("vec_id").alias("id"),
+                            F.col("embedding").alias("vec"))
+        qs = (emb.where(F.col("vec_id") < 3)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("vec")))
+        out = S.rp_lsh_topk(corpus, qs, "id", "vec", k=5, n_planes=16, bands=4)
+        return out.select("query_id", "id", F.round("cosine", 6).alias("cosine"))
+
     q.update(sim_cosine_topk=sim_cosine_topk, sim_ivf_topk=sim_ivf_topk,
-             sim_ivf_kmeans=sim_ivf_kmeans, dedup_embedding=dedup_embedding)
+             sim_ivf_kmeans=sim_ivf_kmeans, sim_rplsh_topk=sim_rplsh_topk,
+             dedup_embedding=dedup_embedding)
 
     # ---- text analysis ----
     def text_token_counts(spark, sf):
@@ -517,8 +530,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = T.fingerprints(_documents(spark, sf), "doc_id", "text", n=5)
         return out.select(F.col("id").alias("doc_id"), "fingerprint")
 
+    def text_extract(spark, sf):
+        # Tika-analogue extraction (S3) oracle-gated: wrap each doc in XML
+        # (even ids) or JSON (odd ids) and run the bulk sniff+extract path;
+        # the oracle states the ground-truth extraction in SQL
+        from lucene_plugin_spark.ops.extract import extract_text
+        d = _documents(spark, sf)
+        wrapped = d.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit("<doc><title>T&amp;D</title><body>"),
+                            F.col("text"), F.lit("</body></doc>")))
+             .otherwise(F.concat(F.lit('{"title": "T", "body": "'),
+                                 F.col("text"), F.lit('"}')))
+             .alias("content"))
+        out = extract_text(wrapped, "content")
+        return out.select("doc_id", F.sha2("content", 256).alias("extracted_sha"))
+
     q.update(text_token_counts=text_token_counts, text_quality=text_quality,
-             text_lang_id=text_lang_id, text_fingerprint=text_fingerprint)
+             text_lang_id=text_lang_id, text_fingerprint=text_fingerprint,
+             text_extract=text_extract)
 
     # ---- multimodal plumbing (binary payload = utf-8 bytes of text) ----
     def mm_features(spark, sf):
@@ -860,6 +891,37 @@ scored AS (
 SELECT query_id, id, round(cosine, 6) AS cosine FROM scored WHERE rk <= 5
 """
 
+    plane_h = md5_long_sql("cast(p as varchar) || ':' || cast(i - 1 as varchar)")
+    o["sim_rplsh_topk"] = f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+pl AS (SELECT p, list((({plane_h}) % 2000001) / 1000000.0 - 1.0 ORDER BY i) AS hvec
+       FROM UNNEST(generate_series(0, 15)) s(p),
+            UNNEST(generate_series(1, 64)) t(i)
+       GROUP BY p),
+sigc AS (SELECT id, sum(CASE WHEN list_dot_product(vec, hvec) > 0
+                             THEN 1 << p ELSE 0 END)::bigint AS sig
+         FROM v CROSS JOIN pl GROUP BY id),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 3),
+sigq AS (SELECT query_id, sum(CASE WHEN list_dot_product(qv, hvec) > 0
+                                   THEN 1 << p ELSE 0 END)::bigint AS sig
+         FROM q CROSS JOIN pl GROUP BY query_id),
+bc AS (SELECT id, u.b, (sig >> (u.b * 4)) & 15 AS bkey
+       FROM sigc, UNNEST([0, 1, 2, 3]) u(b)),
+bq AS (SELECT query_id, u.b, (sig >> (u.b * 4)) & 15 AS bkey
+       FROM sigq, UNNEST([0, 1, 2, 3]) u(b)),
+cand AS (SELECT DISTINCT bq.query_id, bc.id
+         FROM bc JOIN bq ON bc.b = bq.b AND bc.bkey = bq.bkey),
+scored AS (SELECT c.query_id, c.id,
+                  list_cosine_similarity(v.vec, q.qv) AS cosine,
+                  row_number() OVER (PARTITION BY c.query_id
+                      ORDER BY list_cosine_similarity(v.vec, q.qv) DESC, c.id) rk
+           FROM cand c JOIN v ON v.id = c.id
+           JOIN q ON q.query_id = c.query_id
+           WHERE c.id <> c.query_id)
+SELECT query_id, id, round(cosine, 6) AS cosine FROM scored WHERE rk <= 5
+"""
+
     seed_h = md5_long_sql("cast(id as varchar)")
     o["sim_ivf_kmeans"] = f"""
 WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -899,6 +961,16 @@ scored AS (SELECT q.query_id, v.id,
            JOIN q ON q.query_id = p.query_id
            WHERE v.id <> q.query_id)
 SELECT query_id, id, round(cosine, 6) AS cosine FROM scored WHERE rk <= 5
+"""
+
+    # ground truth for the wrap-then-extract round trip: XML strips to
+    # 'T&D ' || text (tags -> spaces, entity decoded, ws collapsed);
+    # JSON extracts to 'T ' || text (depth-first string concat)
+    o["text_extract"] = """
+SELECT doc_id,
+       sha256(trim(CASE WHEN doc_id % 2 = 0 THEN 'T&D ' || text
+                        ELSE 'T ' || text END)) AS extracted_sha
+FROM documents
 """
 
     o["text_token_counts"] = """

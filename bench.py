@@ -68,6 +68,8 @@ def main() -> None:
         ("q_and", lambda: engine.search(None, "join AND hash AND merge", limit=10).collect()),
         ("q_phrase", lambda: engine.search(None, '"table hash"', limit=10).collect()),
         ("q_range", lambda: engine.search(None, "[sc TO sz]", limit=255).collect()),
+        ("q_wildcard", lambda: engine.search(None, "ta*e", limit=255).collect()),
+        ("q_fuzzy", lambda: engine.search(None, "spark~1", limit=255).collect()),
         ("q_collection", lambda: engine.search("src3", "query table", limit=10).collect()),
     ]
     for name, fn in queries:

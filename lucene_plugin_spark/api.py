@@ -19,10 +19,25 @@ SearcherUpdateServiceImpl.java:117-127.  ``commit()`` forces it.
 
 Each hit is a ``LuceneEntry(id, score, external_id)`` —
 client/src/main/java/com/caucho/lucene/LuceneEntry.java:3-28.
+
+Async surface: the reference facade is an actor whose methods take a
+``Result`` callback and whose mailbox serializes operations
+(LuceneFacadeImpl.java:23-151, single-writer actor LuceneWriterImpl.java:20).
+``*_async`` methods mirror that: they enqueue onto a single-thread executor
+(the mailbox analogue — strict FIFO, so an async index followed by an async
+search sees the write) and return a ``concurrent.futures.Future``; an
+optional ``callback`` fires with the result like Baratine's ``Result.of``.
+
+Service-path limit semantics: the HTTP reader path DROPS the caller's limit
+and substitutes 255 (facade forwards it, LuceneFacadeImpl.java:87, but the
+reader hardcodes 255: LuceneReaderImpl.java:100-104, Base.java:102).
+``service_limit_drop=True`` replicates that caller-visible quirk; the
+default keeps the sane Python-API behavior (honor ``limit``).
 """
 
 from __future__ import annotations
 
+import concurrent.futures
 from dataclasses import dataclass
 
 from pyspark.sql import Row, SparkSession
@@ -45,11 +60,14 @@ class LuceneEntry:
 
 
 class LuceneFacade:
-    def __init__(self, spark: SparkSession, warehouse: str, mode: str = "kernel"):
+    def __init__(self, spark: SparkSession, warehouse: str, mode: str = "kernel",
+                 service_limit_drop: bool = False):
         self.spark = spark
         self.catalog = Catalog(warehouse)
         self.builder = IndexBuilder(spark, self.catalog)
         self.mode = mode
+        self.service_limit_drop = service_limit_drop
+        self._mailbox: concurrent.futures.ThreadPoolExecutor | None = None
         # (collection, id) -> row dict or None (deleted); final state of the
         # ops since the last commit (last-write-wins within a batch)
         self._pending: dict[tuple[str, str], dict | None] = {}
@@ -176,6 +194,8 @@ class LuceneFacade:
     def search(self, collection: str, query: str, limit: int = 255) -> list[LuceneEntry]:
         self._check(collection, "collection")
         self._check(query, "query")
+        if self.service_limit_drop:
+            limit = 255  # LuceneReaderImpl.java:100-104 ignores the caller's k
         self.commit()  # commit() replaces the engine -> caches invalidate
         if self._engine is None:
             self._engine = SearchEngine(self.spark, self.catalog)
@@ -198,3 +218,32 @@ class LuceneFacade:
             cache.pop(next(iter(cache)))
         cache[key] = out
         return out
+
+    # ---------------------------------------------------------------- async
+    def _submit(self, fn, callback, *args) -> concurrent.futures.Future:
+        if self._mailbox is None:
+            # ONE worker = the actor mailbox: strict FIFO, writes ordered
+            # before later reads, exactly the reference's serialization
+            self._mailbox = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        fut = self._mailbox.submit(fn, *args)
+        if callback is not None:
+            fut.add_done_callback(lambda f: callback(f.result()))
+        return fut
+
+    def index_text_async(self, collection, ext_id, text, callback=None):
+        return self._submit(self.index_text, callback, collection, ext_id, text)
+
+    def index_map_async(self, collection, ext_id, m, callback=None):
+        return self._submit(self.index_map, callback, collection, ext_id, m)
+
+    def index_file_async(self, collection, path, callback=None):
+        return self._submit(self.index_file, callback, collection, path)
+
+    def search_async(self, collection, query, limit: int = 255, callback=None):
+        return self._submit(self.search, callback, collection, query, limit)
+
+    def delete_async(self, collection, ext_id, callback=None):
+        return self._submit(self.delete, callback, collection, ext_id)
+
+    def clear_async(self, collection, callback=None):
+        return self._submit(self.clear, callback, collection)

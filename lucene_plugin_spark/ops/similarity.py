@@ -11,6 +11,12 @@
   ``kmeans_cells`` — a deterministic seeded k-means (md5-smallest seeds +
   Lloyd iterations) — at 100 TB the centroid table is broadcast and the
   corpus scan is partition-pruned by centroid id.
+- ``rp_lsh_topk``: the other scale path — random-hyperplane LSH (SimHash for
+  vectors): sign-bit signatures against deterministic md5-derived
+  hyperplanes, banded like MinHash; a query only scores candidates sharing
+  at least one signature band.  The candidate join is an equi-join on
+  (band, key) — corpus never shuffles against itself and recall is the
+  standard banded-LSH bound.
 - ``embedding_norms`` precomputes L2 norms once (stored with the corpus) so
   repeated queries never recompute them.
 """
@@ -148,6 +154,86 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
               .select("query_id", "id",
                       (_dot(F.col("vec"), F.col("qvec"))
                        / (_norm(F.col("vec")) * F.col("qnrm"))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k).drop("rk"))
+
+
+def rp_planes(dim: int, n_planes: int = 16) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, oracle-reproducible.
+
+    Component (p, i) = md5-prefix of ``"p:i"`` mapped affinely into
+    [-1, 1] — the same formula is expressible in DuckDB SQL
+    (``ops.hashing.md5_long_sql``), so the Spark signatures and an oracle's
+    signatures agree bit-for-bit."""
+    import hashlib
+
+    def comp(p: int, i: int) -> float:
+        h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16)
+        return (h % 2000001) / 1000000.0 - 1.0
+
+    return [[comp(p, i) for i in range(dim)] for p in range(n_planes)]
+
+
+def rp_signatures(df: DataFrame, id_col: str, vec_col: str,
+                  n_planes: int = 16) -> DataFrame:
+    """(id, vec, sig): sign-bit signature — bit p set iff dot(vec, plane_p) > 0.
+
+    The plane table is tiny (n_planes x dim, driver-built, broadcast); dot
+    products run JVM-side via higher-order functions, the bit-pack is one
+    aggregate — the corpus is read once, no shuffle."""
+    spark = df.sparkSession
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    planes = spark.createDataFrame(
+        [(p, v) for p, v in enumerate(rp_planes(dim, n_planes))],
+        "p int, hvec array<double>")
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    bits = (base.crossJoin(F.broadcast(planes))
+            .select("id", "vec", "p",
+                    (_dot(F.col("vec"), F.col("hvec")) > 0).cast("long").alias("bit")))
+    return (bits.groupBy("id")
+            .agg(F.first("vec").alias("vec"),
+                 F.sum(F.expr("shiftleft(bit, p)")).alias("sig")))
+
+
+def rp_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                vec_col: str, k: int = 10, n_planes: int = 16,
+                bands: int = 4) -> DataFrame:
+    """(query_id, id, cosine) approximate top-k via banded sign-bit LSH.
+
+    Candidates = corpus vectors sharing at least one of ``bands`` signature
+    bands with the query (equi-join on (band, key) — the LSH shape that
+    survives 100 TB: the corpus shuffles once on band keys, never pairwise).
+    Candidates are ranked by exact cosine; recall follows the banded-LSH
+    curve (more planes per band = fewer, closer candidates).
+    """
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    sc = rp_signatures(corpus, id_col, vec_col, n_planes)
+    sq = (rp_signatures(queries, "query_id", "vec", n_planes)
+          .withColumnRenamed("id", "query_id"))
+
+    def banded(df, idc):
+        rows = [df.select(F.col(idc), F.lit(b).alias("band"),
+                          F.shiftrightunsigned(F.col("sig"), b * r)
+                          .bitwiseAND(F.lit(mask)).alias("bkey"))
+                for b in range(bands)]
+        out = rows[0]
+        for x in rows[1:]:
+            out = out.unionByName(x)
+        return out
+
+    cand = (banded(sc, "id").join(banded(sq, "query_id"), ["band", "bkey"])
+            .select("query_id", "id").distinct())
+    c = embedding_norms(corpus, id_col, vec_col)
+    q = queries.select("query_id", F.col("vec").alias("qvec"),
+                       _norm(F.col("vec")).alias("qnrm"))
+    scored = (cand.join(c, "id").join(F.broadcast(q), "query_id")
+              .where(F.col("id") != F.col("query_id"))
+              .select("query_id", "id",
+                      (_dot(F.col("vec"), F.col("qvec"))
+                       / (F.col("nrm") * F.col("qnrm"))).alias("cosine")))
+    from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k).drop("rk"))

@@ -155,6 +155,26 @@ def test_embedding_near_dup_pairs(spark):
     assert (0, 1) in bucketed and (0, 4) not in bucketed
 
 
+def test_rp_lsh_topk_finds_near_neighbors(spark):
+    from lucene_plugin_spark.ops import similarity as S
+    rows = [(0, [1.0, 0.05, 0.0, 0.02]),
+            (1, [0.98, 0.08, 0.01, 0.0]),   # near id0
+            (2, [0.0, 1.0, 0.03, 0.0]),     # orthogonal-ish
+            (3, [0.01, 0.0, 1.0, 0.05]),
+            (4, [-1.0, -0.02, 0.0, -0.01])]  # antipodal to id0
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+    qs = spark.createDataFrame([(100, [1.0, 0.06, 0.0, 0.01])],
+                               "query_id long, vec array<double>")
+    got = [(r["id"], round(r["cosine"], 3)) for r in
+           S.rp_lsh_topk(corpus, qs, "id", "vec", k=2, n_planes=16, bands=4)
+           .orderBy(F.desc("cosine")).collect()]
+    # the query's signature equals id0/id1's on most bands; the antipodal
+    # vector flips every sign bit and shares no band
+    assert [i for i, _ in got] == [0, 1]
+    assert got[0][1] > 0.99
+    assert 4 not in {i for i, _ in got}
+
+
 def test_sliding_counts_overlap(spark):
     from lucene_plugin_spark.ops import windows as W
     import pyspark.sql.functions as F
