@@ -70,13 +70,26 @@ def exp_key(leaf) -> tuple:
 def exp_cond(leaf):
     """Spark Column predicate over term_dict(field, term) for one leaf.
 
-    The range/length conjuncts are sargable (pushed to the parquet scan);
-    rlike/levenshtein run post-scan on the pruned rows only."""
+    Sargable conjuncts reach the parquet scan (verified via
+    ``.explain("formatted")``, BENCH/PLANS.md §7): the field equality, the
+    range bounds, and — for wildcard patterns with a literal prefix (the
+    common ``quer*`` case) — a ``StringStartsWith`` on that prefix, which
+    prunes the term-sorted row groups like a range would.  The
+    rlike/levenshtein conjuncts are not sargable and run in the
+    whole-stage-codegen filter on the pruned rows only; a fuzzy leaf with
+    no usable prefix is an honest full term_dict scan (Lucene walks an FST
+    with a Levenshtein DFA instead — its dictionary is a different
+    structure; ours is a distributed columnar scan that is tiny relative
+    to the corpus and parallelizes with executors)."""
     base = F.col("field") == leaf.field
     if isinstance(leaf, Range):
         return base & (F.col("term") >= leaf.lo) & (F.col("term") <= leaf.hi)
     if isinstance(leaf, Wildcard):
-        return base & F.col("term").rlike(wildcard_regex(leaf.pattern))
+        cond = base & F.col("term").rlike(wildcard_regex(leaf.pattern))
+        prefix = re.split(r"[*?]", leaf.pattern, maxsplit=1)[0]
+        if prefix:
+            cond = F.col("term").startswith(prefix) & cond
+        return cond
     n = len(leaf.term)
     return (base
             & (F.length("term") >= n - leaf.max_edits)
