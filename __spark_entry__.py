@@ -567,7 +567,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("sha256").alias("content_sha256"),
                           F.round("mean_byte", 6).alias("mean_byte"))
 
-    q.update(mm_features=mm_features)
+    def mm_resize(spark, sf):
+        # resize through the Arrow batch path: 32-byte nearest-neighbor
+        # resample of the payload (ascii text bytes) — sha over the resized
+        # payload is the oracle-checkable ground truth
+        from lucene_plugin_spark.ops.multimodal import resize_images
+        d = _documents(spark, sf)
+        media = d.select(F.col("doc_id").alias("media_id"),
+                         F.lit("image").alias("kind"),
+                         F.lit("image/x-fake").alias("mime"),
+                         F.encode(F.col("text"), "utf-8").alias("payload"),
+                         F.lit(8).alias("meta_width"), F.lit(4).alias("meta_height"),
+                         F.lit(None).cast("int").alias("meta_duration_ms"))
+        out = resize_images(media, width=8, height=4, fake=True)
+        return out.select(F.col("media_id").alias("doc_id"),
+                          F.col("n_bytes").cast("bigint").alias("n_bytes"),
+                          F.sha2("payload", 256).alias("resized_sha"))
+
+    def mm_frames(spark, sf):
+        # frame sampling: metadata explode (no decode) -> per-(id, ts) decode
+        # of a deterministic payload slice, sha-checked against SQL
+        from lucene_plugin_spark.ops.multimodal import sample_frames
+        d = _documents(spark, sf)
+        media = d.select(F.col("doc_id").alias("media_id"),
+                         F.lit("video").alias("kind"),
+                         F.lit("video/x-fake").alias("mime"),
+                         F.encode(F.col("text"), "utf-8").alias("payload"),
+                         F.lit(None).cast("int").alias("meta_width"),
+                         F.lit(None).cast("int").alias("meta_height"),
+                         F.lit(4000).alias("meta_duration_ms"))
+        out = sample_frames(media, every_ms=2000, fake=True)
+        return out.select(F.col("media_id").alias("doc_id"),
+                          F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
+                          "frame_sha256")
+
+    q.update(mm_features=mm_features, mm_resize=mm_resize, mm_frames=mm_frames)
     return q
 
 
@@ -1028,6 +1062,30 @@ WITH chars AS (
 SELECT d.doc_id, len(d.text)::bigint AS n_bytes, sha256(d.text) AS content_sha256,
        round(chars.mb, 6) AS mean_byte
 FROM documents d JOIN chars USING (doc_id)
+"""
+
+    # resize: out byte k (0..31) = text byte at 1 + (k * len) // 32 (ascii
+    # corpus: codepoint == byte).  Reassemble the resized payload as a
+    # string and sha256 it — identical bytes to the engine's blob.
+    o["mm_resize"] = """
+WITH pos AS (
+  SELECT doc_id, u.k, 1 + (u.k * len(text)) // 32 AS p
+  FROM documents, UNNEST(generate_series(0, 31)) u(k)),
+rs AS (
+  SELECT d.doc_id,
+         string_agg(substr(d.text, pos.p, 1), '' ORDER BY pos.k) AS resized
+  FROM documents d JOIN pos USING (doc_id) GROUP BY d.doc_id)
+SELECT doc_id, 32::bigint AS n_bytes, sha256(resized) AS resized_sha
+FROM rs
+"""
+
+    # frames: ts in {0,2000,4000}, dur=4000; slice start (0-based) =
+    # (len * min(ts,dur)) // (dur+1), slice length = max(len // 8, 1)
+    o["mm_frames"] = """
+SELECT doc_id, u.ts::bigint AS frame_ts_ms,
+       sha256(substr(text, 1 + (len(text) * least(u.ts, 4000)) // 4001,
+                     greatest(len(text) // 8, 1))) AS frame_sha256
+FROM documents, UNNEST([0, 2000, 4000]) u(ts)
 """
 
     return o

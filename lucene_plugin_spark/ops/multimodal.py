@@ -97,6 +97,90 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                                           F.lit(every_ms))).alias("frame_ts_ms")))
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("out_width", IntegerType()),
+    StructField("out_height", IntegerType()),
+    StructField("payload", BinaryType()),
+    StructField("n_bytes", LongType()),
+])
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32,
+                  fake: bool = True) -> DataFrame:
+    """Image resize through the Arrow batch path (brief: 'resize as Pandas
+    UDFs over mapInPandas').
+
+    Real pipeline shape — blob-aware partitions in, one decoded+resampled
+    payload out per image; only the marked decode/encode pair is fake
+    (deterministic nearest-neighbor resample of the pseudo-pixel stream;
+    a real build swaps in PIL decode + Lanczos + re-encode in the same
+    function body)."""
+    imgs = media.where(F.col("kind") == "image")
+    out_n = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "out_width", "out_height",
+                                    "payload", "n_bytes")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = _decode_stub(bytes(payload), "image", fake)
+                if px.size == 0:
+                    px = np.zeros(1)
+                idx = np.minimum((np.arange(out_n) * px.size) // out_n,
+                                 px.size - 1)
+                resized = px[idx].astype(np.uint8).tobytes()
+                rows["media_id"].append(mid)
+                rows["out_width"].append(width)
+                rows["out_height"].append(height)
+                rows["payload"].append(resized)
+                rows["n_bytes"].append(len(resized))
+            yield pd.DataFrame(rows)
+
+    return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_ts_ms", IntegerType()),
+    StructField("frame_sha256", StringType()),
+    StructField("mean_byte", DoubleType()),
+])
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  fake: bool = True) -> DataFrame:
+    """Execute the frame-sampling plan: explode timestamps from metadata
+    (no decode), join payloads back, decode each (media_id, ts) pair in the
+    Arrow batch path.  The fake frame decode slices the payload
+    deterministically by timestamp — the real one seeks the container and
+    decodes the keyframe in the same function body."""
+    plan = frame_sample_plan(media, every_ms)
+    src = plan.join(media.select("media_id", "payload", "meta_duration_ms"),
+                    "media_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_ts_ms", "frame_sha256",
+                                    "mean_byte")}
+            for mid, ts, payload, dur in zip(pdf["media_id"], pdf["frame_ts_ms"],
+                                             pdf["payload"], pdf["meta_duration_ms"]):
+                px = _decode_stub(bytes(payload), "video", fake)
+                dur = max(int(dur or 1), 1)
+                # integer arithmetic: float division here would round
+                # differently from an oracle's integer // at boundaries
+                lo = (px.size * min(int(ts), dur)) // (dur + 1)
+                frame = px[lo:lo + max(px.size // 8, 1)].astype(np.uint8)
+                rows["media_id"].append(mid)
+                rows["frame_ts_ms"].append(ts)
+                rows["frame_sha256"].append(
+                    hashlib.sha256(frame.tobytes()).hexdigest())
+                rows["mean_byte"].append(float(frame.mean()) if frame.size else 0.0)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests (payload = seeded bytes)."""
     rng = np.random.default_rng(seed)

@@ -123,6 +123,27 @@ def test_multimodal_pipeline(spark):
     assert all(r["count"] == 6 for r in per_video)  # 0..5000 step 1000
 
 
+def test_multimodal_resize_and_frames(spark):
+    from lucene_plugin_spark.ops.multimodal import (resize_images,
+                                                    sample_frames,
+                                                    synthetic_media)
+    media = synthetic_media(spark, n=30)
+    resized = resize_images(media, width=8, height=4).collect()
+    assert len(resized) == 10  # kinds cycle image/audio/video
+    assert all(r["n_bytes"] == 8 * 4 for r in resized)
+    # deterministic: same input -> same resized payload
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in resize_images(media, width=8, height=4).collect()}
+    assert all(bytes(r["payload"]) == again[r["media_id"]] for r in resized)
+    frames = sample_frames(media, every_ms=1000).collect()
+    vids = {r["media_id"] for r in frames}
+    assert len(frames) == len(vids) * 6  # 0..5000 step 1000
+    by_key = {(r["media_id"], r["frame_ts_ms"]): r["frame_sha256"] for r in frames}
+    # distinct timestamps of one video sample different frame slices
+    mid = next(iter(vids))
+    assert by_key[(mid, 0)] != by_key[(mid, 5000)]
+
+
 def test_multimodal_decode_stub_raises_without_fake(spark):
     from lucene_plugin_spark.ops.multimodal import extract_features, synthetic_media
     media = synthetic_media(spark, n=3)
