@@ -125,3 +125,23 @@ def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
             .groupBy(F.col("user_id"))
             .applyInPandasWithState(fn, _SESSION_OUT, _SESSION_STATE,
                                     "append", "EventTimeTimeout"))
+
+
+def stream_exact_dedup(events: DataFrame, key_cols: list[str] | None = None,
+                       ts_col: str = "ts",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup — the streaming twin of ``ops.dedup``'s
+    exact path, for at-least-once sources that can replay rows.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the key's first-seen event time, so state is bounded
+    by the lateness budget instead of growing with the stream (a plain
+    ``dropDuplicates`` on an unbounded stream leaks state forever — the
+    standard production footgun this wrapper exists to avoid).  Duplicates
+    arriving within the watermark window are suppressed; a replay later
+    than the watermark is out of contract for the source.
+    """
+    if key_cols is None:
+        key_cols = ["event_id"]
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols))

@@ -75,3 +75,31 @@ def test_streaming_watermark_and_sessions(spark, tmp_path):
     # user 2's session is still open (no later event, watermark never passes
     # its timeout) and the too-late 07:00 event did not open a new one
     assert not any(u == 2 for u, *_ in closed)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from lucene_plugin_spark.streaming.windows import stream_exact_dedup
+    src = str(tmp_path / "dup")
+    os.makedirs(src)
+    _write(src, "b0.json", [
+        {"event_id": 1, "user_id": 1, "event_type": "view",
+         "ts": "2024-01-01 10:00:00", "value": 1.0},
+        {"event_id": 2, "user_id": 1, "event_type": "view",
+         "ts": "2024-01-01 10:01:00", "value": 2.0},
+        {"event_id": 1, "user_id": 1, "event_type": "view",
+         "ts": "2024-01-01 10:00:00", "value": 1.0},  # intra-batch dup
+    ])
+    time.sleep(1.2)
+    _write(src, "b1.json", [
+        {"event_id": 2, "user_id": 1, "event_type": "view",
+         "ts": "2024-01-01 10:01:00", "value": 2.0},  # cross-batch replay
+        {"event_id": 3, "user_id": 2, "event_type": "click",
+         "ts": "2024-01-01 10:02:00", "value": 3.0},
+    ])
+    q = (stream_exact_dedup(_stream(spark, src), ["event_id"])
+         .writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    got = sorted(r["event_id"] for r in rows)
+    assert got == [1, 2, 3]  # each id exactly once despite 2 duplicates
