@@ -507,6 +507,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              sim_ivf_kmeans=sim_ivf_kmeans, sim_rplsh_topk=sim_rplsh_topk,
              dedup_embedding=dedup_embedding)
 
+    # ---- generic analytics over the TPC-H-ish tables (engine-internal
+    # primitives of SURVEY.md §2.5 exercised as first-class queries:
+    # two-phase hash aggregation, broadcast-dim join chains, top-k) ----
+    def _tab(spark, sf, name):
+        return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+    def tpch_q1_pricing(spark, sf):
+        # pricing summary (Q1 shape): map-side partial agg -> final agg.
+        # Sums run on DECIMAL so Spark's partial/final float order and the
+        # oracle's single-pass order cannot diverge; cast to double at the end.
+        li = _tab(spark, sf, "lineitem").where(
+            F.col("l_shipdate") <= F.lit("2000-12-01"))
+        dec = lambda c: F.col(c).cast("decimal(18,2)")
+        disc = (dec("l_extendedprice")
+                * (F.lit(1.0).cast("decimal(18,2)") - dec("l_discount")))
+        return (li.groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                     F.sum(dec("l_extendedprice")).cast("double").alias("sum_base"),
+                     F.sum(disc).cast("double").alias("sum_disc_price"),
+                     F.count(F.lit(1)).alias("n_rows")))
+
+    def tpch_q3_topk(spark, sf):
+        # shipping-priority (Q3 shape): small filtered dim BROADCAST into
+        # the fact join chain, aggregate, global top-10
+        cust = (_tab(spark, sf, "customer")
+                .where(F.col("c_mktsegment") == "BUILDING")
+                .select("c_custkey"))
+        orders = (_tab(spark, sf, "orders")
+                  .where(F.col("o_orderdate") < F.lit("1999-01-01"))
+                  .select("o_orderkey", "o_custkey", "o_orderdate"))
+        li = (_tab(spark, sf, "lineitem")
+              .where(F.col("l_shipdate") > F.lit("1999-01-01"))
+              .select("l_orderkey", "l_extendedprice", "l_discount"))
+        dec = lambda c: F.col(c).cast("decimal(18,2)")
+        rev = dec("l_extendedprice") * (F.lit(1.0).cast("decimal(18,2)")
+                                        - dec("l_discount"))
+        j = (li.join(F.broadcast(orders.join(F.broadcast(cust),
+                                             orders.o_custkey == cust.c_custkey)),
+                     li.l_orderkey == F.col("o_orderkey")))
+        agg = (j.groupBy("o_orderkey", "o_orderdate")
+               .agg(F.sum(rev).cast("double").alias("revenue")))
+        return (agg.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+                .select(F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                        F.round("revenue", 6).alias("revenue")))
+
+    q.update(tpch_q1_pricing=tpch_q1_pricing, tpch_q3_topk=tpch_q3_topk)
+
     # ---- text analysis ----
     def text_token_counts(spark, sf):
         return T.token_counts(_documents(spark, sf), "doc_id", "text").select(
@@ -995,6 +1043,34 @@ scored AS (SELECT q.query_id, v.id,
            JOIN q ON q.query_id = p.query_id
            WHERE v.id <> q.query_id)
 SELECT query_id, id, round(cosine, 6) AS cosine FROM scored WHERE rk <= 5
+"""
+
+    o["tpch_q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base,
+       sum(l_extendedprice::DECIMAL(18,2)
+           * (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE
+         AS sum_disc_price,
+       count(*)::bigint AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    o["tpch_q3_topk"] = """
+SELECT l.l_orderkey::bigint AS o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(l.l_extendedprice::DECIMAL(18,2)
+                 * (1.0::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2)))::DOUBLE,
+             6) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+  AND l.l_shipdate > TIMESTAMP '1999-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
 """
 
     # ground truth for the wrap-then-extract round trip: XML strips to
