@@ -555,6 +555,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(tpch_q1_pricing=tpch_q1_pricing, tpch_q3_topk=tpch_q3_topk)
 
+    # ---- custom join operators (brief: as-of join / range join) ----
+    def ev_asof_join(spark, sf):
+        # each 'click' event picks up the latest prior-or-simultaneous
+        # 'view' by the same user (point-in-time attribution join)
+        from lucene_plugin_spark.ops.joins import asof_join
+        ev = _events(spark, sf)
+        clicks = ev.where(F.col("event_type") == "click") \
+                   .select("event_id", "user_id", "ts", "value")
+        views = ev.where(F.col("event_type") == "view") \
+                  .select("user_id", "ts", F.col("event_id").alias("view_id"))
+        out = asof_join(clicks, views, "user_id", "ts", ["view_id"])
+        return out.select("event_id",
+                          F.col("asof_view_id").cast("bigint").alias("view_id"),
+                          F.unix_timestamp("asof_ts").cast("bigint").alias("view_ts"))
+
+    def ev_range_join(spark, sf):
+        # error events joined to the [t, t+6h] windows opened by purchases
+        # of the same user (bucketed interval join, 1 h buckets)
+        from lucene_plugin_spark.ops.joins import range_join
+        ev = _events(spark, sf)
+        errors = ev.where(F.col("event_type") == "error") \
+                   .select("event_id", "user_id",
+                           F.unix_timestamp("ts").cast("double").alias("t"))
+        windows = ev.where(F.col("event_type") == "purchase") \
+                    .select(F.col("event_id").alias("win_id"), "user_id",
+                            F.unix_timestamp("ts").cast("double").alias("lo"),
+                            (F.unix_timestamp("ts") + 21600).cast("double").alias("hi"))
+        out = range_join(errors, windows, "user_id", "t", "lo", "hi",
+                         bucket_width=3600.0)
+        return out.select("event_id", F.col("win_id").cast("bigint").alias("win_id"))
+
+    def ev_kmv_distinct(spark, sf):
+        # deterministic bottom-k distinct-user sketch per event type
+        from lucene_plugin_spark.ops.sketches import kmv_distinct
+        out = kmv_distinct(_events(spark, sf), "event_type", "user_id", k=32)
+        return out.select(F.col("grp").alias("event_type"), "n_distinct_est")
+
+    q.update(ev_asof_join=ev_asof_join, ev_range_join=ev_range_join,
+             ev_kmv_distinct=ev_kmv_distinct)
+
     # ---- text analysis ----
     def text_token_counts(spark, sf):
         return T.token_counts(_documents(spark, sf), "doc_id", "text").select(
@@ -1043,6 +1083,39 @@ scored AS (SELECT q.query_id, v.id,
            JOIN q ON q.query_id = p.query_id
            WHERE v.id <> q.query_id)
 SELECT query_id, id, round(cosine, 6) AS cosine FROM scored WHERE rk <= 5
+"""
+
+    o["ev_asof_join"] = """
+SELECT c.event_id,
+       v.event_id::bigint AS view_id,
+       floor(epoch(v.ts))::bigint AS view_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN
+     (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+    o["ev_range_join"] = """
+SELECT e.event_id, p.event_id::bigint AS win_id
+FROM (SELECT event_id, user_id, floor(epoch(ts)) AS t
+      FROM events WHERE event_type = 'error') e
+JOIN (SELECT event_id, user_id, floor(epoch(ts)) AS lo,
+             floor(epoch(ts)) + 21600 AS hi
+      FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.t >= p.lo AND e.t <= p.hi
+"""
+
+    kmv_h = md5_long_sql("cast(user_id as varchar)")
+    o["ev_kmv_distinct"] = f"""
+WITH d AS (SELECT DISTINCT event_type AS grp, {kmv_h} AS h FROM events),
+r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) rn FROM d),
+s AS (SELECT grp, count(*) AS n_kept, max(CASE WHEN rn = 32 THEN h END) AS vk
+      FROM r WHERE rn <= 32 GROUP BY grp)
+SELECT grp AS event_type,
+       round(CASE WHEN n_kept < 32 THEN n_kept::DOUBLE
+                  ELSE 31.0 / (vk::DOUBLE / 1152921504606846976.0)
+             END, 4) AS n_distinct_est
+FROM s
 """
 
     o["tpch_q1_pricing"] = """

@@ -242,3 +242,69 @@ def test_simhash_near_pairs_finds_near_dupes(spark):
            D.simhash_near_pairs(df, "doc_id", "text", max_hamming=12).collect()}
     assert (0, 1) in got
     assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_asof_join_basic_and_tolerance(spark):
+    from lucene_plugin_spark.ops.joins import asof_join
+    import pyspark.sql.functions as F
+    left = (spark.createDataFrame(
+        [(1, 7, "2024-01-01 10:00:30"), (2, 7, "2024-01-01 10:02:00"),
+         (3, 8, "2024-01-01 10:00:00"), (4, 9, "2024-01-01 10:01:00")],
+        "event_id long, user_id long, ts string")
+        .withColumn("ts", F.to_timestamp("ts")))
+    right = (spark.createDataFrame(
+        [(100, 7, "2024-01-01 10:00:00"), (101, 7, "2024-01-01 10:01:00"),
+         (102, 8, "2024-01-01 10:00:00")],
+        "quote_id long, user_id long, ts string")
+        .withColumn("ts", F.to_timestamp("ts")))
+    got = {r["event_id"]: r["asof_quote_id"]
+           for r in asof_join(left, right, "user_id", "ts", ["quote_id"]).collect()}
+    # 10:00:30 -> quote at 10:00; 10:02 -> quote at 10:01; simultaneous
+    # right row IS visible (<=); user 9 has no quote -> NULL
+    assert got == {1: 100, 2: 101, 3: 102, 4: None}
+    # tolerance: event1's match is 30s stale, event2's is 60s stale
+    tol = {r["event_id"]: r["asof_quote_id"]
+           for r in asof_join(left, right, "user_id", "ts", ["quote_id"],
+                              tolerance="45 seconds").collect()}
+    assert tol == {1: 100, 2: None, 3: 102, 4: None}
+    tight = {r["event_id"]: r["asof_quote_id"]
+             for r in asof_join(left, right, "user_id", "ts", ["quote_id"],
+                                tolerance="20 seconds").collect()}
+    assert tight == {1: None, 2: None, 3: 102, 4: None}
+
+
+def test_range_join_buckets(spark):
+    from lucene_plugin_spark.ops.joins import range_join
+    pts = spark.createDataFrame(
+        [(1, 7, 10.0), (2, 7, 95.0), (3, 8, 10.0)],
+        "pid long, key long, x double")
+    ivs = spark.createDataFrame(
+        [(100, 7, 0.0, 50.0), (101, 7, 90.0, 200.0), (102, 8, 20.0, 30.0)],
+        "iid long, key long, lo double, hi double")
+    got = {(r["pid"], r["iid"]) for r in
+           range_join(pts, ivs, "key", "x", "lo", "hi", bucket_width=25.0).collect()}
+    assert got == {(1, 100), (2, 101)}  # (3,102) misses bounds; keys isolate
+
+
+def test_kmv_sketch_exact_estimate_and_merge(spark):
+    from lucene_plugin_spark.ops.sketches import (kmv_distinct, kmv_estimate,
+                                                  kmv_merge, kmv_sketch)
+    rows = [(("a" if i % 3 else "b"), f"u{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    # k > true distinct -> exact counts
+    exact = {r["grp"]: r["n_distinct_est"]
+             for r in kmv_distinct(df, "grp", "uid", k=64).collect()}
+    assert exact == {"a": 40.0, "b": 40.0}
+    # k < distinct -> estimate within the bottom-k error envelope
+    est = {r["grp"]: r["n_distinct_est"]
+           for r in kmv_distinct(df, "grp", "uid", k=16).collect()}
+    assert 20 <= est["a"] <= 80
+    # mergeability: merge(sketch(A), sketch(B)) == sketch(A union B)
+    a = df.where(df.uid.isin([f"u{i}" for i in range(20)]))
+    b = df.where(~df.uid.isin([f"u{i}" for i in range(20)]))
+    merged = kmv_merge(kmv_sketch(a, "grp", "uid", 16),
+                       kmv_sketch(b, "grp", "uid", 16), 16)
+    whole = kmv_sketch(df, "grp", "uid", 16)
+    m = {r["grp"]: r["ks"] for r in merged.collect()}
+    w = {r["grp"]: r["ks"] for r in whole.collect()}
+    assert m == w
