@@ -414,8 +414,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window_start", "event_type",
             F.col("n_events").cast("bigint").alias("n_events"), "sum_value")
 
+    def ev_hier_rollup(spark, sf):  # coarse tier computed from fine tier
+        from lucene_plugin_spark.ops import windows as W
+        out = W.hierarchical_rollup(_events(spark, sf))
+        return out.select("window_start", "event_type",
+                          F.col("n_events").cast("bigint").alias("n_events"),
+                          "sum_value")
+
+    def ev_rollup(spark, sf):  # GROUPING SETS: rows + subtotals + total
+        from lucene_plugin_spark.ops import windows as W
+        out = W.rollup_counts(_events(spark, sf))
+        return out.select("window_start", "key",
+                          F.col("n_events").cast("bigint").alias("n_events"),
+                          "sum_value")
+
     q.update(ev_window_counts=ev_window_counts, ev_sessionize=ev_sessionize,
-             ev_json_extract=ev_json_extract, ev_sliding_counts=ev_sliding_counts)
+             ev_json_extract=ev_json_extract, ev_sliding_counts=ev_sliding_counts,
+             ev_hier_rollup=ev_hier_rollup, ev_rollup=ev_rollup)
 
     # ---- dedup suite ----
     def dedup_exact(spark, sf):
@@ -1083,6 +1098,24 @@ scored AS (SELECT q.query_id, v.id,
            JOIN q ON q.query_id = p.query_id
            WHERE v.id <> q.query_id)
 SELECT query_id, id, round(cosine, 6) AS cosine FROM scored WHERE rk <= 5
+"""
+
+    # direct hourly-from-raw — the engine computes it hourly-from-minutely
+    # (continuous-aggregate contract: both must be identical)
+    o["ev_hier_rollup"] = """
+SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::bigint AS window_start,
+       event_type, count(*)::bigint AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    o["ev_rollup"] = """
+WITH b AS (SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::bigint AS window_start,
+                  event_type AS key, value
+           FROM events)
+SELECT window_start, key, count(*)::bigint AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM b GROUP BY ROLLUP (window_start, key)
 """
 
     o["ev_asof_join"] = """

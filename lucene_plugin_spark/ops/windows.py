@@ -80,3 +80,44 @@ def json_props(events: DataFrame, json_col: str = "props",
     return events.select(
         "event_id",
         F.get_json_object(F.col(json_col), f"$.{key}").cast("long").alias(key))
+
+
+def hierarchical_rollup(events: DataFrame, ts_col: str = "ts",
+                        key_col: str = "event_type", value_col: str = "value",
+                        fine: str = "1 minute",
+                        coarse: str = "1 hour") -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the COARSE aggregate is
+    computed from the FINE pre-aggregate, never from raw rows.
+
+    This is the property that makes continuous aggregates cheap at 100 TB:
+    the fine tier is the only scan of raw data; every coarser tier re-uses
+    it (counts sum, sums sum — the algebraic-aggregate contract).  Returns
+    (window_start, key, n_events, sum_value) at the coarse granularity,
+    identical to aggregating raw rows directly (pytest + oracle pin it).
+    """
+    fine_agg = (events.groupBy(F.window(F.col(ts_col), fine).alias("w"),
+                               F.col(key_col))
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(value_col).alias("sum_value")))
+    return (fine_agg
+            .groupBy(F.window(F.col("w.start"), coarse).alias("cw"),
+                     F.col(key_col))
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.round(F.sum("sum_value"), 6).alias("sum_value"))
+            .select(F.unix_timestamp(F.col("cw.start")).alias("window_start"),
+                    F.col(key_col), "n_events", "sum_value"))
+
+
+def rollup_counts(events: DataFrame, ts_col: str = "ts",
+                  key_col: str = "event_type", value_col: str = "value",
+                  window: str = "1 hour") -> DataFrame:
+    """ROLLUP grouping over (window, key): per-(window, key) rows, per-window
+    subtotals and the grand total in one pass (Spark's rollup = GROUPING
+    SETS; two-phase hash agg underneath, same as a flat groupBy)."""
+    w = F.window(F.col(ts_col), window)
+    return (events
+            .select(F.unix_timestamp(w.getField("start")).alias("window_start"),
+                    F.col(key_col).alias("key"), F.col(value_col))
+            .rollup("window_start", "key")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(value_col), 6).alias("sum_value")))

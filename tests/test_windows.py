@@ -48,3 +48,38 @@ def test_json_props(spark):
     from lucene_plugin_spark.ops.windows import json_props
     out = {r["event_id"]: r["k"] for r in json_props(_events(spark)).collect()}
     assert out[0] == 0 and out[4] == 4 and out[10] == 7
+
+
+def test_hierarchical_rollup_equals_direct(spark):
+    """Continuous-aggregate contract: hourly-from-minutely == hourly-from-raw."""
+    import pyspark.sql.functions as F
+    from lucene_plugin_spark.ops.windows import (hierarchical_rollup,
+                                                 tumbling_counts)
+    rows = [(i, i % 3, "t" + str(i % 2),
+             f"2024-01-01 {10 + i % 3:02d}:{(7 * i) % 60:02d}:00", float(i))
+            for i in range(40)]
+    ev = (spark.createDataFrame(rows, "event_id long, user_id long, "
+                                "event_type string, ts string, value double")
+          .withColumn("ts", F.to_timestamp("ts")))
+    direct = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+              for r in tumbling_counts(ev).collect()}
+    tiered = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+              for r in hierarchical_rollup(ev).collect()}
+    assert tiered == direct
+
+
+def test_rollup_counts_has_subtotals(spark):
+    import pyspark.sql.functions as F
+    from lucene_plugin_spark.ops.windows import rollup_counts
+    rows = [(1, 1, "a", "2024-01-01 10:05:00", 1.0),
+            (2, 1, "b", "2024-01-01 10:10:00", 2.0),
+            (3, 1, "a", "2024-01-01 11:05:00", 4.0)]
+    ev = (spark.createDataFrame(rows, "event_id long, user_id long, "
+                                "event_type string, ts string, value double")
+          .withColumn("ts", F.to_timestamp("ts")))
+    out = {(r["window_start"], r["key"]): (r["n_events"], r["sum_value"])
+           for r in rollup_counts(ev).collect()}
+    h10 = 1704103200
+    assert out[(h10, "a")] == (1, 1.0)
+    assert out[(h10, None)] == (2, 3.0)        # per-window subtotal
+    assert out[(None, None)] == (3, 7.0)       # grand total
