@@ -89,6 +89,9 @@ def main() -> None:
 
     batch = [(f"b{i}", None, mk_q(i)) for i in range(64)]
     timed("q_batch64", lambda: engine.search_many(batch, limit=10).count(), runs=2)
+    big = [(f"c{i}", None, mk_q(i) + (f" {words[(5 * i) % len(words)]}" if i >= 64 else ""))
+           for i in range(256)]
+    timed("q_batch256", lambda: engine.search_many(big, limit=10).count(), runs=2)
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
