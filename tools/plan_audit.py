@@ -40,13 +40,19 @@ def main() -> None:
             with redirect_stdout(buf):
                 df.explain("formatted")
             plan = buf.getvalue()
-            n_exch = len(re.findall(r"\bExchange\b", plan))
-            n_bcast = len(re.findall(r"BroadcastHashJoin|BroadcastExchange", plan))
+            # plan-TREE node counts: a cached/reused subtree prints once per
+            # reference, so exchange counts are an upper bound on physical
+            # shuffles (InMemoryRelation / ReusedExchange dedupe at runtime)
+            n_exch = len(re.findall(r"\(\d+\) Exchange\b", plan))
+            n_reuse = len(re.findall(r"InMemoryTableScan|ReusedExchange", plan))
+            n_bcast = len(re.findall(r"\(\d+\) Broadcast(?:HashJoin|Exchange)",
+                                     plan))
             pushed = sorted(set(re.findall(r"PushedFilters: \[[^\]]*\]", plan)))
-            n_wsc = len(re.findall(r"WholeStageCodegen", plan))
+            codegen_ids = set(re.findall(r"codegen id : (\d+)", plan))
             lines.append(f"## {name}")
-            lines.append(f"exchanges={n_exch} broadcast_nodes={n_bcast} "
-                         f"wholestage_spans={n_wsc}")
+            lines.append(f"exchanges<={n_exch} broadcast_nodes={n_bcast} "
+                         f"cached_or_reused={n_reuse} "
+                         f"codegen_spans={len(codegen_ids)}")
             for p in pushed[:6]:
                 lines.append(f"  {p[:160]}")
             lines.append("")
