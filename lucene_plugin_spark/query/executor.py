@@ -955,6 +955,60 @@ class _SliceIndex:
             ent["_pos"] = codec.decode_positions(b"".join(ent["pos_raw"]), ent["_tf"])
         return (ids, ent["_tf"], ent["_pos"])
 
+    def decoded_selective(self, field: str, term: str,
+                          cand_ids: np.ndarray):
+        """(ids, tfs, positions) restricted to the BLOCKS that contain any
+        candidate doc — the phrase path's Lucene-style lazy position read.
+
+        DocID and tf streams decode fully (cheap, needed to find blocks and
+        build keys); the bulky position stream decodes only for selected
+        blocks, in ONE concatenated codec call.  Falls back to the cached
+        full decode when it already exists.  Extra docs sharing a selected
+        block ride along harmlessly (phrase intersection drops them)."""
+        ent = self.entries.get((field, term))
+        if ent is None:
+            return (np.empty(0, np.int64), np.empty(0, np.int64), None)
+        if ent["_pos"] is not None or ent["pos_raw"] is None:
+            return self.decoded(field, term, True)
+        ids = self.ids_only(field, term)
+        if ent["_tf"] is None:
+            ent["_tf"] = codec.varint_decode(b"".join(ent["tf_raw"])).astype(np.int64)
+        tf = ent["_tf"]
+        counts = ent["doc_count"]
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        firsts = ids[bounds[:-1]]
+        lasts = ids[bounds[1:] - 1]
+        cand = np.asarray(cand_ids, dtype=np.int64)
+        # block b overlaps candidates iff some cand in [firsts[b], lasts[b]]
+        i = np.searchsorted(cand, firsts)
+        sel = np.flatnonzero((i < cand.size)
+                             & (cand[np.minimum(i, cand.size - 1)] <= lasts))
+        if sel.size == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.int64))
+        if sel.size * 2 >= len(counts):
+            # most blocks needed: full decode once, cached for every later
+            # phrase touching this term
+            return self.decoded(field, term, True)
+        # per-block position cache: repeats of this (or another) phrase
+        # re-assemble from decoded chunks instead of re-running the codec
+        cache = ent.setdefault("_pos_blocks", {})
+        missing = [b for b in sel.tolist() if b not in cache]
+        if missing:
+            tf_miss = np.concatenate([tf[bounds[b]:bounds[b + 1]]
+                                      for b in missing])
+            dec = codec.decode_positions(
+                b"".join(ent["pos_raw"][b] for b in missing), tf_miss)
+            off = 0
+            for b in missing:
+                n = int(tf[bounds[b]:bounds[b + 1]].sum())
+                cache[b] = dec[off:off + n]
+                off += n
+        tf_sel = np.concatenate([tf[bounds[b]:bounds[b + 1]] for b in sel])
+        pos_sel = np.concatenate([cache[b] for b in sel.tolist()])
+        ids_sel = np.concatenate([ids[bounds[b]:bounds[b + 1]] for b in sel])
+        return (ids_sel, tf_sel, pos_sel)
+
 
 def _as_slice_index(sl) -> _SliceIndex:
     return sl if isinstance(sl, _SliceIndex) else _SliceIndex(sl)
@@ -970,6 +1024,30 @@ def _build_norm_lookup(norms_pdf) -> dict:
         order = np.argsort(nd, kind="mergesort")
         out[field] = (nd[order], nf["dl"].to_numpy(np.float64)[order])
     return out
+
+
+def _phrase_decode_selective(idx: "_SliceIndex", field: str,
+                             terms: list[str]) -> dict:
+    """Decode phrase terms' postings with lazy positions: intersect docID
+    streams first (cheap gap decodes), then block-selectively decode
+    positions only where candidates live.  On a rare+hot phrase the hot
+    term's position stream shrinks to the rare term's blocks — the
+    Lucene-style 'advance then read positions' access pattern."""
+    uniq = list(dict.fromkeys(terms))
+    id_lists = []
+    for t in uniq:
+        if idx.blocks(field, t) is None:
+            return {}  # missing term: no phrase hits anywhere
+        id_lists.append(idx.ids_only(field, t))
+    order = sorted(range(len(uniq)), key=lambda i: id_lists[i].size)
+    cand = id_lists[order[0]]
+    for i in order[1:]:
+        if cand.size == 0:
+            break
+        a = id_lists[i]
+        j = np.minimum(np.searchsorted(a, cand), a.size - 1)
+        cand = cand[a[j] == cand]
+    return {t: idx.decoded_selective(field, t, cand) for t in uniq}
 
 
 def _phrase_match(decoded, terms, offsets):
@@ -1075,7 +1153,7 @@ def _score_slice(sl, norms_pdf, specs, df_map,
         boost = s.get("boost", 1.0)
         n_docs, avgdl = stats.get(field, (0.0, 1.0))
         if s["kind"] == "phrase":
-            decoded = decoded_for(field, s["terms"], True)
+            decoded = _phrase_decode_selective(idx, field, s["terms"])
             ids, ptf = _phrase_match(decoded, s["terms"], s["offsets"])
             keep = _in_ranges(ids, doc_ranges, dead)
             ids, ptf = ids[keep], ptf[keep]
