@@ -121,6 +121,7 @@ class SearchEngine:
         self._meta_cached: DataFrame | None = None
         self._path_map: dict[int, str] | None = None
         self._df_cache: dict[tuple[str, str], float] = {}
+        self._cf_cache: dict[tuple[str, str], float] = {}
         self._norms_cache: dict[int, pd.DataFrame] = {}
         self._norm_lookup_cache: dict = {}
         self._compile_cache: dict = {}
@@ -198,7 +199,9 @@ class SearchEngine:
         """(field, term) -> document frequency, via a driver-side cache over
         the term dictionary (the reference's parsed-query/terms caching idea,
         LuceneIndexBean.java:104; ours is keyed per engine = per snapshot).
-        Absent terms are cached as 0.0 so repeats skip the lookup job too."""
+        Absent terms are cached as 0.0 so repeats skip the lookup job too.
+        The same collect fills ``_cf_cache`` (collection frequency = total
+        positions) for the phrase cost estimate."""
         missing = [p for p in pairs if p not in self._df_cache]
         if missing:
             td = self._term_dict_df()
@@ -207,8 +210,10 @@ class SearchEngine:
             rows = (td.where(F.col("field").isin(fields) & F.col("term").isin(terms))
                     .collect())
             found = {(r["field"], r["term"]): float(r["df"]) for r in rows}
+            cfs = {(r["field"], r["term"]): float(r["cf"]) for r in rows}
             for p in missing:
                 self._df_cache[p] = found.get(p, 0.0)
+                self._cf_cache[p] = cfs.get(p, 0.0)
         return {p: self._df_cache[p] for p in pairs}
 
     # ------------------------------------------------------------ metadata
@@ -603,8 +608,16 @@ class SearchEngine:
             "only_terms": (len(specs) > 0 and all(
                 s["kind"] == "term" and s["polarity"] == "should"
                 and s.get("boost", 1.0) == 1.0 for s in specs)),
-            # postings the scan will surface, known BEFORE any scan: Σ df
-            "est_postings": sum(df_map.values()),
+            # work the query will surface, known BEFORE any scan: Σ df per
+            # term — except phrase terms, whose cost is the POSITION stream
+            # (cf = total occurrences), so a cold hot-term phrase routes to
+            # the distributed kernel instead of a single-threaded driver
+            # decode of a multi-million-entry stream
+            "est_postings": sum(
+                max(self._df_cache.get((s["field"], t), 0.0),
+                    self._cf_cache.get((s["field"], t), 0.0)
+                    if s["kind"] == "phrase" else 0.0)
+                for s in specs for t in s["terms"]),
         }
 
     def _filtered_segments(self, cq) -> DataFrame:
