@@ -117,16 +117,17 @@ class LuceneFacade:
     def index_file(self, collection: str, path: str) -> bool:
         """Reference reads the file from BFS, auto-detects the format and
         Tika-extracts text (LuceneIndexBean.java:200-228; formats exercised
-        by TestSearchByFirstWord.java:29-70).  Here: local read + format
-        sniff (extension, then content head) + txt/xml/html/json extraction
-        (ops.extract — pdf/docx raise, clearly-marked stub).  external_id =
-        the path, like the reference."""
+        by TestSearchByFirstWord.java:29-70).  Here: local binary read +
+        format sniff (extension, then magic bytes, then content head) +
+        extraction for all 5 reference fixture formats (txt/xml/json/pdf/
+        docx, plus html) via ops.extract.  external_id = the path, like the
+        reference."""
         self._check(collection, "collection")
         self._check(path, "path")
-        from lucene_plugin_spark.ops.extract import extract_text_str
-        with open(path, encoding="utf-8", errors="replace") as f:
+        from lucene_plugin_spark.ops.extract import extract_text_bytes
+        with open(path, "rb") as f:
             raw = f.read()
-        return self.index_text(collection, path, extract_text_str(raw, path))
+        return self.index_text(collection, path, extract_text_bytes(raw, path))
 
     def delete(self, collection: str, ext_id: str) -> bool:
         self._check(collection, "collection")

@@ -4,9 +4,13 @@ txt/xml/json/pdf/docx by TestSearchByFirstWord.java:29-70).
 
 Covered formats: txt (identity), xml/html (tag strip + entity decode), json
 (depth-first concatenation of string values — what Tika's handler sees as
-character content).  pdf/docx need binary parsers that are not in this
-sandbox; ``extract_text_str`` raises ``UnsupportedFormatError`` for them
-(clearly marked stub — the dispatch/sniffing plumbing is real).
+character content), docx (zip container -> word/document.xml, ``<w:t>`` runs
+joined per paragraph — the WordprocessingML structure Tika's OOXML extractor
+walks), and pdf (unencrypted content streams, raw or FlateDecode, text-show
+operators Tj/TJ/'/\" — the common subset of what PDFBox extracts; PDFs with
+exotic filters, encryption, or no text operators raise
+``UnsupportedFormatError``, which is also the honest answer for scanned
+image-only PDFs).
 
 Two surfaces:
 - driver-side ``sniff_format`` / ``extract_text_str`` for the facade's
@@ -34,8 +38,9 @@ TAG_STRIP_PATTERN = "<[^>]*>"
 
 
 class UnsupportedFormatError(NotImplementedError):
-    """Raised for formats whose binary parsers are not available here
-    (pdf/docx — reference delegates these to Tika 1.11)."""
+    """Raised when a document's format cannot be text-extracted here
+    (encrypted/imagery-only/exotic-filter PDFs, corrupt containers —
+    the reference delegates these cases to Tika 1.11)."""
 
 
 def sniff_format(path: str | None, head: str) -> str:
@@ -95,9 +100,156 @@ def extract_text_str(raw: str, path: str | None = None,
         return xml_to_text(raw)
     if fmt == "json":
         return json_to_text(raw)
+    if fmt in ("pdf", "docx"):
+        # extension said binary but we were handed decoded text — round-trip
+        # through latin-1 (lossless byte map) and use the binary parsers
+        return extract_text_bytes(raw.encode("latin-1", "replace"), path, fmt)
     raise UnsupportedFormatError(
-        f"format {fmt!r} needs a binary parser not present in this build "
+        f"format {fmt!r} has no extractor in this build "
         "(reference: Tika 1.11 AutoDetectParser)")
+
+
+# ------------------------------------------------------------ binary formats
+
+#: WordprocessingML text runs / paragraph ends (ECMA-376 part 1, public spec)
+_DOCX_T_RE = re.compile(r"<w:t(?:\s[^>]*)?>(.*?)</w:t>", re.S)
+_DOCX_BREAK_RE = re.compile(r"<w:(?:tab|br|cr)\b[^>]*/?>")
+
+#: PDF content-stream tokens: string literal (escape-aware), TJ array, operator
+_PDF_TOKEN_RE = re.compile(
+    rb"\((?P<str>(?:\\.|[^\\()])*)\)"      # ( literal )  — escapes honoured
+    rb"|\[(?P<arr>(?:\\.|\((?:\\.|[^\\()])*\)|[^\]\\])*)\]"  # [ ... ] TJ array
+    rb"|(?P<op>[A-Za-z'\"][A-Za-z0-9*'\"]*)", re.S)
+_PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+_PDF_ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+            b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _pdf_unescape(s: bytes) -> str:
+    out = bytearray()
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i:i + 1]
+        if c == b"\\" and i + 1 < n:
+            nxt = s[i + 1:i + 2]
+            if nxt in _PDF_ESC:
+                out += _PDF_ESC[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():                      # octal \ddd (1-3 digits)
+                j = i + 1
+                while j < min(i + 4, n) and s[j:j + 1].isdigit():
+                    j += 1
+                out.append(int(s[i + 1:j], 8) & 0xFF)
+                i = j
+                continue
+            if nxt in (b"\n", b"\r"):              # line continuation
+                i += 2
+                continue
+        out += c
+        i += 1
+    # PDFDocEncoding ~ latin-1 for the printable range; fixture-grade
+    return out.decode("latin-1")
+
+
+def _pdf_stream_text(content: bytes) -> list[str]:
+    """Walk one decoded content stream, collecting shown strings.  Tj/'/\"
+    show the preceding literal; TJ shows every literal in the preceding
+    array; Td/TD/T* are line moves -> word boundary."""
+    pieces: list[str] = []
+    pending: list[str] = []
+    for m in _PDF_TOKEN_RE.finditer(content):
+        if m.group("str") is not None:
+            pending = [_pdf_unescape(m.group("str"))]
+        elif m.group("arr") is not None:
+            pending = [_pdf_unescape(x.group("str"))
+                       for x in _PDF_TOKEN_RE.finditer(m.group("arr"))
+                       if x.group("str") is not None]
+        else:
+            op = m.group("op")
+            if op in (b"Tj", b"'", b'"', b"TJ"):
+                pieces.append("".join(pending))
+                pending = []
+            elif op in (b"Td", b"TD", b"T*", b"ET"):
+                pieces.append(" ")
+    return pieces
+
+
+def pdf_to_text(data: bytes) -> str:
+    """Text from an unencrypted PDF: every stream object is tried raw and
+    FlateDecode (zlib), and text-show operators are collected in stream
+    order.  Raises ``UnsupportedFormatError`` when no text operator is
+    found (image-only, encrypted, or unsupported filters)."""
+    import zlib
+
+    pieces: list[str] = []
+    for m in _PDF_STREAM_RE.finditer(data):
+        raw = m.group(1)
+        candidates = [raw.strip(b"\r\n")]
+        try:
+            # decompressobj tolerates trailing bytes before `endstream`
+            candidates.insert(0, zlib.decompressobj().decompress(raw.lstrip(b"\r\n")))
+        except zlib.error:
+            pass
+        for content in candidates:
+            got = _pdf_stream_text(content)
+            if any(p.strip() for p in got):
+                pieces.extend(got)
+                break
+    text = _WS_RE.sub(" ", "".join(pieces)).strip()
+    if not text:
+        raise UnsupportedFormatError(
+            "pdf has no extractable text operators (encrypted, image-only, "
+            "or non-Flate filters; reference: Tika 1.11 -> PDFBox)")
+    return text
+
+
+def docx_to_text(data: bytes) -> str:
+    """Text from a docx: the zip's word/document.xml, ``<w:t>`` runs joined
+    with nothing inside a paragraph (runs may split words), paragraphs and
+    tabs/breaks joined with a space — Tika's OOXML body-extraction shape."""
+    import io
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            xml = z.read("word/document.xml").decode("utf-8", "replace")
+    except (zipfile.BadZipFile, KeyError) as e:
+        raise UnsupportedFormatError(f"not a docx container: {e}") from e
+    paras = []
+    for p in re.split(r"</w:p>|<w:p\s[^>]*/>", xml):
+        p = _DOCX_BREAK_RE.sub("</w:t> <w:t>", p)
+        runs = [html.unescape(_TAG_RE.sub("", r)) for r in _DOCX_T_RE.findall(p)]
+        if runs:
+            paras.append("".join(runs))
+    return _WS_RE.sub(" ", " ".join(paras)).strip()
+
+
+def sniff_format_bytes(path: str | None, head: bytes) -> str:
+    """Binary-aware auto-detect: extension first, then magic bytes, then the
+    text sniffer over a best-effort decode."""
+    if path:
+        fmt = sniff_format(path, "")
+        if fmt != "txt" or path.lower().endswith(".txt"):
+            return fmt
+    if head.startswith(b"%PDF"):
+        return "pdf"
+    if head.startswith(b"PK\x03\x04"):
+        return "docx"
+    return sniff_format(None, head.decode("utf-8", "replace"))
+
+
+def extract_text_bytes(raw: bytes, path: str | None = None,
+                       fmt: str | None = None) -> str:
+    """Driver-side extraction from raw bytes — the full Tika-analogue
+    dispatch (all 5 reference fixture formats,
+    TestSearchByFirstWord.java:29-70)."""
+    fmt = fmt or sniff_format_bytes(path, raw[:256])
+    if fmt == "pdf":
+        return pdf_to_text(raw)
+    if fmt == "docx":
+        return docx_to_text(raw)
+    return extract_text_str(raw.decode("utf-8", "replace"), path, fmt)
 
 
 def extract_text(df: DataFrame, content_col: str = "content",
@@ -141,3 +293,41 @@ def extract_text(df: DataFrame, content_col: str = "content",
     json_done = json_rows.mapInPandas(parse_json, schema=json_rows.schema)
     return (xml_done.unionByName(txt_done).unionByName(json_done)
             .drop("__fmt__"))
+
+
+def extract_binary(df: DataFrame, content_col: str = "data",
+                   path_col: str | None = None,
+                   out_col: str = "content",
+                   on_error: str = "null") -> DataFrame:
+    """Bulk extraction from a ``binary`` column (pdf/docx/any) — one
+    Arrow-batched ``mapInPandas`` running the same stdlib parsers as the
+    driver path (extraction is a one-off ingest cost; there is no JVM pdf
+    parser to prefer).  ``on_error='null'`` maps unextractable docs to NULL
+    (filterable downstream); ``'raise'`` propagates.  Output schema =
+    input minus ``content_col`` plus ``out_col: string`` — binary payloads
+    are dropped after extraction so downstream stages never shuffle them."""
+    import pandas as pd
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    keep = [f for f in df.schema.fields if f.name != content_col]
+    schema = StructType(keep + [StructField(out_col, StringType(), True)])
+    names = [f.name for f in keep]
+    strict = on_error == "raise"
+
+    def run(batches):
+        for pdf in batches:
+            def one(row):
+                try:
+                    return extract_text_bytes(
+                        bytes(row[content_col]),
+                        row[path_col] if path_col else None)
+                except UnsupportedFormatError:
+                    if strict:
+                        raise
+                    return None
+            out = pdf[names].copy()
+            out[out_col] = pdf.apply(one, axis=1)
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

@@ -135,11 +135,74 @@ def test_score_ordering(facade):
 
 
 # --- TestSearchByFirstWord.java:29-70 across formats (Tika analogue, S3) -----------
+def make_docx(text: str) -> bytes:
+    """Minimal valid WordprocessingML container: one paragraph per sentence,
+    each paragraph split into two ``<w:t>`` runs mid-word (the structure
+    that breaks naive tag-stripping and that Tika's OOXML extractor joins)."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    sents = text.split(". ")
+    sents = [s + "." for s in sents[:-1]] + sents[-1:]
+    paras = []
+    for sent in sents:
+        mid = len(sent) // 2
+        paras.append(f"<w:p><w:r><w:t xml:space=\"preserve\">"
+                     f"{escape(sent[:mid])}</w:t></w:r><w:r>"
+                     f"<w:t xml:space=\"preserve\">{escape(sent[mid:])}"
+                     f"</w:t></w:r></w:p>")
+    doc = ("<?xml version=\"1.0\"?><w:document xmlns:w=\"http://schemas."
+           "openxmlformats.org/wordprocessingml/2006/main\"><w:body>"
+           + "".join(paras) + "</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml",
+                   "<?xml version=\"1.0\"?><Types xmlns=\"http://schemas."
+                   "openxmlformats.org/package/2006/content-types\"/>")
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def make_pdf(text: str) -> bytes:
+    """Minimal text-bearing PDF: one page whose FlateDecode content stream
+    shows the text via Tj (first half) and a TJ array with kerning numbers
+    (second half) — both operators the extractor must support."""
+    import zlib
+
+    def esc(s):
+        return (s.replace("\\", r"\\").replace("(", r"\(")
+                 .replace(")", r"\)"))
+
+    words = text.split(" ")
+    half = len(words) // 2
+    tj_part = esc(" ".join(words[:half]) + " ")
+    arr = " -12 ".join("(%s)" % esc(w + " ") for w in words[half:])
+    content = ("BT /F1 12 Tf 72 720 Td (" + tj_part + ") Tj T* ["
+               + arr + "] TJ ET").encode("latin-1")
+    comp = zlib.compress(content)
+    parts = [
+        b"%PDF-1.4",
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >> endobj",
+        b"4 0 obj << /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >> stream",
+        comp,
+        b"endstream endobj",
+        b"trailer << /Root 1 0 R >>",
+        b"%%EOF",
+    ]
+    return b"\n".join(parts)
+
+
 def test_index_file_formats(facade, tmp_path):
-    """The same passage indexed as .txt/.xml/.html/.json — first and last
-    words must be reachable through every format's extraction."""
+    """The same passage indexed as .txt/.xml/.html/.json/.docx/.pdf — first
+    and last words must be reachable through every format's extraction
+    (reference covers exactly this across its 5 Tika fixtures)."""
     body = LOREM
-    files = {
+    text_files = {
         "test-00.txt": body,
         "test-00.xml": ("<?xml version=\"1.0\"?><doc><title>t</title>"
                         f"<body>{body}</body></doc>"),
@@ -147,10 +210,19 @@ def test_index_file_formats(facade, tmp_path):
         "test-00.json": '{"meta": {"k": 1}, "chunks": ["' + body[:60] + '", "'
                         + body[60:].replace('"', '') + '"]}',
     }
+    bin_files = {
+        "test-00.docx": make_docx(body),
+        "test-00.pdf": make_pdf(body),
+    }
     paths = []
-    for name, content in files.items():
+    for name, content in text_files.items():
         p = tmp_path / name
         p.write_text(content, encoding="utf-8")
+        facade.index_file("default", str(p))
+        paths.append(str(p))
+    for name, data in bin_files.items():
+        p = tmp_path / name
+        p.write_bytes(data)
         facade.index_file("default", str(p))
         paths.append(str(p))
     assert ids(facade.search("default", "Lorem")) == sorted(paths)
@@ -158,12 +230,50 @@ def test_index_file_formats(facade, tmp_path):
 
 
 def test_index_file_unsupported_format_raises(facade, tmp_path):
+    """A PDF with no text operators (image-only / corrupt) must raise, not
+    silently index garbage."""
     from lucene_plugin_spark.ops.extract import UnsupportedFormatError
     p = tmp_path / "doc.pdf"
     p.write_text("%PDF-1.4 not really", encoding="utf-8")
     import pytest as _pytest
     with _pytest.raises(UnsupportedFormatError):
         facade.index_file("default", str(p))
+
+
+def test_binary_extract_unit(tmp_path):
+    """pdf/docx parsers round-trip the passage without touching Spark; magic
+    byte sniffing works without an extension."""
+    from lucene_plugin_spark.ops.extract import (docx_to_text,
+                                                 extract_text_bytes,
+                                                 pdf_to_text)
+    assert docx_to_text(make_docx(LOREM)) == LOREM
+    pdf_text = pdf_to_text(make_pdf(LOREM))
+    assert pdf_text.split() == LOREM.split()
+    # escapes inside PDF literals survive
+    tricky = "parens (here) and back\\slash end"
+    assert pdf_to_text(make_pdf(tricky)).split() == tricky.split()
+    # no extension -> magic-byte sniff
+    assert extract_text_bytes(make_docx("hello world")) == "hello world"
+    assert extract_text_bytes(make_pdf("hello world")).strip() == "hello world"
+
+
+def test_bulk_extract_binary(spark):
+    """Spark-side binary extraction: mixed pdf/docx/txt binary column in one
+    mapInPandas pass; unextractable rows -> NULL."""
+    from lucene_plugin_spark.ops.extract import extract_binary
+    rows = [
+        ("a.pdf", bytearray(make_pdf("alpha beta gamma"))),
+        ("b.docx", bytearray(make_docx("delta epsilon"))),
+        ("c.txt", bytearray("plain zeta".encode())),
+        ("d.pdf", bytearray(b"%PDF-1.4 image-only, no text ops")),
+    ]
+    df = spark.createDataFrame(rows, "path string, data binary")
+    got = {r["path"]: r["content"]
+           for r in extract_binary(df, "data", path_col="path").collect()}
+    assert got["a.pdf"].split() == ["alpha", "beta", "gamma"]
+    assert got["b.docx"] == "delta epsilon"
+    assert got["c.txt"] == "plain zeta"
+    assert got["d.pdf"] is None
 
 
 def test_bulk_extract_text(spark):
