@@ -463,9 +463,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("id_a", "id_b",
                           F.col("hamming").cast("bigint").alias("hamming"))
 
+    def dedup_clusters(spark, sf):
+        # full pipeline: LSH pairs -> Jaccard verify -> connected
+        # components -> canonical survivor per cluster (min doc_id)
+        d = _documents(spark, sf)
+        out = D.near_dup_clusters(d, "doc_id", "text", n=3, num_hashes=8,
+                                  bands=4, verify_threshold=0.4)
+        return out.select(F.col("id").alias("doc_id"), "cluster_id", "kept")
+
     q.update(dedup_exact=dedup_exact, dedup_ngram_pairs=dedup_ngram_pairs,
              dedup_minhash=dedup_minhash, dedup_simhash=dedup_simhash,
-             dedup_simhash_pairs=dedup_simhash_pairs)
+             dedup_simhash_pairs=dedup_simhash_pairs,
+             dedup_clusters=dedup_clusters)
 
     # ---- similarity search ----
     def sim_cosine_topk(spark, sf):
@@ -916,6 +925,22 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.4
 """
     # NOTE: engine band key = concat_ws('_', band, sig[i0], sig[i1]); oracle
     # band column + 'm0_m1' key is the same partition of pairs.
+
+    # connected components over the SAME verified LSH pairs: recursive
+    # reachability closure (components are tiny, so the closure is cheap at
+    # oracle scale), cluster = min reachable doc_id, survivor = min = self
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({o["dedup_minhash"]}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+  UNION
+    SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r
+),
+cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id)
+SELECT doc_id, cluster_id, (doc_id = cluster_id) AS kept FROM cc
+"""
 
     simbits = (
         "SELECT id, b, CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) > 0 "

@@ -251,3 +251,73 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.select("id_a", "id_b", ham.alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------- clustering
+
+def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
+                         max_iter: int = 25) -> DataFrame:
+    """(id, cluster_id): undirected connected components over near-dup
+    pairs; cluster_id = smallest id in the component (the deterministic
+    canonical representative).
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels, with ``localCheckpoint`` truncating
+    the join lineage and a distributed changed-row test deciding
+    convergence.  Rounds = eccentricity of the component's min node, and
+    near-dup components are shallow stars around one source document, so
+    2-4 rounds is typical; ``max_iter`` guards adversarial chains (for
+    which the alternating large-star/small-star formulation — Kiveris et
+    al., "Connected Components in MapReduce and Beyond" — bounds rounds at
+    O(log^2 n) and is the drop-in upgrade).
+
+    Scale contract: every per-round shuffle touches only the PAIRS graph —
+    the LSH output, orders of magnitude smaller than the corpus — never
+    the corpus itself.  ``nodes`` (one id column) adds singleton
+    components for docs that appear in no pair.
+    """
+    edges = (pairs.select(F.col(pairs.columns[0]).alias("a"),
+                          F.col(pairs.columns[1]).alias("b")))
+    edges = (edges.unionByName(edges.select(F.col("b").alias("a"),
+                                            F.col("a").alias("b")))
+             .distinct().localCheckpoint())
+    lbl = (edges.select(F.col("a").alias("id")).distinct()
+           .withColumn("lbl", F.col("id")).localCheckpoint())
+    for _ in range(max_iter):
+        prop = (edges.join(lbl.withColumnRenamed("id", "b"), "b")
+                .select(F.col("a").alias("id"), "lbl"))
+        new = (lbl.unionByName(prop).groupBy("id")
+               .agg(F.min("lbl").alias("lbl")).localCheckpoint())
+        changed = (new.join(lbl.withColumnRenamed("lbl", "old"), "id")
+                   .where(F.col("lbl") < F.col("old")).limit(1).count())
+        lbl = new
+        if changed == 0:
+            break
+    out = lbl.select("id", F.col("lbl").alias("cluster_id"))
+    if nodes is not None:
+        ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+        out = (ids.join(out, "id", "left")
+               .select("id", F.coalesce("cluster_id", F.col("id"))
+                       .alias("cluster_id")))
+    return out
+
+
+def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, num_hashes: int = 8, bands: int = 4,
+                      verify_threshold: float = 0.4,
+                      max_iter: int = 25) -> DataFrame:
+    """End-to-end near-dup deduplication: MinHash-LSH candidates ->
+    exact-Jaccard verify -> connected components -> canonical survivor.
+
+    Returns one row per input doc: (id, cluster_id, kept) where kept means
+    this doc is its cluster's representative (min id) — the row a
+    training-data pipeline streams into the output corpus; ``kept=false``
+    rows are the dropped duplicates, preserved with their cluster for
+    audit/lineage."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n=n,
+                              num_hashes=num_hashes, bands=bands,
+                              verify_threshold=verify_threshold)
+    cc = connected_components(pairs.select("id_a", "id_b"),
+                              nodes=df.select(F.col(id_col).alias("id")),
+                              max_iter=max_iter)
+    return cc.withColumn("kept", F.col("cluster_id") == F.col("id"))

@@ -308,3 +308,29 @@ def test_kmv_sketch_exact_estimate_and_merge(spark):
     m = {r["grp"]: r["ks"] for r in merged.collect()}
     w = {r["grp"]: r["ks"] for r in whole.collect()}
     assert m == w
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from lucene_plugin_spark.ops.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (4, 5), (7, 9)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "id long")
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(pairs, nodes=nodes).collect()}
+    # chain 3-4-5 must close transitively even though (3,5) is no pair
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 3, 6: 6, 7: 7, 8: 8, 9: 7}
+
+
+def test_near_dup_clusters_end_to_end(spark, docs):
+    from lucene_plugin_spark.ops.dedup import near_dup_clusters
+    out = near_dup_clusters(docs, "doc_id", "text", n=3, num_hashes=8,
+                            bands=4, verify_threshold=0.3).collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(by_id) == 6                      # every doc gets a row
+    # 0/1 exact dups and 5 a near dup -> one cluster kept by doc 0
+    assert by_id[1]["cluster_id"] == 0 and not by_id[1]["kept"]
+    assert by_id[5]["cluster_id"] == 0 and not by_id[5]["kept"]
+    assert by_id[0]["kept"]
+    # unrelated docs stay singleton survivors
+    assert by_id[3]["cluster_id"] == 3 and by_id[3]["kept"]
+    assert by_id[4]["cluster_id"] == 4 and by_id[4]["kept"]
