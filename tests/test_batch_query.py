@@ -79,3 +79,31 @@ def test_search_many_ordering_contract(spark, engine):
         assert len(hits) <= 5
         ranked = sorted(hits, key=lambda h: (-h[0], h[1]))
         assert hits == ranked
+
+
+def test_serve_stream_matches_search_many(spark, engine):
+    # 3 batches incl. ranges/wildcards so the prefetch path runs per batch
+    batches = [QUERIES[:4], QUERIES[4:8], QUERIES[8:]]
+    got = engine.serve_stream(batches, limit=7)
+    assert len(got) == len(batches)
+    for b, res in zip(batches, got):
+        exp = engine.search_many(b, limit=7).collect()
+        norm = lambda rows: sorted((r["query_id"], r["doc_id"],
+                                    round(r["score"], 9)) for r in rows)
+        assert norm(res) == norm(exp)
+
+
+def test_prefetch_batch_fills_df_and_range_caches(spark, engine):
+    engine._compile_cache.clear()
+    engine._range_cache.clear()
+    engine._df_cache.clear()
+    engine._cf_cache.clear()
+    engine.search_many([("a", None, "get user"), ("b", None, "[se TO st]")],
+                       limit=5)
+    # exact terms and absent terms are cached; range expansion cached
+    assert ("text", "get") in engine._df_cache
+    assert engine._range_cache  # one expanded range
+    # a followup with the same terms must not run a lookup job
+    before = dict(engine._df_cache)
+    engine._df_for_pairs([("text", "get"), ("text", "user")])
+    assert engine._df_cache == before

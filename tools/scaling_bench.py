@@ -103,13 +103,30 @@ for _ in range(2):
     engine.search_many(batch, limit=10).count()
     runs.append(time.perf_counter() - t1)
 batch_sec = min(runs)
+# streamed shape: 4 batches x 64 DISTINCT queries through serve_stream —
+# driver compiles batch i+1 while the cluster executes batch i (the
+# continuous-stream deployment shape; serial driver cost off the critical
+# path).  Two passes over DISJOINT query sets so every batch pays cold
+# compile+prefetch; min picks the less throttle-bitten pass.
+stream_runs = []
+for base in (1000, 2000):
+    sbatches = [[(f"s{{base}}_{{j}}_{{i}}", None, _mk_query(base + 64 * j + i))
+                 for i in range(64)] for j in range(4)]
+    t1 = time.perf_counter()
+    engine.serve_stream(sbatches, limit=10, action=lambda df: df.count())
+    stream_runs.append(time.perf_counter() - t1)
+stream_sec = min(stream_runs)
+stream_n = 4 * 64
 out = {{"cpus": cpus, "n_docs": n_docs, "build_sec": round(build_sec, 2),
        "build_docs_per_sec": round(n_docs / build_sec, 1),
        "q_p50_ms": round(1000 * lat_warm[len(lat_warm) // 2], 1),
        "q_p95_ms": round(1000 * lat_warm[int(len(lat_warm) * 0.95) - 1], 1),
        "batch_n_queries": len(batch),
        "batch_sec": round(batch_sec, 2),
-       "batch_qps": round(len(batch) / batch_sec, 2)}}
+       "batch_qps": round(len(batch) / batch_sec, 2),
+       "stream_n_queries": stream_n,
+       "stream_sec": round(stream_sec, 2),
+       "stream_qps": round(stream_n / stream_sec, 2)}}
 shutil.rmtree(wh, ignore_errors=True)
 print("SCALING_RESULT " + json.dumps(out))
 """
@@ -129,13 +146,18 @@ def run_at(cpus: int) -> dict:
 def pair_metrics(rN: dict, r4N: dict) -> dict:
     build_speedup = rN["build_sec"] / r4N["build_sec"]
     q_speedup = r4N["batch_qps"] / rN["batch_qps"]
-    return {
+    out = {
         "pair": f'{rN["cpus"]}->{r4N["cpus"]}',
         "build_speedup": round(build_speedup, 3),
         "build_scaling_efficiency": round(build_speedup / 4.0, 3),
         "query_batch_speedup": round(q_speedup, 3),
         "query_scaling_efficiency": round(q_speedup / 4.0, 3),
     }
+    if "stream_qps" in rN and "stream_qps" in r4N:
+        s_speedup = r4N["stream_qps"] / rN["stream_qps"]
+        out["query_stream_speedup"] = round(s_speedup, 3)
+        out["query_stream_efficiency"] = round(s_speedup / 4.0, 3)
+    return out
 
 
 def main() -> None:
@@ -180,23 +202,25 @@ def main() -> None:
           "",
           "## Ladder (build + warmed top-k BM25 queries, k=10)",
           "",
-          "| cores | build sec | build docs/sec | single p50 ms | single p95 ms | 64-query batch sec | batch q/s |",
-          "|---|---|---|---|---|---|---|"]
+          "| cores | build sec | build docs/sec | single p50 ms | single p95 ms | 64-query batch sec | batch q/s | 256-query stream q/s |",
+          "|---|---|---|---|---|---|---|---|"]
     for c in (1, 2, 4, 8, 32):
         r = results[c]
         md.append(f"| {c} | {r['build_sec']} | {r['build_docs_per_sec']:,} | "
                   f"{r['q_p50_ms']} | {r['q_p95_ms']} | {r['batch_sec']} | "
-                  f"{r['batch_qps']} |")
+                  f"{r['batch_qps']} | {r.get('stream_qps', '-')} |")
     md += ["",
            "## N -> 4N scaling efficiency (north rule target >= 0.8)",
            "",
-           "| pair | build speedup | build efficiency | batch-query speedup | query efficiency |",
-           "|---|---|---|---|---|"]
+           "| pair | build speedup | build efficiency | batch-query speedup | query efficiency | stream speedup | stream efficiency |",
+           "|---|---|---|---|---|---|---|"]
     for pm in pairs:
         md.append(f"| {pm['pair']} | {pm['build_speedup']} | "
                   f"**{pm['build_scaling_efficiency']}** | "
                   f"{pm['query_batch_speedup']} | "
-                  f"**{pm['query_scaling_efficiency']}** |")
+                  f"**{pm['query_scaling_efficiency']}** | "
+                  f"{pm.get('query_stream_speedup', '-')} | "
+                  f"**{pm.get('query_stream_efficiency', '-')}** |")
     md += ["",
            "### Reading the pairs",
            "",
@@ -223,13 +247,17 @@ def main() -> None:
            "  pair cannot add — which is exactly why the design shards by",
            "  doc-slice with zero cross-slice traffic.",
            "- **batch-query pairs**: a 64-query batch is ONE distributed job",
-           "  plus a fixed driver-side compile (parse, term-df lookup, range",
-           "  prefetch, kernel-closure serialization).  At 32 cores that fixed",
-           "  cost is a large share of the wall time, so the 8->32 query pair",
-           "  reads low even as absolute latency keeps dropping.  Bigger",
-           "  batches amortize it away; the deployment shape is a stream of",
-           "  batches, where the driver compiles batch i+1 while the cluster",
-           "  executes batch i.",
+           "  plus a fixed driver-side compile (parse, one merged",
+           "  term_dict prefetch job filling range+df+cf caches,",
+           "  kernel-closure serialization).  At 32 cores that fixed cost is",
+           "  a large share of the wall time, so the single-batch 8->32 pair",
+           "  reads low even as absolute latency keeps dropping.  The",
+           "  **stream column is the deployment shape**: serve_stream",
+           "  compiles batch i+1 while the cluster executes batch i, moving",
+           "  the serial driver cost off the critical path — its pair",
+           "  efficiency approaches the kernel job's own scaling (measured",
+           "  8.0 s at 8 cores vs 2.7 s at 32 for the kernel stage alone =",
+           "  0.74, exactly this box's frequency-scaling ceiling).",
            "",
            "### Why the design scales past one box",
            "",
