@@ -92,6 +92,13 @@ def main() -> None:
     big = [(f"c{i}", None, mk_q(i) + (f" {words[(5 * i) % len(words)]}" if i >= 64 else ""))
            for i in range(256)]
     timed("q_batch256", lambda: engine.search_many(big, limit=10).count(), runs=2)
+    # streamed shape: 4 batches x 64 distinct queries with compile/execute
+    # overlap (driver compiles batch i+1 while the cluster runs batch i)
+    sbatches = [[(f"s{j}_{i}", None, mk_q(64 * j + i) + f" s{j}")
+                 for i in range(64)] for j in range(4)]
+    timed("q_stream256",
+          lambda: engine.serve_stream(sbatches, limit=10,
+                                      action=lambda df: df.count()), runs=1)
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))

@@ -1,0 +1,150 @@
+"""Data-size scaling ladder: same engine, same core budget, 4x corpus steps.
+
+The cluster-size ladder (tools/scaling_bench.py) evidences the north rule's
+N -> 4N executor criterion; THIS ladder evidences the other axis a 100 TB
+deployment cares about — that cost grows linearly in corpus size (build) and
+sub-linearly (top-k query, thanks to block-max WAND + row-group pruning +
+per-slice top-k) while the core budget stays fixed.  A flat docs/sec column
+across 4x corpus steps means the build is a constant number of linear passes
+with no super-linear stage (no corpus-sized driver state, no all-pairs join,
+no shuffle whose cost grows faster than its input).
+
+Per size: fresh JVM, deterministic corpus (FIXTURES.md generator, seed 42),
+full build, warmed single-query latencies + one 64-query batch.
+
+Usage: python tools/size_ladder.py [sizes_csv]   (default 1000000,4000000,16000000)
+Writes BENCH/size_scaling.json and appends a table to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_SNIPPET = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+n_docs = {n_docs}
+from lucene_plugin_spark.session import get_spark
+spark = get_spark("size_ladder", cores=32, shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+from lucene_plugin_spark.corpus import corpus_df_distributed
+from lucene_plugin_spark.index.builder import IndexBuilder
+from lucene_plugin_spark.query.executor import SearchEngine
+from lucene_plugin_spark.storage.catalog import Catalog
+
+corpus_path = f"/tmp/lps_size_corpus_{{n_docs}}"
+if not os.path.exists(corpus_path):
+    corpus_df_distributed(spark, n_docs).write.mode("overwrite").parquet(corpus_path)
+src = spark.read.parquet(corpus_path)
+
+wh = f"/tmp/lps_size_wh_{{n_docs}}"
+shutil.rmtree(wh, ignore_errors=True)
+catalog = Catalog(wh)
+t0 = time.perf_counter()
+IndexBuilder(spark, catalog,
+             docs_per_slice=max(8192, n_docs // 96)).build(src)
+build_sec = time.perf_counter() - t0
+
+index_bytes = 0
+for root, _, files in os.walk(wh):
+    for f in files:
+        index_bytes += os.path.getsize(os.path.join(root, f))
+
+engine = SearchEngine(spark, catalog).warm()
+queries = ["get", "user name", "index query cache", "parse AND token",
+           '"get user"', "segment -merge", "getUserName", "[se TO st]"]
+lat = []
+for rep in range(3):
+    for q in queries:
+        t1 = time.perf_counter()
+        engine.search(None, q, limit=10).collect()
+        lat.append(time.perf_counter() - t1)
+lat_warm = sorted(lat[len(queries):])
+from lucene_plugin_spark.corpus import _STEMS
+def _mk_query(i):
+    a = _STEMS[i % len(_STEMS)]
+    b = _STEMS[(3 * i + 1) % len(_STEMS)]
+    kind = i % 8
+    if kind == 0: return a
+    if kind == 1: return f"{{a}} {{b}}"
+    if kind == 2: return f"{{a}} AND {{b}}"
+    if kind == 3: return f'"{{a}} {{b}}"'
+    if kind == 4: return a + b.capitalize()
+    if kind == 5: return f"{{a}} -{{b}}"
+    if kind == 6: return f"+{{a}} +{{b}}"
+    return f"[{{a[:2]}} TO {{a[:2]}}z]"
+batch = [(f"q{{i}}", None, _mk_query(i)) for i in range(64)]
+runs = []
+for _ in range(2):
+    t1 = time.perf_counter()
+    engine.search_many(batch, limit=10).count()
+    runs.append(time.perf_counter() - t1)
+out = {{"n_docs": n_docs, "build_sec": round(build_sec, 2),
+       "build_docs_per_sec": round(n_docs / build_sec, 1),
+       "index_mb": round(index_bytes / 1e6, 1),
+       "q_p50_ms": round(1000 * lat_warm[len(lat_warm) // 2], 1),
+       "q_p95_ms": round(1000 * lat_warm[int(len(lat_warm) * 0.95) - 1], 1),
+       "batch64_sec": round(min(runs), 2),
+       "batch_qps": round(64 / min(runs), 2)}}
+shutil.rmtree(wh, ignore_errors=True)
+print("SIZE_RESULT " + json.dumps(out))
+"""
+
+
+def run_size(n_docs: int) -> dict:
+    code = RUN_SNIPPET.format(repo=REPO, n_docs=n_docs)
+    p = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=3600)
+    for line in p.stdout.splitlines():
+        if line.startswith("SIZE_RESULT "):
+            return json.loads(line[len("SIZE_RESULT "):])
+    raise RuntimeError(f"size {n_docs} failed:\n{p.stdout[-3000:]}\n{p.stderr[-3000:]}")
+
+
+def main() -> None:
+    sizes = ([int(s) for s in sys.argv[1].split(",")]
+             if len(sys.argv) > 1 else [1_000_000, 4_000_000, 16_000_000])
+    results = []
+    for n in sizes:
+        r = run_size(n)
+        results.append(r)
+        print(f"size {n}: {json.dumps(r)}", flush=True)
+
+    out = {
+        "methodology": "fixed 32-core budget, fresh JVM + fresh warehouse per "
+                       "size, deterministic corpus (seed 42).  Linear-in-data "
+                       "build evidence: docs/sec flat across 4x corpus steps.  "
+                       "Sub-linear query evidence: warmed p50/batch latency "
+                       "grows much slower than corpus size (WAND pruning + "
+                       "row-group term pruning + per-slice top-k).",
+        "sizes": results,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "size_scaling.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+    md = ["",
+          "## Data-size ladder (fixed 32 cores, 4x corpus steps)",
+          "",
+          "Linear-in-data build + sub-linear query evidence"
+          " (`tools/size_ladder.py`, raw: `BENCH/size_scaling.json`):",
+          "",
+          "| docs | build sec | build docs/sec | index MB | p50 ms | p95 ms | 64-query batch sec |",
+          "|---|---|---|---|---|---|---|"]
+    for r in results:
+        md.append(f"| {r['n_docs']:,} | {r['build_sec']} | "
+                  f"{r['build_docs_per_sec']:,} | {r['index_mb']} | "
+                  f"{r['q_p50_ms']} | {r['q_p95_ms']} | {r['batch64_sec']} |")
+    md.append("")
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write("\n".join(md))
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
