@@ -98,7 +98,11 @@ print("SIZE_RESULT " + json.dumps(out))
 
 def run_size(n_docs: int) -> dict:
     code = RUN_SNIPPET.format(repo=REPO, n_docs=n_docs)
-    p = subprocess.run([sys.executable, "-c", code],
+    env = dict(os.environ)
+    # local-mode driver JVM holds everything (shuffle, writers); size heap to
+    # the corpus, like an executor's memory would be sized on a real cluster
+    env.setdefault("SPARK_DRIVER_MEM", f"{max(8, n_docs // 333_000)}g")
+    p = subprocess.run([sys.executable, "-c", code], env=env,
                        capture_output=True, text=True, timeout=3600)
     for line in p.stdout.splitlines():
         if line.startswith("SIZE_RESULT "):
