@@ -288,6 +288,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _, eng = _engine(spark, sf)
         return _hits_as_orig_ids(eng.search(None, "join^2 hash", limit=10))
 
+    def ft_phrase_slop(spark, sf):  # sloppy phrase (anchor-displacement)
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, '"table hash"~2', limit=10))
+
+    def ft_range_excl(spark, sf):  # exclusive-bound range (constant score)
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "{sc TO sz}", limit=1_000_000))
+
     def ft_field_lang(spark, sf):  # field-qualified term (map field, S4)
         _, eng = _engine(spark, sf)
         return _hits_as_orig_ids(eng.search(None, "lang:en", limit=1_000_000))
@@ -326,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(ft_term_topk=ft_term_topk, ft_or_topk=ft_or_topk, ft_and=ft_and,
              ft_not=ft_not, ft_phrase=ft_phrase, ft_range=ft_range,
              ft_wildcard=ft_wildcard, ft_fuzzy=ft_fuzzy, ft_boost=ft_boost,
+             ft_phrase_slop=ft_phrase_slop, ft_range_excl=ft_range_excl,
              ft_field_lang=ft_field_lang, ft_collection=ft_collection,
              ft_term_dict=ft_term_dict, ft_doc_len=ft_doc_len,
              ft_corpus_stats=ft_corpus_stats, ft_sha256=ft_sha256)
@@ -763,6 +772,36 @@ scores AS (
   FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs)
 SELECT doc_id, round(score, 6) AS score
 FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # sloppy phrase "table hash"~2 — anchor-displacement semantics
+    # (query/plan.py Phrase): per anchor position p of 'table', displacement
+    # d = min |pos('hash') - (p+1)|; anchors with d <= 2 contribute
+    # 1/(1+d) to a weighted tf that feeds the same BM25 form as ft_phrase
+    o["ft_phrase_slop"] = f"""
+WITH {_TOK},
+p0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+anch AS (SELECT p0.doc_id, p0.pos, min(abs(p1.pos - (p0.pos + 1)))::double AS d
+         FROM p0 JOIN p1 USING (doc_id) GROUP BY p0.doc_id, p0.pos),
+ph AS (SELECT doc_id, sum(1.0 / (1.0 + d)) AS ptf
+       FROM anch WHERE d <= 2 GROUP BY doc_id),
+idfs AS (SELECT sum(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS idf_sum
+         FROM dfx CROSS JOIN st WHERE dfx.term IN ('table', 'hash')),
+scores AS (
+  SELECT ph.doc_id,
+         idfs.idf_sum * ph.ptf * 2.2 / (ph.ptf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+  FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # exclusive-bound range {sc TO sz}: strict comparisons on both ends
+    o["ft_range_excl"] = f"""
+WITH {_TOK}
+SELECT DISTINCT doc_id, cast(1.0 AS double) AS score
+FROM tok WHERE term > 'sc' AND term < 'sz'
+ORDER BY doc_id
 """
 
     # range [sc TO sz]: constant-score 1.0 per doc matching any term in range

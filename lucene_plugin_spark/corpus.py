@@ -143,4 +143,10 @@ QUERY_SET = [
     ("boost_term", "index^2 query"),
     ("boost_phrase", '"user name"^3 cache'),
     ("boost_range", "[se TO st]^2 merge"),
+    ("phrase_slop1", '"user name"~1'),
+    ("phrase_slop2", '"get name"~2'),
+    ("phrase_slop3", '"index cache"~3'),
+    ("slop_boost", '"query cache"~2^2 merge'),
+    ("range_excl", "{se TO st}"),
+    ("range_mixed", "[se TO st}"),
 ]

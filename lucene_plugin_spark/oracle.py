@@ -200,11 +200,21 @@ class OracleEngine:
             posmap = defaultdict(set)
             for t, p in toks:
                 posmap[t].add(p)
-            tf = 0
+            # anchor-displacement form (query/plan.py Phrase): with slop=0
+            # every surviving anchor has displacement 0 and weight 1, i.e.
+            # the exact-phrase tf
+            slop = getattr(ph, "slop", 0)
+            tf = 0.0
             for p0 in posmap.get(ph.terms[0], ()):
-                if all((p0 + off - base) in posmap.get(t, ())
-                       for t, off in zip(ph.terms[1:], ph.offsets[1:])):
-                    tf += 1
+                disp = 0.0
+                for t, off in zip(ph.terms[1:], ph.offsets[1:]):
+                    ps = posmap.get(t)
+                    if not ps:
+                        disp = math.inf
+                        break
+                    disp += min(abs(p - (p0 + off - base)) for p in ps)
+                if disp <= slop:
+                    tf += 1.0 / (1.0 + disp)
             if tf:
                 dl = float(len(toks))
                 out[d.doc_id] = idf_sum * (tf * (bm25.K1 + 1)

@@ -98,6 +98,7 @@ def _compile_leaf_specs(should, must, must_not, range_terms):
                     "leaf_id": i, "polarity": polarity, "boost": b}
         return {"kind": "phrase", "field": l.field, "terms": list(l.terms),
                 "offsets": [o - l.offsets[0] for o in l.offsets],
+                "slop": l.slop,
                 "leaf_id": i, "polarity": polarity, "boost": b}
 
     return ([leaf_spec(i, l, "should") for i, l in enumerate(should)]
@@ -566,6 +567,13 @@ class SearchEngine:
         tf(phrase) = count of start positions p in positions(t0) such that
         p + offset_j ∈ positions(t_j) for all j; idf(phrase) = Σ idf(t_j)
         (Lucene PhraseQuery/BM25 semantics); score = idf * tf_norm(tf, dl).
+
+        slop>0: anchor-displacement semantics (query/plan.py Phrase) with
+        higher-order array functions — per anchor x, displacement =
+        Σ_j array_min(transform(p_j, v -> abs(v - (x + off_j)))); anchors
+        with displacement ≤ slop contribute 1/(1+displacement) to a
+        weighted tf.  Same SQL-expressible shape as the exact path (the
+        DuckDB oracle mirrors it with list_transform/list_min).
         """
         n, avgdl = stats.get(ph.field, (0.0, 1.0))
         td = self.catalog.table("term_dict").read(self.spark)
@@ -586,11 +594,27 @@ class SearchEngine:
         # first term's positions (keeps the plan SQL-expressible for oracles)
         ex = j.select("doc_id", F.explode("p0").alias("x"),
                       *[F.col(f"p{k}") for k in range(1, len(ph.terms))])
-        keep = ex
-        for k in range(1, len(ph.terms)):
-            d = ph.offsets[k] - base
-            keep = keep.where(F.array_contains(F.col(f"p{k}"), F.col("x") + F.lit(d)))
-        tf = keep.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        if ph.slop:
+            # NB: the lambda must be unary — pyspark binds a second parameter
+            # to the array index, so a `_d=d` default would capture the index
+            def _absdiff(dd):
+                return lambda v: F.abs(v - (F.col("x") + F.lit(dd)))
+
+            disp = F.lit(0.0)
+            for k in range(1, len(ph.terms)):
+                disp = disp + F.array_min(F.transform(
+                    F.col(f"p{k}"), _absdiff(ph.offsets[k] - base)
+                )).cast("double")
+            keep = (ex.withColumn("_disp", disp)
+                    .where(F.col("_disp") <= float(ph.slop)))
+            tf = keep.groupBy("doc_id").agg(
+                F.sum(1.0 / (1.0 + F.col("_disp"))).alias("tf"))
+        else:
+            keep = ex
+            for k in range(1, len(ph.terms)):
+                d = ph.offsets[k] - base
+                keep = keep.where(F.array_contains(F.col(f"p{k}"), F.col("x") + F.lit(d)))
+            tf = keep.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("tf"))
         tf = tf.join(lens.where(F.col("field") == ph.field).select("doc_id", "dl"), "doc_id")
         tfn = (F.col("tf") * (bm25.K1 + 1.0)
                / (F.col("tf") + bm25.K1 * (1.0 - bm25.B + bm25.B * F.col("dl") / F.lit(avgdl))))
@@ -1043,6 +1067,9 @@ class _SliceIndex:
         firsts = ids[bounds[:-1]]
         lasts = ids[bounds[1:] - 1]
         cand = np.asarray(cand_ids, dtype=np.int64)
+        if cand.size == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.int64))
         # block b overlaps candidates iff some cand in [firsts[b], lasts[b]]
         i = np.searchsorted(cand, firsts)
         sel = np.flatnonzero((i < cand.size)
@@ -1111,10 +1138,67 @@ def _phrase_decode_selective(idx: "_SliceIndex", field: str,
         a = id_lists[i]
         j = np.minimum(np.searchsorted(a, cand), a.size - 1)
         cand = cand[a[j] == cand]
+    if cand.size == 0:
+        return {}  # terms never co-occur in this slice: no phrase hits
     return {t: idx.decoded_selective(field, t, cand) for t in uniq}
 
 
-def _phrase_match(decoded, terms, offsets):
+def _phrase_match_sloppy(decoded, terms, offsets, slop):
+    """Anchor-displacement sloppy phrase match (see query/plan.py Phrase).
+
+    For every occurrence p of the FIRST phrase term, displacement(p) =
+    Σ_i min_q |q - (p + offset_i)| over the other terms' positions q in the
+    same doc; anchors with displacement ≤ slop contribute 1/(1+displacement)
+    to a weighted tf (Lucene sloppyFreq shape).  Same strictly-increasing
+    (doc << 32 | pos) key arrays as the exact path: per anchor the nearest
+    position of each term is the searchsorted neighbor pair, so the whole
+    computation is O(Σ|pos| log |pos|) with no per-doc Python loop.
+
+    Returns (doc_ids, weights float64).  With slop=0 every surviving anchor
+    has displacement 0 and weight 1, reproducing the exact-phrase tf.
+    """
+    M = np.int64(1) << 32
+    keys = {}
+    for t in dict.fromkeys(terms):
+        ent = decoded.get(t)
+        if ent is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids_t, tfs_t, pos_t = ent
+        if pos_t is None or ids_t.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        keys[t] = np.repeat(ids_t, tfs_t) * M + pos_t
+    a = keys[terms[0]]
+    if a.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    base = np.int64(offsets[0])
+    adoc = a >> np.int64(32)
+    disp = np.zeros(a.size, np.float64)
+    for t, off in zip(terms[1:], offsets[1:]):
+        b = keys[t]
+        e = a + (np.int64(off) - base)
+        j = np.searchsorted(b, e)
+        left = np.full(a.size, np.inf)
+        jl = j - 1
+        okl = jl >= 0
+        jl_c = np.maximum(jl, 0)
+        okl &= (b[jl_c] >> np.int64(32)) == adoc
+        left[okl] = (e[okl] - b[jl_c[okl]]).astype(np.float64)
+        right = np.full(a.size, np.inf)
+        okr = j < b.size
+        jr_c = np.minimum(j, b.size - 1)
+        okr &= (b[jr_c] >> np.int64(32)) == adoc
+        right[okr] = (b[jr_c[okr]] - e[okr]).astype(np.float64)
+        disp += np.minimum(left, right)
+    keep = disp <= slop
+    if not keep.any():
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    w = 1.0 / (1.0 + disp[keep])
+    docs = adoc[keep]
+    uniq, inv = np.unique(docs, return_inverse=True)
+    return uniq, np.bincount(inv, weights=w)
+
+
+def _phrase_match(decoded, terms, offsets, slop: int = 0):
     """Vectorized positional phrase intersection.
 
     Returns (doc_ids, phrase_tfs) for docs containing the phrase.  Builds
@@ -1132,7 +1216,11 @@ def _phrase_match(decoded, terms, offsets):
     key space at an impossible position (~2^32), so it can never falsely
     match.  The surviving key set (and so docs and per-doc counts) is
     order-independent.
+
+    ``slop>0`` routes to :func:`_phrase_match_sloppy` (weighted float tf).
     """
+    if slop:
+        return _phrase_match_sloppy(decoded, terms, offsets, slop)
     sizes = []
     for t in terms:
         ent = decoded.get(t)
@@ -1218,7 +1306,8 @@ def _score_slice(sl, norms_pdf, specs, df_map,
         n_docs, avgdl = stats.get(field, (0.0, 1.0))
         if s["kind"] == "phrase":
             decoded = _phrase_decode_selective(idx, field, s["terms"])
-            ids, ptf = _phrase_match(decoded, s["terms"], s["offsets"])
+            ids, ptf = _phrase_match(decoded, s["terms"], s["offsets"],
+                                     s.get("slop", 0))
             keep = _in_ranges(ids, doc_ranges, dead)
             ids, ptf = ids[keep], ptf[keep]
             if s["polarity"] == "must_not":

@@ -7,7 +7,8 @@ This module centralizes the three predicate forms so the Spark path
 (term_dict scan), the driver-side membership check (prefetch fan-back) and
 the pure-Python oracle compute the SAME term sets:
 
-- Range:    lo <= term <= hi (inclusive lexicographic);
+- Range:    lexicographic bounds, inclusive (``[lo TO hi]``) or exclusive
+  (``{lo TO hi}``) per end — classic QueryParser range syntax;
 - Wildcard: anchored regex from ``*``/``?`` translation;
 - Fuzzy:    classic Levenshtein <= max_edits — Spark ``F.levenshtein`` and
   DuckDB ``levenshtein`` are both the classic DP, so the oracle uses the
@@ -28,15 +29,23 @@ EXPANDABLE = (Range, Wildcard, Fuzzy)
 
 
 def wildcard_regex(pattern: str) -> str:
-    """``te?t*`` -> anchored regex (``*`` any run, ``?`` one char)."""
+    """``te?t*`` -> anchored regex (``*`` any run, ``?`` one char;
+    ``\\*``/``\\?`` escape to literals, classic QueryParser escaping)."""
     parts = []
-    for ch in pattern:
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            parts.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
         if ch == "*":
             parts.append(".*")
         elif ch == "?":
             parts.append(".")
         else:
             parts.append(re.escape(ch))
+        i += 1
     return "^" + "".join(parts) + "$"
 
 
@@ -61,7 +70,8 @@ def exp_key(leaf) -> tuple:
     """Stable cache key for an expandable leaf (boost-independent: the
     expansion is the term set, boost only scales scores)."""
     if isinstance(leaf, Range):
-        return ("range", leaf.field, leaf.lo, leaf.hi)
+        return ("range", leaf.field, leaf.lo, leaf.hi,
+                leaf.include_lo, leaf.include_hi)
     if isinstance(leaf, Wildcard):
         return ("wild", leaf.field, leaf.pattern)
     return ("fuzzy", leaf.field, leaf.term, leaf.max_edits)
@@ -83,7 +93,11 @@ def exp_cond(leaf):
     to the corpus and parallelizes with executors)."""
     base = F.col("field") == leaf.field
     if isinstance(leaf, Range):
-        return base & (F.col("term") >= leaf.lo) & (F.col("term") <= leaf.hi)
+        lo_c = (F.col("term") >= leaf.lo) if leaf.include_lo \
+            else (F.col("term") > leaf.lo)
+        hi_c = (F.col("term") <= leaf.hi) if leaf.include_hi \
+            else (F.col("term") < leaf.hi)
+        return base & lo_c & hi_c
     if isinstance(leaf, Wildcard):
         cond = base & F.col("term").rlike(wildcard_regex(leaf.pattern))
         prefix = re.split(r"[*?]", leaf.pattern, maxsplit=1)[0]
@@ -102,7 +116,9 @@ def exp_match(leaf, field: str, term: str) -> bool:
     if field != leaf.field:
         return False
     if isinstance(leaf, Range):
-        return leaf.lo <= term <= leaf.hi
+        lo_ok = (term >= leaf.lo) if leaf.include_lo else (term > leaf.lo)
+        hi_ok = (term <= leaf.hi) if leaf.include_hi else (term < leaf.hi)
+        return lo_ok and hi_ok
     if isinstance(leaf, Wildcard):
         return re.match(wildcard_regex(leaf.pattern), term) is not None
     return levenshtein(term, leaf.term) <= leaf.max_edits

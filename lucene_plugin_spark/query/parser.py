@@ -1,7 +1,9 @@
 """Recursive-descent parser for the Lucene classic QueryParser surface
 (SURVEY.md §2.4 Q1): bare terms, field:term, AND/OR/NOT, +term/-term, quoted
-phrases, inclusive ranges [lo TO hi], parentheses, wildcards (te?t*), fuzzy
-terms (roam~, roam~1) and boosts (term^2, "a phrase"^3, [a TO b]^0.5).
+phrases with optional slop ("a b"~2), inclusive/exclusive ranges
+([lo TO hi], {lo TO hi}, mixed ends), parentheses, wildcards (te?t*), fuzzy
+terms (roam~, roam~1), boosts (term^2, "a phrase"^3, [a TO b]^0.5) and
+backslash escapes of special characters (foo\\-bar, path\\:name).
 
 Query-side analysis mirrors indexing (the reference hands the same
 StandardAnalyzer to its QueryParser, LuceneIndexBean.java:727-735): terms are
@@ -24,8 +26,8 @@ class QueryParseError(ValueError):
     pass
 
 
-_BOOST_RE = re.compile(r"^(?P<body>.+?)\^(?P<boost>\d+(?:\.\d+)?)$")
-_FUZZY_RE = re.compile(r"^(?P<body>.+?)~(?P<edits>[0-2])?$")
+_BOOST_RE = re.compile(r"^(?P<body>.+?)(?<!\\)\^(?P<boost>\d+(?:\.\d+)?)$")
+_FUZZY_RE = re.compile(r"^(?P<body>.+?)(?<!\\)~(?P<edits>[0-2])?$")
 
 
 _TOKEN_RE = re.compile(
@@ -37,12 +39,35 @@ _TOKEN_RE = re.compile(
         (?P<not>NOT\b) |
         (?P<plus>\+) |
         (?P<minus>-) |
-        (?P<phrase>"(?P<phrase_body>[^"]*)"(?:\^(?P<phrase_boost>\d+(?:\.\d+)?))?) |
-        (?P<range>\[\s*(?P<lo>[^\s\]]+)\s+TO\s+(?P<hi>[^\s\]]+)\s*\](?:\^(?P<range_boost>\d+(?:\.\d+)?))?) |
-        (?P<word>[^\s()"\[\]+-][^\s()"\[\]]*)
+        (?P<phrase>"(?P<phrase_body>[^"]*)"
+            (?:~(?P<phrase_slop>\d+))?
+            (?:\^(?P<phrase_boost>\d+(?:\.\d+)?))?) |
+        (?P<range>(?P<lob>[\[{])\s*(?P<lo>[^\s\]}]+)\s+TO\s+(?P<hi>[^\s\]}]+)\s*(?P<hib>[\]}])(?:\^(?P<range_boost>\d+(?:\.\d+)?))?) |
+        (?P<word>(?:\\.|[^\s()"\[\]{}+-])(?:\\.|[^\s()"\[\]{}])*)
     )""",
     re.VERBOSE,
 )
+
+_ESCAPE_RE = re.compile(r"\\(.)")
+
+
+def _unescape(s: str) -> str:
+    """``foo\\-bar`` -> ``foo-bar`` (classic QueryParser backslash escapes)."""
+    return _ESCAPE_RE.sub(r"\1", s)
+
+
+def _split_field(word: str) -> tuple[str | None, str]:
+    """Split on the first UNESCAPED colon: ``lang:py`` -> (lang, py);
+    ``path\\:x`` -> (None, path\\:x)."""
+    i = 0
+    while i < len(word):
+        if word[i] == "\\":
+            i += 2
+            continue
+        if word[i] == ":":
+            return word[:i], word[i + 1:]
+        i += 1
+    return None, word
 
 
 def _lex(q: str):
@@ -128,26 +153,28 @@ class _Parser:
                 raise QueryParseError("unbalanced parenthesis")
             return inner
         field = self.default_field
-        # field-qualified?  word ending with ':' followed by term/phrase/range
-        if m.group("word") and m.group("word").endswith(":") and len(m.group("word")) > 1:
-            field = m.group("word")[:-1]
-            m = self.next()
-            if m is None:
-                raise QueryParseError(f"field '{field}:' with no value")
-        elif m.group("word") and ":" in m.group("word"):
-            field, _, val = m.group("word").partition(":")
-            if val:
-                return self._word_leaf(field, val)
-            m = self.next()
-            if m is None:
-                raise QueryParseError(f"field '{field}:' with no value")
+        # field-qualified?  word with an unescaped ':' (value may follow in
+        # the same token or as the next term/phrase/range token)
+        if m.group("word"):
+            fld, val = _split_field(m.group("word"))
+            if fld is not None:
+                field = fld
+                if val:
+                    return self._word_leaf(field, val)
+                m = self.next()
+                if m is None:
+                    raise QueryParseError(f"field '{field}:' with no value")
         if m.group("phrase") is not None:
             b = m.group("phrase_boost")
+            s = m.group("phrase_slop")
             return self._phrase(field, m.group("phrase_body"),
-                                float(b) if b else 1.0)
+                                float(b) if b else 1.0,
+                                int(s) if s else 0)
         if m.group("range") is not None:
             b = m.group("range_boost")
             return Range(field=field, lo=m.group("lo"), hi=m.group("hi"),
+                         include_lo=m.group("lob") == "[",
+                         include_hi=m.group("hib") == "]",
                          boost=float(b) if b else 1.0)
         if m.group("word"):
             return self._word_leaf(field, m.group("word"))
@@ -176,11 +203,12 @@ class _Parser:
         fm = _FUZZY_RE.match(raw)
         if fm:
             edits = int(fm.group("edits")) if fm.group("edits") is not None else 2
-            return Fuzzy(field=field, term=fm.group("body").lower(),
+            return Fuzzy(field=field, term=_unescape(fm.group("body")).lower(),
                          max_edits=edits, boost=boost)
-        if "*" in raw or "?" in raw:
+        if re.search(r"(?<!\\)[*?]", raw):
+            # keep backslashes: wildcard_regex resolves \* / \? to literals
             return Wildcard(field=field, pattern=raw.lower(), boost=boost)
-        return self._term_or_phrase(field, raw, boost)
+        return self._term_or_phrase(field, _unescape(raw), boost)
 
     def _term_or_phrase(self, field: str, raw: str,
                         boost: float = 1.0) -> Node | None:
@@ -195,15 +223,17 @@ class _Parser:
         return Phrase(field=field, terms=tuple(t for t, _ in analyzed),
                       offsets=tuple(p - base for _, p in analyzed), boost=boost)
 
-    def _phrase(self, field: str, body: str, boost: float = 1.0) -> Node | None:
-        analyzed = tokenize_text(body)
+    def _phrase(self, field: str, body: str, boost: float = 1.0,
+                slop: int = 0) -> Node | None:
+        analyzed = tokenize_text(_unescape(body))
         if not analyzed:
             return None
         if len(analyzed) == 1:
             return Term(field=field, term=analyzed[0][0], boost=boost)
         base = analyzed[0][1]
         return Phrase(field=field, terms=tuple(t for t, _ in analyzed),
-                      offsets=tuple(p - base for _, p in analyzed), boost=boost)
+                      offsets=tuple(p - base for _, p in analyzed),
+                      boost=boost, slop=slop)
 
 
 import functools

@@ -41,10 +41,23 @@ class Term(Node):
 
 @dataclass(frozen=True)
 class Phrase(Node):
+    """``"a b"`` / ``"a b"~2`` — positional phrase, optionally sloppy.
+
+    ``slop=0`` is the exact positional match.  ``slop>0`` uses
+    anchor-displacement semantics: for every occurrence p of the first
+    term, displacement = Σ_i min_q |q - (p + offset_i)| over the other
+    terms' positions q in the doc; occurrences with displacement ≤ slop
+    contribute ``1/(1+displacement)`` to a weighted phrase frequency
+    (Lucene's 1/(1+matchLength) sloppyFreq shape, SloppyPhraseScorer).
+    Deviation, documented like the fuzzy Levenshtein note: Lucene's greedy
+    repositioning can merge overlapping matches and handles repeated terms
+    specially; this per-anchor independent-minimum is order-deterministic
+    and reduces EXACTLY to the slop=0 phrase tf when slop=0."""
     field: str
     terms: tuple[str, ...]       # analyzed terms
     offsets: tuple[int, ...]     # position offsets (gaps where stopwords fell out)
     boost: float = 1.0
+    slop: int = 0
 
 
 @dataclass(frozen=True)

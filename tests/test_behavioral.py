@@ -289,3 +289,36 @@ def test_bulk_extract_text(spark):
     assert got["a"] == "hello & goodbye world"
     assert got["b"] == "json text nested value"
     assert got["c"] == "plain text stays"
+
+
+def test_phrase_terms_never_cooccur(facade):
+    """Regression: phrase whose terms all exist in the slice but never in the
+    same doc must return empty, not crash (empty candidate set reached
+    decoded_selective with a size-0 array at 4M docs)."""
+    facade.index_text("default", "a1", "alpha gamma alpha")
+    facade.index_text("default", "a2", "beta delta beta")
+    assert facade.search("default", '"alpha beta"') == []
+    assert facade.search("default", '"alpha beta"~3') == []
+    # dataframe strategy too
+    from lucene_plugin_spark.query.executor import SearchEngine
+    eng = SearchEngine(facade.spark, facade.catalog)
+    assert eng.search(None, '"alpha beta"', limit=10, mode="dataframe").count() == 0
+
+
+def test_phrase_slop_matches_oracle(facade):
+    """Sloppy phrases: engine (kernel path) matches the Python oracle's
+    anchor-displacement semantics, including reversed order within slop."""
+    from lucene_plugin_spark.oracle import OracleEngine
+    docs = [("d1", "alpha beta gamma delta"), ("d2", "alpha gamma beta delta"),
+            ("d3", "beta alpha"), ("d4", "alpha one two three beta")]
+    for k, v in docs:
+        facade.index_text("default", k, v)
+    oracle = OracleEngine.from_rows(
+        [{"repo": "default", "path": k, "commit": "c", "lang": "txt",
+          "content": v} for k, v in docs])
+    for q in ['"alpha beta"~1', '"alpha beta"~2', '"beta alpha"~2',
+              '"alpha beta gamma"~2', '"alpha beta"~2^2']:
+        got = [(h.external_id, round(h.score, 9))
+               for h in facade.search("default", q)]
+        want = [(p, round(s, 9)) for _d, p, s in oracle.search("default", q)]
+        assert got == want, q

@@ -108,3 +108,40 @@ def test_sanitize_collection():
     # mirrors LuceneIndexBean.escapeSpecialCharacters (":553-586)
     assert sanitize_collection('fo+o-b!ar(){}[]^"~*?:\\x') == "foobarx"
     assert sanitize_collection("a&&b||c") == "abc"
+
+
+def test_phrase_slop():
+    n = parse_query('"index query"~2')
+    assert isinstance(n, Phrase) and n.slop == 2 and n.boost == 1.0
+    # slop then boost, classic order: "..."~n^b
+    n = parse_query('"index query"~1^3')
+    assert n.slop == 1 and n.boost == 3.0
+    # slop=0 is the exact phrase
+    assert parse_query('"index query"~0') == parse_query('"index query"')
+
+
+def test_range_exclusive_and_mixed():
+    assert parse_query("{se TO st}") == Range(
+        "text", "se", "st", include_lo=False, include_hi=False)
+    assert parse_query("[se TO st}") == Range(
+        "text", "se", "st", include_lo=True, include_hi=False)
+    assert parse_query("{se TO st]") == Range(
+        "text", "se", "st", include_lo=False, include_hi=True)
+    assert parse_query("lang:{a TO b}^2") == Range(
+        "lang", "a", "b", include_lo=False, include_hi=False, boost=2.0)
+
+
+def test_escapes():
+    # escaped specials join the word and analyze away like punctuation
+    n = parse_query(r"foo\-bar")
+    assert isinstance(n, Phrase) and n.terms == ("foo", "bar")
+    # escaped colon is not a field separator
+    n = parse_query(r"path\:name")
+    assert isinstance(n, Phrase) and n.terms == ("path", "name")
+    # escaped wildcard chars are literals (analyzed away), unescaped stay
+    n = parse_query(r"te\*t*")
+    assert isinstance(n, Wildcard) and n.pattern == r"te\*t*"
+    from lucene_plugin_spark.query.expand import wildcard_regex
+    import re
+    rx = wildcard_regex(n.pattern)
+    assert re.match(rx, "te*tx") and not re.match(rx, "teXtx")
