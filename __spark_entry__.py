@@ -672,6 +672,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              text_lang_id=text_lang_id, text_fingerprint=text_fingerprint,
              text_extract=text_extract)
 
+    # ---- deterministic sampling / selection (training-data curation) ----
+    def sample_hash(spark, sf):
+        from lucene_plugin_spark.ops import sampling as S
+        return (S.hash_sample(_documents(spark, sf), 0.1, "doc_id", seed=7)
+                .select("doc_id", "lang"))
+
+    def sample_stratified(spark, sf):
+        from lucene_plugin_spark.ops import sampling as S
+        fr = {"en": 0.1, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+        return (S.stratified_sample(_documents(spark, sf), fr,
+                                    "lang", "doc_id", seed=11)
+                .select("doc_id", "lang"))
+
+    def sample_split(spark, sf):
+        from lucene_plugin_spark.ops import sampling as S
+        out = S.hash_split(_documents(spark, sf),
+                           {"train": 0.8, "valid": 0.1, "test": 0.1},
+                           "doc_id", seed=13)
+        return (out.groupBy("split", "lang")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("n_chars").alias("sum_chars"))
+                .orderBy("split", "lang"))
+
+    def sample_quota(spark, sf):
+        from lucene_plugin_spark.ops import sampling as S
+        return (S.quota_topk(_documents(spark, sf), 5, "lang",
+                             "n_chars", "doc_id")
+                .select("doc_id", "lang", "n_chars"))
+
+    q.update(sample_hash=sample_hash, sample_stratified=sample_stratified,
+             sample_split=sample_split, sample_quota=sample_quota)
+
     # ---- multimodal plumbing (binary payload = utf-8 bytes of text) ----
     def mm_features(spark, sf):
         from lucene_plugin_spark.ops.multimodal import extract_features
@@ -1298,6 +1330,45 @@ WITH {_RAWTOK},
 {_shingle_sql(5)}
 SELECT doc_id, min({md5_long_sql('shingle')}) AS fingerprint
 FROM sh GROUP BY doc_id
+"""
+
+    # deterministic sampling: the SQL states the same seeded-hash-bucket
+    # predicates as ops/sampling.py (md5_long % 1e6 vs threshold)
+    def _bkt(seed):
+        from lucene_plugin_spark.ops.hashing import md5_long_sql as _m
+        return f"{_m('cast(doc_id as varchar)', seed=seed)} % 1000000"
+
+    o["sample_hash"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_bkt(7)} < 100000 ORDER BY doc_id
+"""
+
+    o["sample_stratified"] = f"""
+WITH thr(lang, t) AS (VALUES ('en', 100000), ('de', 500000), ('es', 500000),
+                             ('fr', 500000), ('zh', 500000))
+SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+WHERE {_bkt(11)} < thr.t ORDER BY d.doc_id
+"""
+
+    # split thresholds follow ops/sampling.py hash_split: cumulative buckets
+    # over the SORTED split names (test 0.1, train +0.8, valid = remainder)
+    o["sample_split"] = f"""
+WITH b AS (SELECT *, {_bkt(13)} AS bk FROM documents),
+s AS (SELECT lang, n_chars,
+             CASE WHEN bk < 100000 THEN 'test'
+                  WHEN bk < 900000 THEN 'train'
+                  ELSE 'valid' END AS split
+      FROM b)
+SELECT split, lang, count(*) AS n, sum(n_chars) AS sum_chars
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+    o["sample_quota"] = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents) WHERE r <= 5 ORDER BY doc_id
 """
 
     o["mm_features"] = """

@@ -334,3 +334,48 @@ def test_near_dup_clusters_end_to_end(spark, docs):
     # unrelated docs stay singleton survivors
     assert by_id[3]["cluster_id"] == 3 and by_id[3]["kept"]
     assert by_id[4]["cluster_id"] == 4 and by_id[4]["kept"]
+
+
+def test_hash_sample_deterministic_and_partition_independent(spark):
+    from lucene_plugin_spark.ops.sampling import hash_sample
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sorted(r["doc_id"] for r in hash_sample(df, 0.2, seed=7).collect())
+    b = sorted(r["doc_id"] for r in
+               hash_sample(df.repartition(13), 0.2, seed=7).collect())
+    assert a == b                      # partitioning cannot change the sample
+    assert abs(len(a) / 2000 - 0.2) < 0.04
+    c = sorted(r["doc_id"] for r in hash_sample(df, 0.2, seed=8).collect())
+    assert a != c                      # seed changes the sample
+
+
+def test_hash_split_partitions_everything_once(spark):
+    from lucene_plugin_spark.ops.sampling import hash_split
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, {"train": 0.8, "valid": 0.1, "test": 0.1}).collect()
+    assert len(out) == 1000            # total function: every row gets a split
+    frac = {s: sum(1 for r in out if r["split"] == s) / 1000
+            for s in ("train", "valid", "test")}
+    assert abs(frac["train"] - 0.8) < 0.05
+    # stable across runs
+    again = hash_split(df, {"train": 0.8, "valid": 0.1, "test": 0.1}).collect()
+    assert {r["doc_id"]: r["split"] for r in out} == \
+           {r["doc_id"]: r["split"] for r in again}
+
+
+def test_quota_topk_matches_pandas(spark):
+    import pandas as pd
+    from lucene_plugin_spark.ops.sampling import quota_topk
+    pdf = pd.DataFrame({
+        "doc_id": range(100),
+        "lang": [["en", "de", "fr"][i % 3] for i in range(100)],
+        "n_chars": [(i * 37) % 50 for i in range(100)],   # plenty of ties
+    })
+    df = spark.createDataFrame(pdf).repartition(7)
+    got = {(r["lang"], r["doc_id"])
+           for r in quota_topk(df, 4, "lang", "n_chars", "doc_id").collect()}
+    want = set()
+    for lang, g in pdf.groupby("lang"):
+        top = g.sort_values(["n_chars", "doc_id"],
+                            ascending=[False, True]).head(4)
+        want |= {(lang, int(i)) for i in top["doc_id"]}
+    assert got == want
