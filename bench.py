@@ -67,6 +67,7 @@ def main() -> None:
         ("q_or4", lambda: engine.search(None, "join hash merge scan", limit=10).collect()),
         ("q_and", lambda: engine.search(None, "join AND hash AND merge", limit=10).collect()),
         ("q_phrase", lambda: engine.search(None, '"table hash"', limit=10).collect()),
+        ("q_phrase_slop", lambda: engine.search(None, '"table hash"~2', limit=10).collect()),
         ("q_range", lambda: engine.search(None, "[sc TO sz]", limit=255).collect()),
         ("q_wildcard", lambda: engine.search(None, "ta*e", limit=255).collect()),
         ("q_fuzzy", lambda: engine.search(None, "spark~1", limit=255).collect()),

@@ -34,9 +34,9 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\() |
         (?P<rparen>\)) |
-        (?P<and>AND\b) |
-        (?P<or>OR\b) |
-        (?P<not>NOT\b) |
+        (?P<and>AND\b|&&) |
+        (?P<or>OR\b|\|\|) |
+        (?P<not>NOT\b|!) |
         (?P<plus>\+) |
         (?P<minus>-) |
         (?P<phrase>"(?P<phrase_body>[^"]*)"

@@ -145,3 +145,12 @@ def test_escapes():
     import re
     rx = wildcard_regex(n.pattern)
     assert re.match(rx, "te*tx") and not re.match(rx, "teXtx")
+
+
+def test_operator_aliases():
+    # classic-parser && / || / ! are AND / OR / NOT
+    assert parse_query("merge && stream") == parse_query("merge AND stream")
+    assert parse_query("merge || stream") == parse_query("merge OR stream")
+    assert parse_query("merge !commit") == parse_query("merge NOT commit")
+    assert parse_query("(merge || block) && stream") == \
+        parse_query("(merge OR block) AND stream")
