@@ -107,3 +107,22 @@ def test_prefetch_batch_fills_df_and_range_caches(spark, engine):
     before = dict(engine._df_cache)
     engine._df_for_pairs([("text", "get"), ("text", "user")])
     assert engine._df_cache == before
+
+
+def test_serve_stream_depths_and_merged_prefetch(spark, engine):
+    # depth=1 (strict serial jobs) and depth=3 must both preserve batch
+    # order and match per-batch search_many; merged prefetch path is hit
+    # because batches is a list with >1 entries
+    batches = [QUERIES[:4], QUERIES[4:8], QUERIES[8:]]
+    engine._compile_cache.clear()
+    engine._df_cache.clear()
+    engine._cf_cache.clear()
+    engine._range_cache.clear()
+    for depth in (1, 3):
+        got = engine.serve_stream(batches, limit=7, depth=depth)
+        assert len(got) == len(batches)
+        for b, res in zip(batches, got):
+            exp = engine.search_many(b, limit=7).collect()
+            norm = lambda rows: sorted((r["query_id"], r["doc_id"],
+                                        round(r["score"], 9)) for r in rows)
+            assert norm(res) == norm(exp), depth
