@@ -296,6 +296,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _, eng = _engine(spark, sf)
         return _hits_as_orig_ids(eng.search(None, "{sc TO sz}", limit=1_000_000))
 
+    def ft_more_like(spark, sf):  # MoreLikeThis: docs similar to doc 7
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.more_like_this(None, "000007", limit=10,
+                                                    max_terms=8))
+
     def ft_field_lang(spark, sf):  # field-qualified term (map field, S4)
         _, eng = _engine(spark, sf)
         return _hits_as_orig_ids(eng.search(None, "lang:en", limit=1_000_000))
@@ -335,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_not=ft_not, ft_phrase=ft_phrase, ft_range=ft_range,
              ft_wildcard=ft_wildcard, ft_fuzzy=ft_fuzzy, ft_boost=ft_boost,
              ft_phrase_slop=ft_phrase_slop, ft_range_excl=ft_range_excl,
+             ft_more_like=ft_more_like,
              ft_field_lang=ft_field_lang, ft_collection=ft_collection,
              ft_term_dict=ft_term_dict, ft_doc_len=ft_doc_len,
              ft_corpus_stats=ft_corpus_stats, ft_sha256=ft_sha256)
@@ -834,6 +840,27 @@ WITH {_TOK}
 SELECT DISTINCT doc_id, cast(1.0 AS double) AS score
 FROM tok WHERE term > 'sc' AND term < 'sz'
 ORDER BY doc_id
+"""
+
+    # MoreLikeThis seeded by doc 7: term selection = re-analyzed tf with
+    # df >= 2, ranked by round(tf * idf, 6) desc then term asc, top 8; the
+    # selected terms run as a scored OR (same _BM25 form as ft_or_topk).
+    # The 6-decimal rounding before ranking mirrors the engine exactly so
+    # both sides select the same term set despite last-ulp ln() differences.
+    o["ft_more_like"] = f"""
+WITH {_TOK},
+cand AS (SELECT tf.term,
+                round(tf.tf * ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)), 6) AS w
+         FROM tf JOIN dfx USING (term) CROSS JOIN st
+         WHERE tf.doc_id = 7 AND dfx.df >= 2),
+sel AS (SELECT term FROM cand ORDER BY w DESC, term LIMIT 8),
+scores AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN sel USING (term) JOIN dfx USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
     # range [sc TO sz]: constant-score 1.0 per doc matching any term in range

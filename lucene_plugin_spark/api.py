@@ -220,6 +220,24 @@ class LuceneFacade:
         cache[key] = out
         return out
 
+    def more_like_this(self, collection: str, key: str, limit: int = 10,
+                       max_terms: int = 8) -> list[LuceneEntry]:
+        """Docs similar to the stored doc ``key`` (Lucene MoreLikeThis
+        analogue — term selection in SearchEngine.more_like_this).  Our
+        extension beyond the reference's six facade methods."""
+        self._check(collection, "collection")
+        self._check(key, "externalId")
+        self.commit()
+        if self._engine is None:
+            self._engine = SearchEngine(self.spark, self.catalog)
+        if not self.catalog.table("docs_meta").exists():
+            return []
+        df = self._engine.more_like_this(sanitize_collection(collection), key,
+                                         limit=limit, max_terms=max_terms,
+                                         mode=self.mode)
+        return [LuceneEntry(id=r["doc_id"], score=r["score"],
+                            external_id=r["path"]) for r in df.collect()]
+
     # ---------------------------------------------------------------- async
     def _submit(self, fn, callback, *args) -> concurrent.futures.Future:
         if self._mailbox is None:

@@ -321,6 +321,12 @@ class SearchEngine:
         # is a facade-level concern applied at BOTH index and search time
         # (api.py); engine-level repos are raw corpus values
         node = parse_query(query)
+        return self.search_node(node, repo, limit, mode)
+
+    def search_node(self, node: Node, repo: str | None, limit: int = 255,
+                    mode: str = "kernel") -> DataFrame:
+        """:meth:`search` for an already-built query plan node (used by
+        programmatic query builders like :meth:`more_like_this`)."""
         if mode == "kernel":
             cq = self._compile_query(node, repo)
             if cq is None:
@@ -349,6 +355,55 @@ class SearchEngine:
         return (meta.join(F.broadcast(topk), "doc_id")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .select("doc_id", "path", "score"))
+
+    def more_like_this(self, repo: str | None, key: str, limit: int = 10,
+                       max_terms: int = 8, min_tf: int = 1, min_df: int = 2,
+                       mode: str = "kernel", field: str = "text") -> DataFrame:
+        """Lucene MoreLikeThis analogue: find docs similar to a stored doc.
+
+        Term selection mirrors queries-module MoreLikeThis over stored
+        fields (Lucene re-analyzes stored content when no term vectors
+        exist): re-analyze the doc, keep terms with tf >= min_tf and
+        df >= min_df, rank by ``round(tf * idf(df), 6)`` (BM25 idf; MLT
+        classic uses tf·idf too) with a deterministic term-asc tie-break,
+        take the ``max_terms`` best and run them as one scored OR query
+        through the ordinary search path (WAND-eligible: it is a pure
+        term-OR).  The 6-decimal rounding before ranking keeps the selected
+        term set identical between this engine and the DuckDB oracle, whose
+        ln() may differ in the last ulp.
+
+        The one-row content fetch is a parquet-pruned filter on the docs
+        table — never a corpus collect.
+        """
+        from collections import Counter
+
+        from lucene_plugin_spark.analysis.tokenizer import tokenize_text
+
+        docs_t = self.catalog.table("docs").read(self.spark)
+        cond = F.col("path") == key
+        if repo is not None:
+            cond = cond & (F.col("repo") == repo)
+        row = docs_t.where(cond).select("content").limit(1).collect()
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, path string, score double")
+        if not row or not row[0]["content"]:
+            return empty
+        tf = Counter(t for t, _ in tokenize_text(row[0]["content"]))
+        if not tf:
+            return empty
+        stats = self._field_stats()
+        n_docs, _avg = stats.get(field, (0.0, 1.0))
+        dfm = self._df_for_pairs(sorted((field, t) for t in tf))
+        scored = []
+        for t, c in tf.items():
+            dfv = dfm.get((field, t), 0.0)
+            if c >= min_tf and dfv >= min_df:
+                scored.append((round(c * bm25.idf(dfv, n_docs), 6), t))
+        top = sorted(scored, key=lambda x: (-x[0], x[1]))[:max_terms]
+        if not top:
+            return empty
+        node = Bool(should=tuple(Term(field, t) for _s, t in top))
+        return self.search_node(node, repo, limit=limit, mode=mode)
 
     def search_many(self, queries: list[tuple[str, str | None, str]],
                     limit: int = 10) -> DataFrame:

@@ -322,3 +322,28 @@ def test_phrase_slop_matches_oracle(facade):
                for h in facade.search("default", q)]
         want = [(p, round(s, 9)) for _d, p, s in oracle.search("default", q)]
         assert got == want, q
+
+
+def test_more_like_this(facade):
+    """MLT: the seed doc scores highest; near-duplicates outrank unrelated
+    docs; kernel and dataframe strategies agree."""
+    docs = [("m1", "index cache merge segment block index cache"),
+            ("m2", "index cache merge segment stream"),
+            ("m3", "parse token stream buffer read write"),
+            ("m4", "index cache merge block segment cache")]
+    for k, v in docs:
+        facade.index_text("default", k, v)
+    hits = facade.more_like_this("default", "m1", limit=10)
+    ids = [h.external_id for h in hits]
+    assert ids[0] == "m1"                      # seed matches itself best
+    assert ids.index("m4") < ids.index("m3") if "m3" in ids else True
+    assert "m2" in ids and "m4" in ids
+    # strategy identity
+    eng = facade._engine
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         eng.more_like_this("default", "m1", limit=10, mode="kernel").collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         eng.more_like_this("default", "m1", limit=10, mode="dataframe").collect()]
+    assert a == b
+    # unknown key -> empty, not an error
+    assert facade.more_like_this("default", "nope") == []
