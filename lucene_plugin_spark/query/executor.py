@@ -496,6 +496,9 @@ class SearchEngine:
             F.col("field").isin(fields) & F.col("term").isin(terms_only))
         if not any(c["needs_positions"] for c in compiled):
             seg = seg.drop("positions", "pos_lens_ok")
+        else:
+            seg = _null_nonphrase_positions(
+                seg, {p for c in compiled for p in _phrase_pairs(c["specs"])})
         norms_dirs = self.catalog.table("doc_norms").snapshot().data_dirs
         tt = self._tombstones_table()
         tomb_dirs = tt.snapshot().data_dirs if tt is not None else []
@@ -798,6 +801,8 @@ class SearchEngine:
             # column-prune the positions stream (the bulkiest column) out of
             # the scan — term/range queries never decode it
             seg = seg.drop("positions", "pos_lens_ok")
+        else:
+            seg = _null_nonphrase_positions(seg, _phrase_pairs(cq["specs"]))
         return seg
 
     def _sidecar_dirs(self):
@@ -979,6 +984,32 @@ def _read_tombstones(tomb_dirs: list, dslice: int) -> np.ndarray:
     if not parts:
         return np.empty(0, np.int64)
     return np.unique(np.concatenate(parts)).astype(np.int64)
+
+
+def _phrase_pairs(specs) -> set[tuple[str, str]]:
+    """(field, term) pairs whose positions a spec list will actually decode."""
+    return {(s["field"], t) for s in specs if s["kind"] == "phrase"
+            for t in s["terms"]}
+
+
+def _null_nonphrase_positions(seg: DataFrame, phrase_pairs) -> DataFrame:
+    """NULL the positions/pos_lens_ok columns for rows no phrase will touch.
+
+    A batch with one phrase query would otherwise ship the bulkiest column
+    (the position streams) for EVERY matched term — including df≈100% code
+    tokens from plain term queries.  A per-row CASE keeps the scan single
+    (whole doc-slices stay within one task, which per-slice scoring and the
+    per-slice top-k rely on) while the Arrow transfer to the Python kernel
+    carries nulls (a validity bit) instead of the raw streams.  Kernel
+    decode is unaffected: only phrase specs request positions, and their
+    (field, term) rows keep them."""
+    if not phrase_pairs or "positions" not in seg.columns:
+        return seg
+    pf = sorted({f for f, _ in phrase_pairs})
+    pt = sorted({t for _, t in phrase_pairs})
+    pcond = F.col("field").isin(pf) & F.col("term").isin(pt)
+    return (seg.withColumn("positions", F.when(pcond, F.col("positions")))
+            .withColumn("pos_lens_ok", F.when(pcond, F.col("pos_lens_ok"))))
 
 
 def _make_slice_kernel(specs, df_map, stats, doc_ranges, k, needs_positions,
