@@ -23,6 +23,10 @@ QUERIES = [
     ("q10", None, "se*ent"),
     ("q11", None, "segment~1"),
     ("q12", None, "index^2 query"),
+    # mixed phrase+term in ONE query: with the positions-nulling scan the
+    # phrase leaf must still see its streams while 'cache' rows ship null
+    ("q13", None, '"user name"^3 cache'),
+    ("q14", None, '"get user"~2 index'),
 ]
 
 
