@@ -121,6 +121,41 @@ def _mut_engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEngine
     return _MUT_ENGINES[sf_dir]
 
 
+_COMPACT_ENGINES: dict[str, tuple[Catalog, SearchEngine]] = {}
+
+
+def _compact_engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEngine]:
+    """Same mutation sequence as :func:`_mut_engine`, then a full
+    ``compact()`` (tiered merge, W7): tombstoned docs are physically
+    dropped from dirty slices and the tombstone table cleared.  Search
+    results MUST be identical to the uncompacted index — the oracle for
+    the compacted entries is byte-for-byte the post-mutation oracle."""
+    if sf_dir not in _COMPACT_ENGINES:
+        import shutil
+
+        from lucene_plugin_spark.index.mutations import IndexMutator
+        wh = os.path.join("/tmp/lps_entry_cmp", sf_dir.strip("/").replace("/", "_"))
+        catalog = Catalog(wh)
+        done = catalog.table("segments").exists()
+        if not done:
+            shutil.rmtree(wh, ignore_errors=True)
+            catalog = Catalog(wh)
+            builder = IndexBuilder(spark, catalog, docs_per_slice=200)
+            builder.build(_docs_source(spark, sf_dir), fields_map_col="fields")
+            mut = IndexMutator(spark, catalog, builder)
+            upd = (_docs_source(spark, sf_dir)
+                   .where(F.col("path").cast("int") % 50 == 0)
+                   .withColumn("content",
+                               F.concat(F.col("content"), F.lit(" updated marker"))))
+            mut.upsert(upd, fields_map_col="fields")
+            mut.delete_keys(_docs_source(spark, sf_dir)
+                            .where(F.col("repo") == "src3")
+                            .select("repo", "path"))
+            mut.compact()
+        _COMPACT_ENGINES[sf_dir] = (catalog, SearchEngine(spark, catalog).warm())
+    return _COMPACT_ENGINES[sf_dir]
+
+
 def _hits_as_orig_ids(hits: DataFrame, round_to: int = 6) -> DataFrame:
     return hits.select(F.col("path").cast("int").cast("bigint").alias("doc_id"),
                        F.round("score", round_to).alias("score"))
@@ -383,8 +418,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select(F.col("path").cast("int").cast("bigint").alias("doc_id"),
                         "content_sha256")
 
+    def mut_compact_search(spark, sf):  # compaction preserves results (W7)
+        _, eng = _compact_engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "marker", limit=1_000_000))
+
     q.update(mut_upsert_search=mut_upsert_search,
-             mut_delete_search=mut_delete_search, mut_docs_sha=mut_docs_sha)
+             mut_delete_search=mut_delete_search, mut_docs_sha=mut_docs_sha,
+             mut_compact_search=mut_compact_search)
 
     # ---- analyzer fidelity over word-internal punctuation (A1, UAX#29):
     # the oracle re-implements the SAME tokenization rule in SQL, so any
@@ -949,6 +989,11 @@ FROM documents WHERE source <> 'src3'
                                           pre_cte=_POST_CTE + ",")
     o["mut_delete_search"] = _bm25_or_sql(["spark"], 1_000_000, src="post",
                                           pre_cte=_POST_CTE + ",")
+    # compaction is semantics-preserving: the oracle is the SAME post-state
+    # BM25 as mut_upsert_search — physically dropping tombstoned docs and
+    # clearing the tombstone table must not move a single score
+    o["mut_compact_search"] = _bm25_or_sql(["marker"], 1_000_000, src="post",
+                                           pre_cte=_POST_CTE + ",")
     o["mut_docs_sha"] = """
 SELECT doc_id,
        CASE WHEN doc_id % 50 = 0 THEN sha256(text || ' updated marker')
