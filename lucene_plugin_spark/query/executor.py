@@ -831,23 +831,31 @@ class SearchEngine:
             self._norms_cache[key] = pdf
         return pdf[pdf["field"].isin(fields)]
 
-    def _blocks_for(self, pairs, need_positions: bool) -> pd.DataFrame:
+    def _blocks_for(self, pairs, pos_pairs=frozenset()) -> pd.DataFrame:
         """Block rows for (field, term) pairs via the driver postings cache.
         Misses are fetched in ONE filtered JVM collect; hits cost no job at
         all — hot query terms stay resident like Lucene's postings in page
-        cache.  Bounded (~2M block rows), cleared wholesale when full."""
+        cache.  Bounded (~2M block rows), cleared wholesale when full.
+
+        ``pos_pairs``: the subset whose position streams are needed (phrase
+        terms).  Other pairs' positions are nulled JVM-side before the
+        collect — a mixed phrase+hot-term query no longer pulls the hot
+        term's position streams to the driver."""
         missing = []
         for p_ in pairs:
             ent = self._blocks_cache.get(p_)
-            if ent is None or (need_positions and not ent["has_pos"]):
+            if ent is None or (p_ in pos_pairs and not ent["has_pos"]):
                 missing.append(p_)
         if missing:
             seg = self._segments_df()
             f_ = sorted({f for f, _ in missing})
             t_ = sorted({t for _, t in missing})
             seg = seg.where(F.col("field").isin(f_) & F.col("term").isin(t_))
-            if not need_positions:
+            miss_pos = {p_ for p_ in missing if p_ in pos_pairs}
+            if not miss_pos:
                 seg = seg.drop("positions", "pos_lens_ok")
+            else:
+                seg = _null_nonphrase_positions(seg, miss_pos)
             fetched = seg.toPandas()
             if self._blocks_cache_rows + len(fetched) > 2_000_000:
                 self._blocks_cache.clear()
@@ -857,7 +865,7 @@ class SearchEngine:
             for p_ in missing:
                 g = grouped.get(p_)
                 ent = _SliceIndex(g).entries.get(p_) if g is not None else None
-                self._blocks_cache[p_] = {"ent": ent, "has_pos": need_positions}
+                self._blocks_cache[p_] = {"ent": ent, "has_pos": p_ in miss_pos}
                 self._blocks_cache_rows += len(g) if g is not None else 0
         entries = {}
         dslices: set = set()
@@ -891,7 +899,7 @@ class SearchEngine:
         Python-worker round trips."""
         stats = self._field_stats()
         pairs = sorted({(sp["field"], t) for sp in cq["specs"] for t in sp["terms"]})
-        idx, slices = self._blocks_for(pairs, cq["needs_positions"])
+        idx, slices = self._blocks_for(pairs, _phrase_pairs(cq["specs"]))
         if not idx.entries:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})

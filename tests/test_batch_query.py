@@ -130,3 +130,27 @@ def test_serve_stream_depths_and_merged_prefetch(spark, engine):
             norm = lambda rows: sorted((r["query_id"], r["doc_id"],
                                         round(r["score"], 9)) for r in rows)
             assert norm(res) == norm(exp), depth
+
+
+def test_warmed_driver_path_mixed_phrase_positions(spark, engine):
+    """Warmed single-query driver fast path with mixed phrase+term queries:
+    the positions-selective block fetch (pos_pairs) must keep phrase streams
+    and null the plain terms' — rankings identical to the dataframe path,
+    and a term cached WITHOUT positions refetches when a phrase needs it."""
+    engine.warm()
+    engine._blocks_cache.clear()
+    try:
+        # prime 'user' as a plain term (cached positions-free)...
+        engine.search(None, "user", limit=10, mode="kernel").collect()
+        ent = engine._blocks_cache.get(("text", "user"))
+        assert ent is not None and not ent["has_pos"]
+        # ...then demand it inside phrases (exact + sloppy) and mixed queries
+        for q in ['"get user"', '"user name"^3 cache', '"get user"~2 index']:
+            a = sorted((r["doc_id"], round(r["score"], 9)) for r in
+                       engine.search(None, q, limit=25, mode="kernel").collect())
+            b = sorted((r["doc_id"], round(r["score"], 9)) for r in
+                       engine.search(None, q, limit=25, mode="dataframe").collect())
+            assert a == b, q
+        assert engine._blocks_cache[("text", "user")]["has_pos"]
+    finally:
+        engine.unwarm()
