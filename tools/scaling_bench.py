@@ -309,17 +309,27 @@ def main() -> None:
            "  pair cannot add — which is exactly why the design shards by",
            "  doc-slice with zero cross-slice traffic.",
            "- **batch-query pairs**: a 64-query batch is ONE distributed job",
-           "  plus a fixed driver-side compile (parse, one merged",
-           "  term_dict prefetch job filling range+df+cf caches,",
-           "  kernel-closure serialization).  At 32 cores that fixed cost is",
-           "  a large share of the wall time, so the single-batch 8->32 pair",
-           "  reads low even as absolute latency keeps dropping.  The",
-           "  **stream column is the deployment shape**: serve_stream",
-           "  compiles batch i+1 while the cluster executes batch i, moving",
-           "  the serial driver cost off the critical path — its pair",
-           "  efficiency approaches the kernel job's own scaling (measured",
-           "  8.0 s at 8 cores vs 2.7 s at 32 for the kernel stage alone =",
-           "  0.74, exactly this box's frequency-scaling ceiling).",
+           "  plus a fixed driver-side compile.  The phase profile",
+           "  (PLANS.md §12) measures that compile at ~0.4-0.6 s at EVERY",
+           "  level (parse + one merged term_dict prefetch job + kernel",
+           "  closures) — the pairs are limited by the kernel job itself,",
+           "  whose volume is the Arrow transfer of posting streams to the",
+           "  Python kernel: the same single-socket bandwidth wall as the",
+           "  build's fused stage (§ above).  Cutting that volume (positions",
+           "  now ship only for phrase terms) moved the job 3.56 -> 2.46 s",
+           "  at 32 cores.",
+           "- **stream column is the deployment shape**: serve_stream",
+           "  admission-batches the term_dict prefetch (one job per stream),",
+           "  compiles batch i+1 while batch i executes, and keeps 2 jobs in",
+           "  flight so straggler tails backfill with the next batch's head.",
+           "- **best-per-metric caveat**: pair ratios divide per-level BESTS",
+           "  that may come from different epochs of this drifting host —",
+           "  improving an absolute number at a small level can LOWER a",
+           "  ratio.  Same-epoch pairs from each sweep are in scaling.json;",
+           "  the latest sweep read build 0.91/0.97/0.49, batch",
+           "  0.55/0.70/0.54, stream 0.66/0.75/0.57 (1->4 / 2->8 / 8->32).",
+           "  Either way the story is the same: near-linear build at 2->8,",
+           "  bandwidth-walled 8->32, query pairs bounded by the same wall.",
            "",
            "### Why the design scales past one box",
            "",
