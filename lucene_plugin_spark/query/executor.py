@@ -356,6 +356,67 @@ class SearchEngine:
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .select("doc_id", "path", "score"))
 
+    def explain(self, repo: str | None, query: str, key: str) -> dict:
+        """Lucene ``IndexSearcher.explain`` analogue: the per-leaf BM25
+        breakdown of ``query``'s score for the stored doc ``key``.
+
+        Scores each leaf against JUST that docID (collection filter =
+        [doc_id, doc_id]) through the SAME driver-path kernels as search —
+        the reported total is the searched score by construction, not a
+        re-derivation that could drift.  Driver-side only: one metadata
+        row fetch + the cached block fetch; never a corpus scan.
+        """
+        node = parse_query(query)
+        row = (self._meta_path_df().where(F.col("path") == key)
+               .limit(1).collect())
+        out: dict = {"path": key, "doc_id": None, "matches": False,
+                     "score": 0.0, "leaves": []}
+        if not row:
+            return out
+        doc_id = int(row[0]["doc_id"])
+        out["doc_id"] = doc_id
+        cq = self._compile_query(node, repo)
+        if cq is None:
+            return out
+        dr = [(doc_id, doc_id)]
+        if cq["doc_ranges"] is not None and not any(
+                lo <= doc_id <= hi for lo, hi in cq["doc_ranges"]):
+            return out  # doc outside the collection
+        stats = self._field_stats()
+        pairs = sorted({(sp["field"], t) for sp in cq["specs"]
+                        for t in sp["terms"]})
+        idx, slices = self._blocks_for(pairs, _phrase_pairs(cq["specs"]))
+        norms_dirs, tomb_dirs = self._sidecar_dirs()
+        norms = self._norm_lookup_for(tuple(slices), tuple(cq["fields"]),
+                                      norms_dirs)
+        dead = None
+        if tomb_dirs:
+            parts = [_read_tombstones(tomb_dirs, d) for d in slices]
+            dead = np.unique(np.concatenate(parts)) if parts else None
+            if dead is not None and not dead.size:
+                dead = None
+        total, must_ok, excluded, any_hit = 0.0, True, False, False
+        for s in cq["specs"]:
+            probe = {**s, "leaf_id": 0, "polarity": "should"}
+            res = _score_slice(idx, norms, [probe], cq["df_map"], stats, dr,
+                               1, s["kind"] == "phrase", dead=dead)
+            hit = res is not None and len(res) > 0
+            sc = float(res["score"].iloc[0]) if hit else 0.0
+            if s["polarity"] == "must_not":
+                excluded = excluded or hit
+            else:
+                total += sc
+                any_hit = any_hit or hit
+                if s["polarity"] == "must" and not hit:
+                    must_ok = False
+            out["leaves"].append({
+                "kind": s["kind"], "field": s["field"], "terms": s["terms"],
+                "polarity": s["polarity"], "boost": s.get("boost", 1.0),
+                "matched": hit, "score": sc})
+        out["matches"] = any_hit and must_ok and not excluded
+        out["score"] = total if out["matches"] else 0.0
+        return out
+
     def more_like_this(self, repo: str | None, key: str, limit: int = 10,
                        max_terms: int = 8, min_tf: int = 1, min_df: int = 2,
                        mode: str = "kernel", field: str = "text") -> DataFrame:
