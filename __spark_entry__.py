@@ -331,6 +331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _, eng = _engine(spark, sf)
         return _hits_as_orig_ids(eng.search(None, "{sc TO sz}", limit=1_000_000))
 
+    def ft_regexp(spark, sf):  # classic-parser regexp term (/ta.le/)
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "/ta.le/", limit=1_000_000))
+
     def ft_more_like(spark, sf):  # MoreLikeThis: docs similar to doc 7
         _, eng = _engine(spark, sf)
         return _hits_as_orig_ids(eng.more_like_this(None, "000007", limit=10,
@@ -375,7 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_not=ft_not, ft_phrase=ft_phrase, ft_range=ft_range,
              ft_wildcard=ft_wildcard, ft_fuzzy=ft_fuzzy, ft_boost=ft_boost,
              ft_phrase_slop=ft_phrase_slop, ft_range_excl=ft_range_excl,
-             ft_more_like=ft_more_like,
+             ft_more_like=ft_more_like, ft_regexp=ft_regexp,
              ft_field_lang=ft_field_lang, ft_collection=ft_collection,
              ft_term_dict=ft_term_dict, ft_doc_len=ft_doc_len,
              ft_corpus_stats=ft_corpus_stats, ft_sha256=ft_sha256)
@@ -916,6 +920,15 @@ ORDER BY doc_id
 WITH {_TOK}
 SELECT DISTINCT doc_id, cast(1.0 AS double) AS score
 FROM tok WHERE regexp_matches(term, '^ta.*e$')
+ORDER BY doc_id
+"""
+
+    # regexp /ta.le/ -> anchored whole-term regex expansion, constant-score
+    # (Spark rlike with ^(?:...)$ anchors == DuckDB regexp_full_match)
+    o["ft_regexp"] = f"""
+WITH {_TOK}
+SELECT DISTINCT doc_id, cast(1.0 AS double) AS score
+FROM tok WHERE regexp_full_match(term, 'ta.le')
 ORDER BY doc_id
 """
 

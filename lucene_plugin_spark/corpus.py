@@ -149,4 +149,6 @@ QUERY_SET = [
     ("slop_boost", '"query cache"~2^2 merge'),
     ("range_excl", "{se TO st}"),
     ("range_mixed", "[se TO st}"),
+    ("regexp", "/se(gment|rver)/"),
+    ("regexp_mixed", "/qu.*/ merge"),
 ]

@@ -22,10 +22,10 @@ import re
 
 import pyspark.sql.functions as F
 
-from lucene_plugin_spark.query.plan import Fuzzy, Range, Wildcard
+from lucene_plugin_spark.query.plan import Fuzzy, Range, Regexp, Wildcard
 
 #: leaf types that expand to OR-of-terms via the term dictionary
-EXPANDABLE = (Range, Wildcard, Fuzzy)
+EXPANDABLE = (Range, Wildcard, Fuzzy, Regexp)
 
 
 def wildcard_regex(pattern: str) -> str:
@@ -74,6 +74,8 @@ def exp_key(leaf) -> tuple:
                 leaf.include_lo, leaf.include_hi)
     if isinstance(leaf, Wildcard):
         return ("wild", leaf.field, leaf.pattern)
+    if isinstance(leaf, Regexp):
+        return ("regexp", leaf.field, leaf.pattern)
     return ("fuzzy", leaf.field, leaf.term, leaf.max_edits)
 
 
@@ -104,6 +106,16 @@ def exp_cond(leaf):
         if prefix:
             cond = F.col("term").startswith(prefix) & cond
         return cond
+    if isinstance(leaf, Regexp):
+        # Lucene RegexpQuery matches the WHOLE term: anchor rlike's
+        # substring semantics.  A literal prefix (chars before the first
+        # regex metachar) is pushed as a sargable StringStartsWith, like
+        # the wildcard case.
+        cond = base & F.col("term").rlike(f"^(?:{leaf.pattern})$")
+        prefix = re.split(r"[\\.\[\](){}*+?|^$]", leaf.pattern, maxsplit=1)[0]
+        if prefix:
+            cond = F.col("term").startswith(prefix) & cond
+        return cond
     n = len(leaf.term)
     return (base
             & (F.length("term") >= n - leaf.max_edits)
@@ -121,4 +133,6 @@ def exp_match(leaf, field: str, term: str) -> bool:
         return lo_ok and hi_ok
     if isinstance(leaf, Wildcard):
         return re.match(wildcard_regex(leaf.pattern), term) is not None
+    if isinstance(leaf, Regexp):
+        return re.fullmatch(leaf.pattern, term) is not None
     return levenshtein(term, leaf.term) <= leaf.max_edits

@@ -19,7 +19,8 @@ import re
 
 from lucene_plugin_spark.analysis.tokenizer import tokenize_text
 from lucene_plugin_spark.query.plan import (DEFAULT_FIELD, Bool, Fuzzy, Node,
-                                            Phrase, Range, Term, Wildcard)
+                                            Phrase, Range, Regexp, Term,
+                                            Wildcard)
 
 
 class QueryParseError(ValueError):
@@ -43,6 +44,7 @@ _TOKEN_RE = re.compile(
             (?:~(?P<phrase_slop>\d+))?
             (?:\^(?P<phrase_boost>\d+(?:\.\d+)?))?) |
         (?P<range>(?P<lob>[\[{])\s*(?P<lo>[^\s\]}]+)\s+TO\s+(?P<hi>[^\s\]}]+)\s*(?P<hib>[\]}])(?:\^(?P<range_boost>\d+(?:\.\d+)?))?) |
+        (?P<regex>(?:(?P<regex_field>(?:\\.|[^\s()"\[\]{}+\-:/])+):)?/(?P<regex_body>(?:\\.|[^/\\])+)/(?:\^(?P<regex_boost>\d+(?:\.\d+)?))?) |
         (?P<word>(?:\\.|[^\s()"\[\]{}+-])(?:\\.|[^\s()"\[\]{}])*)
     )""",
     re.VERBOSE,
@@ -176,6 +178,13 @@ class _Parser:
                          include_lo=m.group("lob") == "[",
                          include_hi=m.group("hib") == "]",
                          boost=float(b) if b else 1.0)
+        if m.group("regex") is not None:
+            b = m.group("regex_boost")
+            if m.group("regex_field"):
+                field = _unescape(m.group("regex_field"))
+            # lowercased like other expanded terms (lowercaseExpandedTerms)
+            return Regexp(field=field, pattern=m.group("regex_body").lower(),
+                          boost=float(b) if b else 1.0)
         if m.group("word"):
             return self._word_leaf(field, m.group("word"))
         if m.group("lparen"):

@@ -81,6 +81,20 @@ class Wildcard(Node):
 
 
 @dataclass(frozen=True)
+class Regexp(Node):
+    """``/pat.ern/`` — classic-QueryParser regexp term (Lucene RegexpQuery,
+    QueryParserBase.getRegexpQuery): anchored whole-term match expanded
+    against the term dictionary, constant-score.  Pattern syntax is the
+    Java-regex/RE2 common subset (Spark ``rlike`` with ^(?:...)$ anchors /
+    DuckDB ``regexp_full_match`` / Python ``re.fullmatch``) — Lucene's own
+    ``RegExp`` dialect differs in exotic operators (documented deviation,
+    like the fuzzy Levenshtein note)."""
+    field: str
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Fuzzy(Node):
     """``roam~``/``roam~1`` — terms within ``max_edits`` classic Levenshtein
     of ``term``, constant-score per matching doc."""
@@ -100,7 +114,7 @@ class Bool(Node):
 
 def iter_positive_leaves(node: Node):
     """All scoring leaves (Term/Phrase/Range) outside MUST_NOT clauses."""
-    if isinstance(node, (Term, Phrase, Range, Wildcard, Fuzzy)):
+    if isinstance(node, (Term, Phrase, Range, Wildcard, Fuzzy, Regexp)):
         yield node
     elif isinstance(node, Bool):
         for c in node.should + node.must:
@@ -108,7 +122,7 @@ def iter_positive_leaves(node: Node):
 
 
 def iter_all_leaves(node: Node):
-    if isinstance(node, (Term, Phrase, Range, Wildcard, Fuzzy)):
+    if isinstance(node, (Term, Phrase, Range, Wildcard, Fuzzy, Regexp)):
         yield node
     elif isinstance(node, Bool):
         for c in node.should + node.must + node.must_not:

@@ -154,3 +154,15 @@ def test_operator_aliases():
     assert parse_query("merge !commit") == parse_query("merge NOT commit")
     assert parse_query("(merge || block) && stream") == \
         parse_query("(merge OR block) AND stream")
+
+
+def test_regexp():
+    from lucene_plugin_spark.query.plan import Regexp
+    assert parse_query("/ta.le/") == Regexp("text", "ta.le")
+    assert parse_query("/qu(er|ir)y/^2") == Regexp("text", "qu(er|ir)y", boost=2.0)
+    assert parse_query("lang:/p[xy]/") == Regexp("lang", "p[xy]")
+    # lowercaseExpandedTerms applies to regexps too
+    assert parse_query("/TA.LE/") == Regexp("text", "ta.le")
+    # a slash inside a word is NOT a regexp delimiter
+    n = parse_query("foo/bar")
+    assert isinstance(n, (Phrase,)) and n.terms == ("foo", "bar")
