@@ -926,8 +926,13 @@ class SearchEngine:
             for p_ in missing:
                 g = grouped.get(p_)
                 ent = _SliceIndex(g).entries.get(p_) if g is not None else None
-                self._blocks_cache[p_] = {"ent": ent, "has_pos": p_ in miss_pos}
-                self._blocks_cache_rows += len(g) if g is not None else 0
+                old = self._blocks_cache.get(p_)
+                if old is not None:  # refetch (e.g. positions upgrade):
+                    self._blocks_cache_rows -= old["rows"]  # replace, not add
+                rows = len(g) if g is not None else 0
+                self._blocks_cache[p_] = {"ent": ent, "has_pos": p_ in miss_pos,
+                                          "rows": rows}
+                self._blocks_cache_rows += rows
         entries = {}
         dslices: set = set()
         for p_ in pairs:

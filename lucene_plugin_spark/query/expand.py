@@ -28,6 +28,68 @@ from lucene_plugin_spark.query.plan import Fuzzy, Range, Regexp, Wildcard
 EXPANDABLE = (Range, Wildcard, Fuzzy, Regexp)
 
 
+def wildcard_prefix(pattern: str) -> str:
+    """Literal prefix implied by every wildcard match: the unescaped
+    literal run before the first unescaped ``*``/``?``.  ``te\\*t*`` ->
+    ``te*t`` (the escaped star is a literal), NOT ``te\\`` — the raw
+    backslash must not leak into a ``startswith`` pushdown."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i + 1])
+            i += 2
+            continue
+        if ch in "*?":
+            break
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+#: regex metacharacters that terminate a literal prefix
+_REGEXP_META = set("\\.[](){}*+?|^$")
+
+
+def regexp_prefix(pattern: str) -> str:
+    """Literal prefix implied by EVERY match of the (anchored) regexp,
+    or ``''`` when no sound prefix exists.  Soundness rules:
+
+    - any unescaped top-level ``|`` kills the pushdown entirely
+      (``a|b`` matches ``b`` without the ``a`` prefix);
+    - if the first metachar is a zero-min quantifier (``*``, ``?``,
+      ``{``), the preceding literal is optional — trim it
+      (``segments?`` matches ``segment``; prefix is ``segment``);
+    - stop at ``\\`` conservatively (escaped literal could extend the
+      prefix, but a shorter prefix is always sound)."""
+    depth = 0
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return ""
+        i += 1
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch in _REGEXP_META:
+            if ch in "*?{" and out:
+                out.pop()
+            break
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def wildcard_regex(pattern: str) -> str:
     """``te?t*`` -> anchored regex (``*`` any run, ``?`` one char;
     ``\\*``/``\\?`` escape to literals, classic QueryParser escaping)."""
@@ -102,17 +164,18 @@ def exp_cond(leaf):
         return base & lo_c & hi_c
     if isinstance(leaf, Wildcard):
         cond = base & F.col("term").rlike(wildcard_regex(leaf.pattern))
-        prefix = re.split(r"[*?]", leaf.pattern, maxsplit=1)[0]
+        prefix = wildcard_prefix(leaf.pattern)
         if prefix:
             cond = F.col("term").startswith(prefix) & cond
         return cond
     if isinstance(leaf, Regexp):
         # Lucene RegexpQuery matches the WHOLE term: anchor rlike's
-        # substring semantics.  A literal prefix (chars before the first
-        # regex metachar) is pushed as a sargable StringStartsWith, like
+        # substring semantics.  A literal prefix IMPLIED BY EVERY MATCH
+        # (regexp_prefix handles zero-min quantifiers and top-level
+        # alternation) is pushed as a sargable StringStartsWith, like
         # the wildcard case.
         cond = base & F.col("term").rlike(f"^(?:{leaf.pattern})$")
-        prefix = re.split(r"[\\.\[\](){}*+?|^$]", leaf.pattern, maxsplit=1)[0]
+        prefix = regexp_prefix(leaf.pattern)
         if prefix:
             cond = F.col("term").startswith(prefix) & cond
         return cond

@@ -160,7 +160,9 @@ class _Parser:
         if m.group("word"):
             fld, val = _split_field(m.group("word"))
             if fld is not None:
-                field = fld
+                # unescape here to match the regexp branch — 'fo\-o:x'
+                # must resolve the same field as /.../ with field fo\-o
+                field = _unescape(fld)
                 if val:
                     return self._word_leaf(field, val)
                 m = self.next()

@@ -56,6 +56,11 @@ def _check_slice_kernel(norms_dirs: list, fields: list[str]):
         for dslice, sl in pdf.groupby("dslice", sort=False):
             errors: list[str] = []
             idx = _SliceIndex(sl)
+            # one groupby over the slice frame instead of an O(rows)
+            # boolean mask per (field, term) — keeps the scan O(rows)
+            # total on term-heavy slices
+            sl_groups = {k: g for k, g in
+                         sl.groupby(["field", "term"], sort=False)}
             norms = _read_norms(norms_dirs, int(dslice), fields)
             norm_ids = {f: np.sort(g["doc_id"].to_numpy())
                         for f, g in norms.groupby("field")}
@@ -88,7 +93,7 @@ def _check_slice_kernel(norms_dirs: list, fields: list[str]):
                 lasts = ids[bounds[1:] - 1]
                 # _SliceIndex doesn't retain first/last columns; re-derive
                 # from the slice frame for this (field, term)
-                rows = sl[(sl["field"] == field) & (sl["term"] == term)]
+                rows = sl_groups[(field, term)]
                 rf = rows["first_doc"].to_numpy()
                 rl = rows["last_doc"].to_numpy()
                 order = np.argsort(rf, kind="stable")

@@ -166,3 +166,58 @@ def test_regexp():
     # a slash inside a word is NOT a regexp delimiter
     n = parse_query("foo/bar")
     assert isinstance(n, (Phrase,)) and n.terms == ("foo", "bar")
+
+
+def test_regexp_prefix_soundness():
+    """The sargable StringStartsWith prefix pushed for a regexp leaf must
+    be implied by EVERY match (ADVICE r2: /segments?/ dropped 'segment',
+    /a|b/ dropped 'b', /ab*c/ dropped 'ac')."""
+    from lucene_plugin_spark.query.expand import regexp_prefix
+    # zero-min quantifier after the prefix's last literal: trim it
+    assert regexp_prefix("segments?") == "segment"
+    assert regexp_prefix("ab*c") == "a"
+    assert regexp_prefix("ab{0,2}c") == "a"
+    # top-level alternation: no sound prefix at all
+    assert regexp_prefix("a|b") == ""
+    assert regexp_prefix("ab(c)|d") == ""
+    # grouped alternation after the prefix is fine
+    assert regexp_prefix("qu(er|ir)y") == "qu"
+    # one-or-more keeps the preceding literal (every match has it)
+    assert regexp_prefix("ab+c") == "ab"
+    # plain metachar stops the prefix without trimming
+    assert regexp_prefix("ta.le") == "ta"
+    assert regexp_prefix("p[xy]") == "p"
+    # escapes stop the prefix conservatively (shorter prefix is sound)
+    assert regexp_prefix(r"ab\.c") == "ab"
+    # pure literal: whole pattern is the prefix
+    assert regexp_prefix("table") == "table"
+
+
+def test_wildcard_prefix_unescapes():
+    """te\\*t* must push startswith('te*t'), not startswith('te\\')
+    (which excludes every term) — ADVICE r2."""
+    from lucene_plugin_spark.query.expand import (wildcard_prefix,
+                                                  wildcard_regex)
+    import re
+    assert wildcard_prefix(r"te\*t*") == "te*t"
+    assert wildcard_prefix("te?t*") == "te"
+    assert wildcard_prefix(r"\?x*") == "?x"
+    assert wildcard_prefix("query*") == "query"
+    # prefix must agree with the full wildcard regex on every match
+    for pat, terms in [(r"te\*t*", ["te*t", "te*tx", "tet"]),
+                       ("se?ment*", ["segment", "sediment", "segments"])]:
+        rx = wildcard_regex(pat)
+        pfx = wildcard_prefix(pat)
+        for t in terms:
+            if re.match(rx, t):
+                assert t.startswith(pfx), (pat, t, pfx)
+
+
+def test_field_unescape_word_path():
+    """Escaped chars in field names resolve identically on the word and
+    regexp paths (ADVICE r2)."""
+    from lucene_plugin_spark.query.plan import Regexp
+    w = parse_query(r"fo\-o:xray")
+    assert getattr(w, "field", None) == "fo-o", w
+    r = parse_query(r"fo\-o:/xray/")
+    assert r == Regexp("fo-o", "xray")
