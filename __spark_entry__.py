@@ -754,52 +754,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(sample_hash=sample_hash, sample_stratified=sample_stratified,
              sample_split=sample_split, sample_quota=sample_quota)
 
-    # ---- multimodal plumbing (binary payload = utf-8 bytes of text) ----
+    # ---- multimodal: REAL format decode (PPM P6 images, Y4M video) ----
+    # Payloads are genuine containers built deterministically from the
+    # ascii corpus (pixel bytes = rpad'ed text bytes), so the engine runs
+    # fake=False — header parse, raster extraction, 2-D resample, frame
+    # seek are all real — while DuckDB re-derives the expected bytes from
+    # the known encode layout.
+    _PPM_HDR = "P6\n16 8\n255\n"          # 16x8 RGB -> 384 raster bytes
+
+    def _ppm_media(d):
+        raster = F.rpad(F.substring("text", 1, 384), 384, " ")
+        return d.select(
+            F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"),
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.encode(F.concat(F.lit(_PPM_HDR), raster), "utf-8").alias("payload"),
+            F.lit(16).alias("meta_width"), F.lit(8).alias("meta_height"),
+            F.lit(None).cast("int").alias("meta_duration_ms"))
+
     def mm_features(spark, sf):
         from lucene_plugin_spark.ops.multimodal import extract_features
-        d = _documents(spark, sf)
-        media = d.select(F.col("doc_id").alias("media_id"), F.lit("text").alias("kind"),
-                         F.lit("text/plain").alias("mime"),
-                         F.encode(F.col("text"), "utf-8").alias("payload"),
-                         F.lit(None).cast("int").alias("meta_width"),
-                         F.lit(None).cast("int").alias("meta_height"),
-                         F.lit(None).cast("int").alias("meta_duration_ms"))
-        out = extract_features(media, fake=True)
+        out = extract_features(_ppm_media(_documents(spark, sf)), fake=False)
         return out.select(F.col("media_id").alias("doc_id"),
                           F.col("n_bytes").cast("bigint").alias("n_bytes"),
                           F.col("sha256").alias("content_sha256"),
                           F.round("mean_byte", 6).alias("mean_byte"))
 
     def mm_resize(spark, sf):
-        # resize through the Arrow batch path: 32-byte nearest-neighbor
-        # resample of the payload (ascii text bytes) — sha over the resized
-        # payload is the oracle-checkable ground truth
+        # real image resize: PPM decode -> 2-D nearest-neighbor 16x8 -> 8x4
+        # -> PPM re-encode; sha over the re-encoded container
         from lucene_plugin_spark.ops.multimodal import resize_images
-        d = _documents(spark, sf)
-        media = d.select(F.col("doc_id").alias("media_id"),
-                         F.lit("image").alias("kind"),
-                         F.lit("image/x-fake").alias("mime"),
-                         F.encode(F.col("text"), "utf-8").alias("payload"),
-                         F.lit(8).alias("meta_width"), F.lit(4).alias("meta_height"),
-                         F.lit(None).cast("int").alias("meta_duration_ms"))
-        out = resize_images(media, width=8, height=4, fake=True)
+        out = resize_images(_ppm_media(_documents(spark, sf)),
+                            width=8, height=4, fake=False)
         return out.select(F.col("media_id").alias("doc_id"),
                           F.col("n_bytes").cast("bigint").alias("n_bytes"),
                           F.sha2("payload", 256).alias("resized_sha"))
 
     def mm_frames(spark, sf):
-        # frame sampling: metadata explode (no decode) -> per-(id, ts) decode
-        # of a deterministic payload slice, sha-checked against SQL
+        # real video frame sampling: Y4M stream (W4 H4 F1:1 C444, 3 frames
+        # of 48 planar bytes from the text) parsed and seeked per (id, ts)
         from lucene_plugin_spark.ops.multimodal import sample_frames
         d = _documents(spark, sf)
+        hdr = "YUV4MPEG2 W4 H4 F1:1 Ip A1:1 C444\n"
+        p144 = F.rpad(F.substring("text", 1, 144), 144, " ")
+        stream = F.concat(
+            F.lit(hdr),
+            F.lit("FRAME\n"), F.substring(p144, 1, 48),
+            F.lit("FRAME\n"), F.substring(p144, 49, 48),
+            F.lit("FRAME\n"), F.substring(p144, 97, 48))
         media = d.select(F.col("doc_id").alias("media_id"),
                          F.lit("video").alias("kind"),
-                         F.lit("video/x-fake").alias("mime"),
-                         F.encode(F.col("text"), "utf-8").alias("payload"),
-                         F.lit(None).cast("int").alias("meta_width"),
-                         F.lit(None).cast("int").alias("meta_height"),
-                         F.lit(4000).alias("meta_duration_ms"))
-        out = sample_frames(media, every_ms=2000, fake=True)
+                         F.lit("video/x-yuv4mpeg").alias("mime"),
+                         F.encode(stream, "utf-8").alias("payload"),
+                         F.lit(4).alias("meta_width"),
+                         F.lit(4).alias("meta_height"),
+                         F.lit(2000).alias("meta_duration_ms"))
+        out = sample_frames(media, every_ms=1000, fake=False)
         return out.select(F.col("media_id").alias("doc_id"),
                           F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
                           "frame_sha256")
@@ -1486,38 +1495,49 @@ SELECT doc_id, lang, n_chars FROM (
   FROM documents) WHERE r <= 5 ORDER BY doc_id
 """
 
-    o["mm_features"] = """
-WITH chars AS (
-  SELECT doc_id, avg(ascii(substr(text, i, 1))) AS mb
-  FROM documents, UNNEST(generate_series(1, len(text))) s(i)
-  GROUP BY doc_id)
-SELECT d.doc_id, len(d.text)::bigint AS n_bytes, sha256(d.text) AS content_sha256,
-       round(chars.mb, 6) AS mean_byte
-FROM documents d JOIN chars USING (doc_id)
+    # REAL PPM decode: payload = 'P6\n16 8\n255\n' + rpad(text[:384]) raster
+    # (ascii corpus: codepoint == byte).  The engine parses the header and
+    # extracts the raster; the oracle re-derives the bytes from the known
+    # encode layout.
+    _ppm_hdr = "'P6' || chr(10) || '16 8' || chr(10) || '255' || chr(10)"
+    o["mm_features"] = f"""
+WITH pay AS (
+  SELECT doc_id, rpad(substr(text, 1, 384), 384, ' ') AS px FROM documents),
+mb AS (
+  SELECT doc_id, avg(ascii(substr(px, s.i, 1))) AS mean_byte
+  FROM pay, UNNEST(generate_series(1, 384)) s(i) GROUP BY doc_id)
+SELECT p.doc_id, 396::bigint AS n_bytes,
+       sha256({_ppm_hdr} || p.px) AS content_sha256,
+       round(mb.mean_byte, 6) AS mean_byte
+FROM pay p JOIN mb USING (doc_id)
 """
 
-    # resize: out byte k (0..31) = text byte at 1 + (k * len) // 32 (ascii
-    # corpus: codepoint == byte).  Reassemble the resized payload as a
-    # string and sha256 it — identical bytes to the engine's blob.
+    # REAL 2-D nearest-neighbor 16x8 -> 8x4: out byte k (0..95) has
+    # y=k//24, x=(k%24)//3, c=k%3 and maps to in pixel (2y, 2x) channel c,
+    # i.e. 0-based raster offset 96y + 6x + c; re-encoded as 8x4 PPM.
     o["mm_resize"] = """
-WITH pos AS (
-  SELECT doc_id, u.k, 1 + (u.k * len(text)) // 32 AS p
-  FROM documents, UNNEST(generate_series(0, 31)) u(k)),
+WITH px AS (
+  SELECT doc_id, rpad(substr(text, 1, 384), 384, ' ') AS p384 FROM documents),
+outb AS (
+  SELECT doc_id, u.k,
+         substr(p384, 96*(u.k//24) + 6*((u.k%24)//3) + (u.k%3) + 1, 1) AS b
+  FROM px, UNNEST(generate_series(0, 95)) u(k)),
 rs AS (
-  SELECT d.doc_id,
-         string_agg(substr(d.text, pos.p, 1), '' ORDER BY pos.k) AS resized
-  FROM documents d JOIN pos USING (doc_id) GROUP BY d.doc_id)
-SELECT doc_id, 32::bigint AS n_bytes, sha256(resized) AS resized_sha
+  SELECT doc_id, string_agg(b, '' ORDER BY k) AS body FROM outb GROUP BY doc_id)
+SELECT doc_id, 107::bigint AS n_bytes,
+       sha256('P6' || chr(10) || '8 4' || chr(10) || '255' || chr(10) || body)
+         AS resized_sha
 FROM rs
 """
 
-    # frames: ts in {0,2000,4000}, dur=4000; slice start (0-based) =
-    # (len * min(ts,dur)) // (dur+1), slice length = max(len // 8, 1)
+    # REAL Y4M frame seek: 3 frames at 1 fps, 48 planar bytes each from
+    # rpad(text[:144]); ts in {0,1000,2000} -> frame index ts//1000
     o["mm_frames"] = """
+WITH px AS (
+  SELECT doc_id, rpad(substr(text, 1, 144), 144, ' ') AS p144 FROM documents)
 SELECT doc_id, u.ts::bigint AS frame_ts_ms,
-       sha256(substr(text, 1 + (len(text) * least(u.ts, 4000)) // 4001,
-                     greatest(len(text) // 8, 1))) AS frame_sha256
-FROM documents, UNNEST([0, 2000, 4000]) u(ts)
+       sha256(substr(p144, 1 + 48*(u.ts//1000), 48)) AS frame_sha256
+FROM px, UNNEST([0, 1000, 2000]) u(ts)
 """
 
     return o

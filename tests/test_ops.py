@@ -112,7 +112,7 @@ def test_multimodal_pipeline(spark):
     from lucene_plugin_spark.ops.multimodal import (extract_features,
                                                     frame_sample_plan,
                                                     synthetic_media)
-    media = synthetic_media(spark, n=30)
+    media = synthetic_media(spark, n=30, real=False)
     feats = extract_features(media, fake=True).collect()
     assert len(feats) == 30
     f0 = feats[0]
@@ -127,7 +127,7 @@ def test_multimodal_resize_and_frames(spark):
     from lucene_plugin_spark.ops.multimodal import (resize_images,
                                                     sample_frames,
                                                     synthetic_media)
-    media = synthetic_media(spark, n=30)
+    media = synthetic_media(spark, n=30, real=False)
     resized = resize_images(media, width=8, height=4).collect()
     assert len(resized) == 10  # kinds cycle image/audio/video
     assert all(r["n_bytes"] == 8 * 4 for r in resized)
@@ -146,7 +146,7 @@ def test_multimodal_resize_and_frames(spark):
 
 def test_multimodal_decode_stub_raises_without_fake(spark):
     from lucene_plugin_spark.ops.multimodal import extract_features, synthetic_media
-    media = synthetic_media(spark, n=3)
+    media = synthetic_media(spark, n=3, real=False)
     with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
         extract_features(media, fake=False).collect()
 
