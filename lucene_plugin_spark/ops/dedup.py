@@ -156,7 +156,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     with a verify stage that stays O(candidates) at any corpus size.
     """
     r = num_hashes // bands
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = shingles(df, id_col, text_col, n)
+    if verify_threshold is not None:
+        # the verify stage re-reads the shingles for candidate docs; cache
+        # the shared pass.  Candidates-only mode has ONE consumer — caching
+        # would pay materialization for nothing (r2 bench regression).
+        sh = sh.cache()
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, sh=sh)
     band_rows = []
     for b in range(bands):
