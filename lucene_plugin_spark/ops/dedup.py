@@ -260,21 +260,50 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
 
 # ---------------------------------------------------------------- clustering
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): every strictly-larger neighbor of u re-attaches to
+    m = min(N(u) ∪ {u})."""
+    s = (e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+         .where(F.col("a") != F.col("b")))
+    mins = (s.groupBy("a").agg(F.min("b").alias("mb"))
+            .select("a", F.least("a", "mb").alias("m")))
+    return (s.join(mins, "a").where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b")).distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: direct edges high->low; every smaller neighbor of
+    u (and u itself) attaches to m = min of u's smaller neighborhood.
+    Output edges are canonical (a > b), so successive small-star outputs
+    compare directly for convergence."""
+    d = (e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+         .where(F.col("a") != F.col("b")).distinct())
+    mins = d.groupBy("a").agg(F.min("b").alias("m"))
+    re_attach = (d.join(mins, "a")
+                 .where(F.col("b") != F.col("m"))
+                 .select(F.col("b").alias("a"), F.col("m").alias("b")))
+    own = mins.select("a", F.col("m").alias("b"))
+    return (re_attach.unionByName(own)
+            .where(F.col("a") != F.col("b")).distinct())
+
+
 def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
                          max_iter: int = 25) -> DataFrame:
     """(id, cluster_id): undirected connected components over near-dup
     pairs; cluster_id = smallest id in the component (the deterministic
     canonical representative).
 
-    Min-label propagation: each round every node takes the min of its own
-    label and its neighbors' labels, with ``localCheckpoint`` truncating
-    the join lineage and a distributed changed-row test deciding
-    convergence.  Rounds = eccentricity of the component's min node, and
-    near-dup components are shallow stars around one source document, so
-    2-4 rounds is typical; ``max_iter`` guards adversarial chains (for
-    which the alternating large-star/small-star formulation — Kiveris et
-    al., "Connected Components in MapReduce and Beyond" — bounds rounds at
-    O(log^2 n) and is the drop-in upgrade).
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): each round first hangs larger
+    neighbors off local minima, then contracts smaller neighborhoods onto
+    their minimum — convergence in O(log² n) rounds even on adversarial
+    path/chain graphs (plain min-label propagation needs rounds equal to
+    the component eccentricity, i.e. O(n) on a path).  ``localCheckpoint``
+    truncates the per-round join lineage; convergence = the canonical
+    small-star edge set reaching a fixed point, at which point it IS the
+    star (every node -> component min).
 
     Scale contract: every per-round shuffle touches only the PAIRS graph —
     the LSH output, orders of magnitude smaller than the corpus — never
@@ -282,23 +311,24 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
     components for docs that appear in no pair.
     """
     edges = (pairs.select(F.col(pairs.columns[0]).alias("a"),
-                          F.col(pairs.columns[1]).alias("b")))
-    edges = (edges.unionByName(edges.select(F.col("b").alias("a"),
-                                            F.col("a").alias("b")))
-             .distinct().localCheckpoint())
-    lbl = (edges.select(F.col("a").alias("id")).distinct()
-           .withColumn("lbl", F.col("id")).localCheckpoint())
-    for _ in range(max_iter):
-        prop = (edges.join(lbl.withColumnRenamed("id", "b"), "b")
-                .select(F.col("a").alias("id"), "lbl"))
-        new = (lbl.unionByName(prop).groupBy("id")
-               .agg(F.min("lbl").alias("lbl")).localCheckpoint())
-        changed = (new.join(lbl.withColumnRenamed("lbl", "old"), "id")
-                   .where(F.col("lbl") < F.col("old")).limit(1).count())
-        lbl = new
-        if changed == 0:
-            break
-    out = lbl.select("id", F.col("lbl").alias("cluster_id"))
+                          F.col(pairs.columns[1]).alias("b"))
+             .where(F.col("a") != F.col("b")).distinct().localCheckpoint())
+    if edges.limit(1).count() == 0:
+        star = edges
+    else:
+        star = _small_star(edges).localCheckpoint()
+        for _ in range(max_iter):
+            new = _small_star(_large_star(star)).localCheckpoint()
+            changed = (new.exceptAll(star).limit(1).count()
+                       + star.exceptAll(new).limit(1).count())
+            star = new
+            if changed == 0:
+                break
+    roots = star.select(F.col("b").alias("id")).distinct() \
+        .join(star.select(F.col("a").alias("id")), "id", "left_anti")
+    out = (star.select(F.col("a").alias("id"), F.col("b").alias("cluster_id"))
+           .unionByName(roots.select("id", F.col("id").alias("cluster_id")))
+           .groupBy("id").agg(F.min("cluster_id").alias("cluster_id")))
     if nodes is not None:
         ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
         out = (ids.join(out, "id", "left")

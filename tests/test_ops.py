@@ -321,6 +321,50 @@ def test_connected_components_chain_and_singleton(spark):
     assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 3, 6: 6, 7: 7, 8: 8, 9: 7}
 
 
+def test_connected_components_adversarial_path(spark):
+    """Large-star/small-star must close a 10k-node path chain within the
+    default 25-round budget (min-label propagation would need ~10k rounds
+    — one per hop of eccentricity)."""
+    from lucene_plugin_spark.ops.dedup import connected_components
+    import pyspark.sql.functions as F
+    n = 10_000
+    path = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                 "id_a long, id_b long")
+    cc = connected_components(path, max_iter=25)
+    assert cc.count() == n
+    assert cc.where(F.col("cluster_id") != 0).count() == 0
+
+
+def test_connected_components_matches_union_find(spark):
+    from lucene_plugin_spark.ops.dedup import connected_components
+    import random
+    random.seed(11)
+    n = 80
+    edges = [(random.randrange(n), random.randrange(n)) for _ in range(60)]
+    edges = [e for e in edges if e[0] != e[1]]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(i)
+    want = {x: min(mem) for mem in comps.values() for x in mem}
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(df, nodes=nodes).collect()}
+    assert got == want
+
+
 def test_near_dup_clusters_end_to_end(spark, docs):
     from lucene_plugin_spark.ops.dedup import near_dup_clusters
     out = near_dup_clusters(docs, "doc_id", "text", n=3, num_hashes=8,
