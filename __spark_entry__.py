@@ -156,6 +156,55 @@ def _compact_engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEn
     return _COMPACT_ENGINES[sf_dir]
 
 
+_STREAM_ENGINES: dict[str, tuple[Catalog, SearchEngine]] = {}
+
+
+def _stream_engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEngine]:
+    """W6 soft-commit semantics through the REAL Structured Streaming sink
+    (streaming/incremental.py start_indexing_stream, the NRT analogue of
+    SearcherUpdateServiceImpl.java:101-115): wave 1 streams the full corpus
+    into a fresh index (build path), then wave 2 streams upserts
+    (doc_id%40==0 gets ' streamed marker' appended) through the SAME
+    checkpoint — a restarted query resuming from checkpoint state.  Each
+    micro-batch commits one snapshot; the search below runs on the final
+    snapshot, oracle-checked against the post-stream corpus."""
+    if sf_dir not in _STREAM_ENGINES:
+        import shutil
+
+        from lucene_plugin_spark.streaming.incremental import \
+            start_indexing_stream
+        wh = os.path.join("/tmp/lps_entry_stream",
+                          sf_dir.strip("/").replace("/", "_"))
+        catalog = Catalog(wh)
+        if not catalog.table("segments").exists():
+            shutil.rmtree(wh, ignore_errors=True)
+            catalog = Catalog(wh)
+            in1 = os.path.join(wh, "_in")
+            ckpt = os.path.join(wh, "_ckpt")
+            schema = ("repo string, path string, commit string, lang string, "
+                      "content string")
+            _docs_source(spark, sf_dir).drop("fields") \
+                .coalesce(1).write.mode("overwrite").json(in1)
+            q = start_indexing_stream(
+                spark, catalog,
+                spark.readStream.schema(schema).json(in1), ckpt,
+                trigger={"availableNow": True}, docs_per_slice=200)
+            q.awaitTermination(600)
+            upd = (_docs_source(spark, sf_dir)
+                   .where(F.col("path").cast("int") % 40 == 0)
+                   .withColumn("content", F.concat(F.col("content"),
+                                                   F.lit(" streamed marker")))
+                   .drop("fields"))
+            upd.coalesce(1).write.mode("append").json(in1)
+            q2 = start_indexing_stream(
+                spark, catalog,
+                spark.readStream.schema(schema).json(in1), ckpt,
+                trigger={"availableNow": True}, docs_per_slice=200)
+            q2.awaitTermination(600)
+        _STREAM_ENGINES[sf_dir] = (catalog, SearchEngine(spark, catalog).warm())
+    return _STREAM_ENGINES[sf_dir]
+
+
 def _hits_as_orig_ids(hits: DataFrame, round_to: int = 6) -> DataFrame:
     return hits.select(F.col("path").cast("int").cast("bigint").alias("doc_id"),
                        F.round("score", round_to).alias("score"))
@@ -429,6 +478,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(mut_upsert_search=mut_upsert_search,
              mut_delete_search=mut_delete_search, mut_docs_sha=mut_docs_sha,
              mut_compact_search=mut_compact_search)
+
+    # ---- W6 streaming index sink (Structured Streaming + checkpoint) ----
+    def stream_index_search(spark, sf):
+        # full corpus streamed in, then an upsert wave through the same
+        # checkpoint; search the final committed snapshot
+        _, eng = _stream_engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "marker", limit=1_000_000))
+
+    q.update(stream_index_search=stream_index_search)
 
     # ---- analyzer fidelity over word-internal punctuation (A1, UAX#29):
     # the oracle re-implements the SAME tokenization rule in SQL, so any
@@ -1036,6 +1094,16 @@ FROM documents
 SELECT doc_id, sha256(text) AS content_sha256
 FROM documents WHERE source <> 'src3'
 """
+
+    # post-stream corpus: wave 2 upserted ' streamed marker' onto doc_id%40
+    _stream_cte = """
+post AS (SELECT doc_id,
+                CASE WHEN doc_id % 40 = 0 THEN text || ' streamed marker'
+                     ELSE text END AS text
+         FROM documents)
+"""
+    o["stream_index_search"] = _bm25_or_sql(["marker"], 1_000_000, src="post",
+                                            pre_cte=_stream_cte + ",")
 
     o["mut_upsert_search"] = _bm25_or_sql(["marker"], 1_000_000, src="post",
                                           pre_cte=_POST_CTE + ",")
