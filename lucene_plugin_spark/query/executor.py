@@ -208,7 +208,8 @@ class SearchEngine:
             td = self._term_dict_df()
             fields = sorted({f for f, _ in missing})
             terms = sorted({t for _, t in missing})
-            rows = (td.where(F.col("field").isin(fields) & F.col("term").isin(terms))
+            rows = (td.where(f"field IN ({_sql_in_list(fields)}) "
+                             f"AND term IN ({_sql_in_list(terms)})")
                     .collect())
             found = {(r["field"], r["term"]): float(r["df"]) for r in rows}
             cfs = {(r["field"], r["term"]): float(r["cf"]) for r in rows}
@@ -289,7 +290,8 @@ class SearchEngine:
         for f, t in missing_p:
             by_field.setdefault(f, []).append(t)
         for f, ts in sorted(by_field.items()):
-            conds.append((F.col("field") == f) & F.col("term").isin(ts))
+            conds.append(F.expr(f"field IN ({_sql_in_list([f])}) "
+                                f"AND term IN ({_sql_in_list(ts)})"))
         cond = conds[0]
         for c in conds[1:]:
             cond = cond | c
@@ -554,7 +556,8 @@ class SearchEngine:
         fields = sorted({f for f, _ in all_pairs})
         terms_only = sorted({t for _, t in all_pairs})
         seg = self._segments_df().where(
-            F.col("field").isin(fields) & F.col("term").isin(terms_only))
+            f"field IN ({_sql_in_list(fields)}) "
+            f"AND term IN ({_sql_in_list(terms_only)})")
         if not any(c["needs_positions"] for c in compiled):
             seg = seg.drop("positions", "pos_lens_ok")
         else:
@@ -566,11 +569,13 @@ class SearchEngine:
         kernel = _make_multi_slice_kernel(compiled, df_map, stats, limit,
                                           norms_dirs, fields, tomb_dirs)
         hits = seg.mapInPandas(kernel, schema=MULTI_HITS_SCHEMA)
-        from pyspark.sql.window import Window
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         meta = self._meta_path_df()
-        topk = (hits.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") <= limit).drop("_rn"))
+        # SQL-string window: the Window/F.desc object chain costs ~10 py4j
+        # round-trips of serial driver time per batch
+        topk = (hits.selectExpr(
+                    "*", "row_number() OVER (PARTITION BY query_id "
+                    "ORDER BY score DESC, doc_id ASC) AS _rn")
+                .where(f"_rn <= {int(limit)}").drop("_rn"))
         # broadcast the (batch x k)-row hit set, probe docs_meta (S7 shape)
         out = (meta.join(F.broadcast(topk), "doc_id")
                .select("query_id", "doc_id", "path", "score"))
@@ -849,8 +854,8 @@ class SearchEngine:
 
     def _filtered_segments(self, cq) -> DataFrame:
         seg = self._segments_df()
-        seg = seg.where(F.col("field").isin(cq["fields"])
-                        & F.col("term").isin(cq["terms_only"]))
+        seg = seg.where(f"field IN ({_sql_in_list(cq['fields'])}) "
+                        f"AND term IN ({_sql_in_list(cq['terms_only'])})")
         if cq["doc_ranges"] is not None:
             # docID ranges -> dslice partition pruning + block-range pruning
             cond = None
@@ -911,7 +916,8 @@ class SearchEngine:
             seg = self._segments_df()
             f_ = sorted({f for f, _ in missing})
             t_ = sorted({t for _, t in missing})
-            seg = seg.where(F.col("field").isin(f_) & F.col("term").isin(t_))
+            seg = seg.where(f"field IN ({_sql_in_list(f_)}) "
+                            f"AND term IN ({_sql_in_list(t_)})")
             miss_pos = {p_ for p_ in missing if p_ in pos_pairs}
             if not miss_pos:
                 seg = seg.drop("positions", "pos_lens_ok")
@@ -1066,6 +1072,12 @@ def _phrase_pairs(specs) -> set[tuple[str, str]]:
             for t in s["terms"]}
 
 
+def _sql_in_list(values) -> str:
+    """Escaped SQL IN-list body for a list of strings (single round-trip
+    filter construction; Column.isin pays one py4j call per literal)."""
+    return ",".join("'" + v.replace("'", "''") + "'" for v in values)
+
+
 def _null_nonphrase_positions(seg: DataFrame, phrase_pairs) -> DataFrame:
     """NULL the positions/pos_lens_ok columns for rows no phrase will touch.
 
@@ -1081,9 +1093,13 @@ def _null_nonphrase_positions(seg: DataFrame, phrase_pairs) -> DataFrame:
         return seg
     pf = sorted({f for f, _ in phrase_pairs})
     pt = sorted({t for _, t in phrase_pairs})
-    pcond = F.col("field").isin(pf) & F.col("term").isin(pt)
-    return (seg.withColumn("positions", F.when(pcond, F.col("positions")))
-            .withColumn("pos_lens_ok", F.when(pcond, F.col("pos_lens_ok"))))
+    # one SQL-string expr per column: the isin()-of-literals form costs a
+    # py4j round-trip per literal, which is serial driver time on every
+    # batch (small-core scaling tax)
+    pcond = (f"field IN ({_sql_in_list(pf)}) AND term IN ({_sql_in_list(pt)})")
+    return seg.withColumns({
+        "positions": F.expr(f"CASE WHEN {pcond} THEN positions END"),
+        "pos_lens_ok": F.expr(f"CASE WHEN {pcond} THEN pos_lens_ok END")})
 
 
 def _make_slice_kernel(specs, df_map, stats, doc_ranges, k, needs_positions,

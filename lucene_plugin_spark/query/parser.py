@@ -78,6 +78,8 @@ def _lex(q: str):
     while i < len(q):
         m = _TOKEN_RE.match(q, i)
         if not m:
+            if q[i:].isspace():  # trailing whitespace is not a lex error
+                break
             raise QueryParseError(f"cannot lex query at offset {i}: {q!r}")
         if m.end() == i:  # only whitespace remains
             break

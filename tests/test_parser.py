@@ -221,3 +221,8 @@ def test_field_unescape_word_path():
     assert getattr(w, "field", None) == "fo-o", w
     r = parse_query(r"fo\-o:/xray/")
     assert r == Regexp("fo-o", "xray")
+
+
+def test_trailing_whitespace_lexes():
+    assert parse_query("table ") == parse_query("table")
+    assert parse_query("  a b  ") == parse_query("a b")
