@@ -1,0 +1,93 @@
+"""Thin HTTP demo facade over :class:`LuceneFacade` — the Spark-side
+mirror of the reference's web surface (LuceneFacadeImpl.java:23-151:
+``@Path("/lucene")`` with POST /index-file /index-text /index-map /delete
+/clear and GET /search; JSON bodies/results as the JS client
+``lucene-client.js`` sends them).
+
+stdlib ``http.server`` only — a demo endpoint, not a production server: a
+real deployment of this engine calls the Python API directly (the facade
+is the service; HTTP here is a transport shim).  Requests are serialized
+through the facade exactly as Baratine serialized them through the
+single-writer service mailbox (C1) — ThreadingHTTPServer handles sockets
+concurrently but every handler funnels into one facade guarded by a lock.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+def make_server(facade, host: str = "127.0.0.1", port: int = 0):
+    """Build (not start) a ThreadingHTTPServer bound to the facade.
+
+    ``port=0`` binds an ephemeral port (read it from
+    ``server.server_address[1]``).  Start with
+    ``threading.Thread(target=server.serve_forever, daemon=True).start()``.
+    """
+    lock = threading.Lock()  # single-writer serialization (C1)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test output
+            pass
+
+        def _reply(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(n) if n else b"{}"
+            return json.loads(raw or b"{}")
+
+        def do_GET(self) -> None:  # noqa: N802 (http.server API)
+            u = urlparse(self.path)
+            if u.path != "/lucene/search":
+                self._reply(404, {"error": f"no route {u.path}"})
+                return
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            try:
+                with lock:
+                    hits = facade.search(q.get("collection", ""),
+                                         q.get("query", ""),
+                                         int(q.get("limit", 255)))
+                # LuceneEntry list -> the reference's JSON result shape
+                self._reply(200, [{"id": h.id, "score": h.score,
+                                   "externalId": h.external_id}
+                                  for h in hits])
+            except Exception as e:  # LuceneException analogue -> 400
+                self._reply(400, {"error": str(e)})
+
+        def do_POST(self) -> None:  # noqa: N802
+            u = urlparse(self.path)
+            routes = {
+                "/lucene/index-text": lambda b: facade.index_text(
+                    b.get("collection", ""), b.get("id", ""), b.get("text")),
+                "/lucene/index-map": lambda b: facade.index_map(
+                    b.get("collection", ""), b.get("id", ""), b.get("map")),
+                "/lucene/index-file": lambda b: facade.index_file(
+                    b.get("collection", ""), b.get("path", "")),
+                "/lucene/delete": lambda b: facade.delete(
+                    b.get("collection", ""), b.get("id", "")),
+                "/lucene/clear": lambda b: facade.clear(
+                    b.get("collection", "")),
+            }
+            fn = routes.get(u.path)
+            if fn is None:
+                self._reply(404, {"error": f"no route {u.path}"})
+                return
+            try:
+                body = self._body()
+                with lock:
+                    out = fn(body)
+                self._reply(200, bool(out) if out is not None else True)
+            except Exception as e:
+                self._reply(400, {"error": str(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -1,0 +1,80 @@
+"""HTTP demo facade round-trip (reference web surface:
+LuceneFacadeImpl.java routes + lucene-client.js request shapes)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+from urllib.parse import quote
+
+import pytest
+
+from lucene_plugin_spark import LuceneFacade
+from lucene_plugin_spark.web import make_server
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    fac = LuceneFacade(spark, str(tmp_path / "wh"), mode="kernel")
+    srv = make_server(fac)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(base, route, body):
+    req = urllib.request.Request(
+        base + route, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(base, route):
+    with urllib.request.urlopen(base + route) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_round_trip(server):
+    st, ok = _post(server, "/lucene/index-text",
+                   {"collection": "web", "id": "d1",
+                    "text": "mary had a little lamb"})
+    assert st == 200 and ok is True
+    _post(server, "/lucene/index-text",
+          {"collection": "web", "id": "d2", "text": "lamb stew recipe"})
+    _post(server, "/lucene/index-map",
+          {"collection": "web", "id": "d3", "map": {"lang": "en"}})
+
+    st, hits = _get(server, "/lucene/search?collection=web&query="
+                    + quote("lamb") + "&limit=10")
+    assert st == 200
+    assert {h["externalId"] for h in hits} == {"d1", "d2"}
+    assert all(h["score"] > 0 for h in hits)
+
+    st, hits = _get(server, "/lucene/search?collection=web&query="
+                    + quote("lang:en") + "&limit=10")
+    assert {h["externalId"] for h in hits} == {"d3"}
+
+    # delete then clear
+    _post(server, "/lucene/delete", {"collection": "web", "id": "d2"})
+    st, hits = _get(server, "/lucene/search?collection=web&query=lamb&limit=10")
+    assert {h["externalId"] for h in hits} == {"d1"}
+    _post(server, "/lucene/clear", {"collection": "web"})
+    st, hits = _get(server, "/lucene/search?collection=web&query=lamb&limit=10")
+    assert hits == []
+
+
+def test_http_validation_errors(server):
+    # empty collection -> LuceneException analogue -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/lucene/search?collection=&query=x")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/lucene/index-text", {"collection": "", "id": "a",
+                                             "text": "t"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/lucene/nope")
+    assert e.value.code == 404
