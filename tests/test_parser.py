@@ -226,3 +226,39 @@ def test_field_unescape_word_path():
 def test_trailing_whitespace_lexes():
     assert parse_query("table ") == parse_query("table")
     assert parse_query("  a b  ") == parse_query("a b")
+
+
+def test_prefix_pushdown_property():
+    """Property: for random wildcard/regexp patterns, every term the full
+    (anchored) pattern matches must start with the computed pushdown
+    prefix — the pushdown may only ever shrink the candidate set from
+    above, never drop a true match."""
+    import itertools
+    import re as _re
+    from lucene_plugin_spark.query.expand import (regexp_prefix,
+                                                  wildcard_prefix,
+                                                  wildcard_regex)
+    alphabet = "abc"
+    terms = ["".join(t) for n in range(0, 5)
+             for t in itertools.product(alphabet, repeat=n)]
+    import random
+    rng = random.Random(99)
+    wild_chars = list("abc*?") + ["\\*", "\\?"]
+    reg_chars = list("abc") + ["a?", "b*", "c+", "(a|b)", "a|b", ".", "[ab]"]
+    for _ in range(300):
+        wp = "".join(rng.choice(wild_chars) for _ in range(rng.randint(1, 5)))
+        rx = wildcard_regex(wp)
+        pfx = wildcard_prefix(wp)
+        for t in terms:
+            if _re.match(rx, t):
+                assert t.startswith(pfx), (wp, t, pfx)
+    for _ in range(300):
+        rp = "".join(rng.choice(reg_chars) for _ in range(rng.randint(1, 4)))
+        try:
+            creg = _re.compile(rp)
+        except _re.error:
+            continue
+        pfx = regexp_prefix(rp)
+        for t in terms:
+            if creg.fullmatch(t):
+                assert t.startswith(pfx), (rp, t, pfx)
