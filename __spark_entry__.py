@@ -433,6 +433,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_term_dict=ft_term_dict, ft_doc_len=ft_doc_len,
              ft_corpus_stats=ft_corpus_stats, ft_sha256=ft_sha256)
 
+    # ---- search-adjacent modules over the same index: paging, total-hit
+    # count, highlighting, suggest, spellcheck, facets, grouping (Lucene
+    # ships these as lucene-highlighter/-suggest/-facet/-grouping over a
+    # searcher; implemented in query/results.py + SearchEngine methods) ----
+    def ft_paging(spark, sf):  # deep paging: page 2 (rows 11-20), searchAfter
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(
+            eng.search_page(None, "spark", limit=10, offset=10))
+
+    def ft_count(spark, sf):  # TotalHitCountCollector analogue
+        _, eng = _engine(spark, sf)
+        hits = eng.search(None, "join hash merge", limit=1_000_000)
+        return hits.agg(F.count("*").cast("bigint").alias("n_hits"))
+
+    def ft_highlight(spark, sf):  # snippet around the matched term, top-10
+        from lucene_plugin_spark.query.results import highlight
+        _, eng = _engine(spark, sf)
+        hits = eng.search(None, "spark", limit=10)
+        out = highlight(eng, hits, "spark", window=40)
+        return out.select(
+            F.col("path").cast("int").cast("bigint").alias("doc_id"),
+            F.round("score", 6).alias("score"), "snippet")
+
+    def ft_suggest(spark, sf):  # prefix autocomplete from the term dictionary
+        _, eng = _engine(spark, sf)
+        return eng.suggest("s", limit=10)
+
+    def ft_spellcheck(spark, sf):  # DirectSpellChecker analogue (ed <= 2)
+        _, eng = _engine(spark, sf)
+        return eng.spellcheck(["sprak", "tabel", "quey"], max_dist=2)
+
+    def ft_facets(spark, sf):  # facet counts over an untruncated match set
+        from lucene_plugin_spark.query.results import facet_counts
+        _, eng = _engine(spark, sf)
+        hits = eng.search(None, "query table", limit=1_000_000)
+        out = facet_counts(eng, hits, ["lang", "repo"])
+        # engine 'repo' carries the documents.source values — name it so
+        return (out.withColumn(
+                    "facet", F.when(F.col("facet") == "repo", "source")
+                              .otherwise(F.col("facet")))
+                .orderBy("facet", "value"))
+
+    def ft_group_topk(spark, sf):  # top-2 per lang (lucene-grouping)
+        from lucene_plugin_spark.query.results import group_top_k
+        _, eng = _engine(spark, sf)
+        hits = eng.search(None, "join hash", limit=1_000_000)
+        # tie-break on path == zero-padded ORIGINAL doc_id, so rank order is
+        # comparable with the oracle's doc_id tie-break across repos
+        out = group_top_k(eng, hits, "lang", k=2, tie_col="path")
+        return out.select(
+            F.col("group").alias("lang"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("path").cast("int").cast("bigint").alias("doc_id"),
+            F.round("score", 6).alias("score"))
+
+    q.update(ft_paging=ft_paging, ft_count=ft_count, ft_highlight=ft_highlight,
+             ft_suggest=ft_suggest, ft_spellcheck=ft_spellcheck,
+             ft_facets=ft_facets, ft_group_topk=ft_group_topk)
+
     # ---- mutation semantics, declarative (W2 upsert / W3-W4 delete) ----
     def merge_upsert(spark, sf):
         base = _documents(spark, sf).select("doc_id", "text", F.lit(0).alias("v"))
@@ -884,11 +943,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ALL entries).  Every entry keeps its queries()+oracle_sql() pair — this
 # is check-slot scheduling, not coverage reduction.
 _GATE_TAIL = [
-    # green in CORRECTNESS_r01 AND _r02 (25 candidates; these 11+ rotated out)
+    # green in CORRECTNESS_r01 AND _r02 (25 candidates; these rotated out)
     "ft_doc_len", "ft_corpus_stats", "ft_sha256", "ft_term_dict",
     "ft_field_lang", "ft_collection", "merge_upsert", "delete_where",
     "ev_window_counts", "ev_sessionize", "ev_json_extract",
     "dedup_ngram_pairs", "dedup_embedding",
+    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "sim_cosine_topk", "sim_ivf_topk", "text_token_counts", "ft_range",
 ]
 
 
@@ -898,6 +959,9 @@ def _rotate_for_gate(q: dict) -> dict:
         "text_extract", "mm_resize", "mm_frames",
         # green in r1 only, dropped past the horizon in r2
         "text_quality", "text_lang_id", "text_fingerprint", "mm_features",
+        # new in r3: search-adjacent modules
+        "ft_paging", "ft_count", "ft_highlight", "ft_suggest",
+        "ft_spellcheck", "ft_facets", "ft_group_topk",
     ]
     head = [k for k in never_checked if k in q]
     mid = [k for k in q if k not in head and k not in _GATE_TAIL]
@@ -1082,6 +1146,95 @@ SELECT count(*)::bigint AS n_docs, round(avg(dl), 6) AS avgdl FROM dl
 """
 
     o["ft_sha256"] = "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"
+
+    # -- search-adjacent modules (paging / count / highlight / suggest /
+    # spellcheck / facets / grouping; query/results.py + SearchEngine) --
+    o["ft_paging"] = f"""
+WITH {_TOK},
+scores AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('spark')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10
+"""
+
+    o["ft_count"] = f"""
+WITH {_TOK}
+SELECT count(DISTINCT doc_id)::bigint AS n_hits
+FROM tok WHERE term IN ('join', 'hash', 'merge')
+"""
+
+    # snippet spec (mirrored in query/results.py:highlight): 40-char window
+    # of ' '||text||' ' from the first whole-word ' spark ', whole-word
+    # occurrences inside the window wrapped in <em></em>
+    o["ft_highlight"] = f"""
+WITH {_TOK},
+scores AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('spark')
+  GROUP BY tf.doc_id),
+topk AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+SELECT t.doc_id, round(t.score, 6) AS score,
+       replace(substr(' ' || d.text || ' ',
+                      strpos(' ' || d.text || ' ', ' spark '), 40),
+               ' spark ', ' <em>spark</em> ') AS snippet
+FROM topk t JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id
+"""
+
+    o["ft_suggest"] = f"""
+WITH {_TOK}
+SELECT term, sum(tf)::bigint AS cf
+FROM tf WHERE term LIKE 's%'
+GROUP BY term ORDER BY cf DESC, term LIMIT 10
+"""
+
+    o["ft_spellcheck"] = f"""
+WITH {_TOK},
+td AS (SELECT term, sum(tf)::bigint AS cf FROM tf GROUP BY term),
+q(qterm) AS (VALUES ('sprak'), ('tabel'), ('quey')),
+cand AS (
+  SELECT qterm, term AS suggestion,
+         levenshtein(qterm, term)::bigint AS dist, cf
+  FROM q CROSS JOIN td
+  WHERE abs(length(term) - length(qterm)) <= 2
+    AND levenshtein(qterm, term) <= 2),
+rnk AS (SELECT *, row_number() OVER
+          (PARTITION BY qterm ORDER BY dist, cf DESC, suggestion) rn
+        FROM cand)
+SELECT qterm, suggestion, dist, cf FROM rnk WHERE rn = 1 ORDER BY qterm
+"""
+
+    o["ft_facets"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('query', 'table'))
+SELECT facet, value, doc_count FROM (
+  SELECT 'lang' AS facet, d.lang AS value, count(*)::bigint AS doc_count
+  FROM m JOIN documents d USING (doc_id) GROUP BY d.lang
+  UNION ALL
+  SELECT 'source', d.source, count(*)::bigint
+  FROM m JOIN documents d USING (doc_id) GROUP BY d.source)
+ORDER BY facet, value
+"""
+
+    o["ft_group_topk"] = f"""
+WITH {_TOK},
+scores AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'hash')
+  GROUP BY tf.doc_id),
+ranked AS (
+  SELECT d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id) AS "rank"
+  FROM scores s JOIN documents d USING (doc_id))
+SELECT lang, "rank"::bigint AS "rank", doc_id, round(score, 6) AS score
+FROM ranked WHERE "rank" <= 2 ORDER BY lang, "rank"
+"""
 
     o["merge_upsert"] = """
 SELECT doc_id,

@@ -32,7 +32,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType)
 
@@ -467,6 +467,78 @@ class SearchEngine:
             return empty
         node = Bool(should=tuple(Term(field, t) for _s, t in top))
         return self.search_node(node, repo, limit=limit, mode=mode)
+
+    def search_page(self, repo: str | None, query: str, limit: int = 10,
+                    offset: int = 0, mode: str = "kernel") -> DataFrame:
+        """Deep paging: rows ``offset+1 .. offset+limit`` of the ranking.
+
+        Lucene ``searchAfter`` analogue with the standard distributed-engine
+        strategy (Solr/ES deep paging): collect the top ``offset+limit``
+        (per-slice heaps stay that size), then drop the first ``offset``
+        rows of the k-row result on the driver side.  Correct because the
+        total order (score desc, doc_id asc) is deterministic, and cheap
+        because the slice only ever touches offset+limit rows — never the
+        corpus.  The reference pages the same way: one searcher call per
+        page over the full ranking (TestPaging.java).
+        """
+        if offset <= 0:
+            return self.search(repo, query, limit=limit, mode=mode)
+        top = self.search(repo, query, limit=offset + limit, mode=mode)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (top.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") > offset)
+                .select("doc_id", "path", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+
+    def suggest(self, prefix: str, field: str = "text",
+                limit: int = 10) -> DataFrame:
+        """Prefix autocomplete (lucene-suggest analogue): the ``limit`` most
+        frequent index terms starting with ``prefix``, ranked by collection
+        frequency desc, term asc.
+
+        One filtered scan of the (persisted) term dictionary — the
+        startswith predicate is a parquet-pushable range on the sorted term
+        column, so at scale this reads one dictionary row-group range, not
+        the postings.  Returns DataFrame(term, cf).
+        """
+        td = self._term_dict_df()
+        return (td.where((F.col("field") == field)
+                         & F.col("term").startswith(prefix))
+                .select("term", F.col("cf").cast("bigint").alias("cf"))
+                .orderBy(F.desc("cf"), F.asc("term"))
+                .limit(limit))
+
+    def spellcheck(self, terms: list[str], field: str = "text",
+                   max_dist: int = 2, per_term: int = 1) -> DataFrame:
+        """Spelling correction (lucene-suggest DirectSpellChecker analogue):
+        for each query term, the best index term(s) within ``max_dist``
+        Levenshtein edits, ranked by (distance asc, cf desc, term asc).
+
+        Candidate generation is a length-banded broadcast join — the tiny
+        query-term frame is broadcast against the term dictionary, the
+        ``abs(len(term) - len(q)) <= max_dist`` band prunes before the
+        edit-distance kernel, and ``F.levenshtein`` runs JVM-side (no
+        Python).  At 100 TB vocabulary scale you'd add an n-gram blocking
+        key to the band (DirectSpellChecker uses FST term neighbourhoods);
+        the band alone already cuts the candidate set by ~10x.
+
+        Returns DataFrame(qterm, suggestion, dist, cf).
+        """
+        q = self.spark.createDataFrame([(t,) for t in terms], "qterm string")
+        td = self._term_dict_df().where(F.col("field") == field)
+        band = (F.abs(F.length("term") - F.length("qterm"))
+                <= F.lit(max_dist))
+        cand = (td.join(F.broadcast(q), band)
+                .withColumn("dist", F.levenshtein("qterm", "term"))
+                .where(F.col("dist") <= max_dist))
+        w = Window.partitionBy("qterm").orderBy(
+            F.asc("dist"), F.desc("cf"), F.asc("term"))
+        return (cand.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= per_term)
+                .select("qterm", F.col("term").alias("suggestion"),
+                        F.col("dist").cast("bigint").alias("dist"),
+                        F.col("cf").cast("bigint").alias("cf"))
+                .orderBy("qterm", "_rn"))
 
     def search_many(self, queries: list[tuple[str, str | None, str]],
                     limit: int = 10) -> DataFrame:

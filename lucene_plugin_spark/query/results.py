@@ -1,0 +1,109 @@
+"""Result-set post-processing: highlighting, faceting, grouped top-k.
+
+Lucene ships these as separate modules over a searcher's hits
+(``lucene-highlighter``, ``lucene-facet``, ``lucene-grouping``); the
+reference bundles only core search (service/build.gradle pulls
+lucene-core+queryparser 5.2.1), but any real deployment of it pairs search
+with these, so they are first-class here — expressed as DataFrame
+transforms over the engine's hits frame and its stored-field tables.
+
+Scale shape:
+- ``highlight`` touches only the top-k rows: the k-row hit frame is
+  broadcast against the stored ``docs`` table (same S7 stored-field-fetch
+  pattern as query/executor.py:350-359 — broadcast the k rows, never the
+  corpus), and the snippet itself is pure JVM string functions (locate/
+  substring/replace), no Python in the loop.
+- ``facet_counts`` / ``group_top_k`` consume the full match set: one
+  equi-join against the skinny ``docs_meta`` table (the docvalues
+  analogue: doc_id -> lang/repo, no content column) followed by a
+  map-side-combined aggregation / a per-group window.  At 100 TB the join
+  is doc_id-aligned on both sides (docs_meta is written slice-partitioned
+  by the builder), so AQE plans it as a shuffle-light join; the facet agg
+  output is |distinct values|, not |hits|.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _docs_meta(engine, cols: list[str]) -> DataFrame:
+    return (engine.catalog.table("docs_meta").read(engine.spark)
+            .select("doc_id", *cols))
+
+
+def highlight(engine, hits: DataFrame, term: str, field_col: str = "content",
+              window: int = 40, pre: str = "<em>", post: str = "</em>") -> DataFrame:
+    """Snippet extraction around the first whole-word match of ``term``.
+
+    Lucene highlighter analogue with a deterministic, SQL-reproducible
+    fragmenter: the snippet is the ``window``-char substring of
+    ``' ' || content || ' '`` starting at the first ``' term '``
+    occurrence, with every whole-word occurrence inside the window wrapped
+    in ``pre``/``post``.  Rows where the term never occurs as a whole word
+    (e.g. hits from other leaves of an OR) keep a NULL snippet.
+
+    Returns DataFrame(doc_id, path, score, snippet).
+    """
+    docs = engine.catalog.table("docs").read(engine.spark)
+    k = hits.select("doc_id", "path", "score")
+    # broadcast the k-row side into the partitioned docs scan (S7 pattern)
+    j = docs.select("repo", "path", F.col(field_col).alias("_content")).join(
+        F.broadcast(k.join(_docs_meta(engine, ["repo"]), "doc_id")),
+        ["repo", "path"])
+    padded = F.concat(F.lit(" "), F.col("_content"), F.lit(" "))
+    needle = F.lit(f" {term} ")
+    pos = F.locate(f" {term} ", padded)
+    snip = F.substring(padded, pos, window)
+    wrapped = F.replace(snip, needle, F.lit(f" {pre}{term}{post} "))
+    return (j.select("doc_id", "path", "score",
+                     F.when(pos > 0, wrapped).alias("snippet"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def facet_counts(engine, hits: DataFrame,
+                 facets: list[str] = ("lang", "repo")) -> DataFrame:
+    """Facet counts over a match set (Lucene SSDV facets analogue).
+
+    ``hits`` is the engine's (possibly untruncated) hit frame; each facet
+    column is resolved from ``docs_meta`` — the stored per-doc values —
+    and counted.  One join + one grouped count per facet; counts are
+    map-side combined so the shuffle carries |distinct values| rows.
+
+    Returns DataFrame(facet, value, doc_count) ordered by (facet, value).
+    """
+    meta = _docs_meta(engine, list(facets))
+    m = hits.select("doc_id").join(meta, "doc_id")
+    parts = [
+        m.groupBy(F.col(c).alias("value"))
+         .agg(F.count("*").alias("doc_count"))
+         .select(F.lit(c).alias("facet"), "value", "doc_count")
+        for c in facets
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("facet", "value")
+
+
+def group_top_k(engine, hits: DataFrame, group_col: str = "lang",
+                k: int = 2, tie_col: str = "doc_id") -> DataFrame:
+    """Grouped top-k hits (lucene-grouping ``TopGroups`` analogue): the k
+    best-scoring docs per distinct value of ``group_col``, rank order
+    (score desc, ``tie_col`` asc) within each group.
+
+    Window over the match set partitioned by the group value — Spark's
+    ranking window does the per-group heap; no driver-side grouping.
+
+    Returns DataFrame(group, rank, doc_id, path, score).
+    """
+    meta = _docs_meta(engine, [group_col])
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.desc("score"), F.asc(tie_col)))
+    return (hits.join(meta, "doc_id")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col(group_col).alias("group"), "rank",
+                    "doc_id", "path", "score")
+            .orderBy("group", "rank"))

@@ -1,0 +1,184 @@
+"""Search-adjacent modules: paging, suggest, spellcheck, highlight, facets,
+grouped top-k (query/results.py + SearchEngine methods), checked against
+brute-force recomputation from the raw corpus rows."""
+
+from collections import Counter
+
+import pytest
+
+from lucene_plugin_spark.analysis.tokenizer import tokenize_text
+from lucene_plugin_spark.corpus import generate_rows
+from lucene_plugin_spark.index.builder import IndexBuilder
+from lucene_plugin_spark.query.executor import SearchEngine
+from lucene_plugin_spark.query.results import (facet_counts, group_top_k,
+                                               highlight)
+from lucene_plugin_spark.storage.catalog import Catalog
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh"))
+    rows = generate_rows(N_DOCS, seed=7)
+    catalog = Catalog(wh)
+    IndexBuilder(spark, catalog, docs_per_slice=100).build(
+        spark.createDataFrame(rows)
+        .select("repo", "path", "commit", "lang", "content"))
+    return catalog, rows
+
+
+def _engine(spark, built):
+    return SearchEngine(spark, built[0]).warm()
+
+
+# ------------------------------------------------------------------ paging
+def test_search_page_slices_the_full_ranking(spark, built):
+    eng = _engine(spark, built)
+    full = [(r["doc_id"], round(r["score"], 9))
+            for r in eng.search(None, "index query", limit=30).collect()]
+    for offset, limit in ((0, 10), (10, 10), (20, 5), (7, 9)):
+        page = [(r["doc_id"], round(r["score"], 9)) for r in
+                eng.search_page(None, "index query",
+                                limit=limit, offset=offset).collect()]
+        assert page == full[offset:offset + limit], (offset, limit)
+
+
+def test_search_page_offset_zero_is_search(spark, built):
+    eng = _engine(spark, built)
+    a = [r["doc_id"] for r in
+         eng.search_page(None, "cache", limit=10, offset=0).collect()]
+    b = [r["doc_id"] for r in eng.search(None, "cache", limit=10).collect()]
+    assert a == b
+
+
+def test_search_page_past_end_is_empty(spark, built):
+    eng = _engine(spark, built)
+    n = eng.search(None, "index", limit=1_000_000).count()
+    assert eng.search_page(None, "index", limit=10, offset=n + 5).count() == 0
+
+
+# ----------------------------------------------------------------- suggest
+def _brute_cf(rows):
+    cf = Counter()
+    for r in rows:
+        for t, _pos in tokenize_text(r["content"]):
+            cf[t] += 1
+    return cf
+
+
+def test_suggest_matches_brute_cf(spark, built):
+    eng = _engine(spark, built)
+    cf = _brute_cf(built[1])
+    want = sorted(((t, c) for t, c in cf.items() if t.startswith("s")),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    got = [(r["term"], r["cf"]) for r in eng.suggest("s", limit=10).collect()]
+    assert got == want
+
+
+def test_suggest_no_match_prefix_empty(spark, built):
+    eng = _engine(spark, built)
+    assert eng.suggest("zzzqqq", limit=10).count() == 0
+
+
+# --------------------------------------------------------------- spellcheck
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_spellcheck_matches_brute(spark, built):
+    eng = _engine(spark, built)
+    cf = _brute_cf(built[1])
+    queries = ["indx", "qery", "cach"]
+    want = []
+    for qt in queries:
+        cands = [(t, _lev(qt, t), c) for t, c in cf.items()
+                 if abs(len(t) - len(qt)) <= 2 and _lev(qt, t) <= 2]
+        cands.sort(key=lambda x: (x[1], -x[2], x[0]))
+        if cands:
+            t, d, c = cands[0]
+            want.append((qt, t, d, c))
+    got = [(r["qterm"], r["suggestion"], r["dist"], r["cf"])
+           for r in eng.spellcheck(queries).collect()]
+    assert sorted(got) == sorted(want)
+
+
+def test_spellcheck_per_term_k(spark, built):
+    eng = _engine(spark, built)
+    out = eng.spellcheck(["indx"], per_term=3).collect()
+    assert 1 <= len(out) <= 3
+    dists = [r["dist"] for r in out]
+    assert dists == sorted(dists)
+
+
+# ---------------------------------------------------------------- highlight
+def test_highlight_snippet_exact(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    docs = [
+        ("r", "000001", "c", "en", "alpha spark beta gamma delta"),
+        ("r", "000002", "c", "en", "spark leads the line here today"),
+        ("r", "000003", "c", "en", "no match in this document at all"),
+    ]
+    catalog = Catalog(wh)
+    IndexBuilder(spark, catalog, docs_per_slice=10).build(
+        spark.createDataFrame(docs, "repo string, path string, commit string,"
+                                    " lang string, content string"))
+    eng = SearchEngine(spark, catalog).warm()
+    hits = eng.search(None, "spark", limit=10)
+    out = {r["path"]: r["snippet"]
+           for r in highlight(eng, hits, "spark", window=20).collect()}
+    assert set(out) == {"000001", "000002"}
+    # padded doc1 = ' alpha spark beta gamma delta ': match at pos 7, the
+    # 20-char window is ' spark beta gamma de', then the wrap lengthens it
+    assert out["000001"] == " <em>spark</em> beta gamma de"
+    # padded doc2: match at pos 1, window ' spark leads the lin'
+    assert out["000002"] == " <em>spark</em> leads the lin"
+
+
+def test_highlight_preserves_ranking(spark, built):
+    eng = _engine(spark, built)
+    hits = eng.search(None, "index", limit=10)
+    want = [r["doc_id"] for r in hits.collect()]
+    got = [r["doc_id"]
+           for r in highlight(eng, hits, "index", window=40).collect()]
+    assert got == want
+
+
+# ------------------------------------------------------------------- facets
+def test_facet_counts_match_brute(spark, built):
+    eng = _engine(spark, built)
+    hits = eng.search(None, "index query", limit=1_000_000)
+    match_paths = {r["path"] for r in hits.collect()}
+    rows = [r for r in built[1] if r["path"] in match_paths]
+    want = set()
+    for col in ("lang", "repo"):
+        c = Counter(r[col] for r in rows)
+        want |= {(col, v, n) for v, n in c.items()}
+    got = {(r["facet"], r["value"], r["doc_count"])
+           for r in facet_counts(eng, hits, ["lang", "repo"]).collect()}
+    assert got == want
+
+
+# ------------------------------------------------------------ grouped top-k
+def test_group_top_k_matches_brute(spark, built):
+    eng = _engine(spark, built)
+    hits = eng.search(None, "index query", limit=1_000_000)
+    by_path = {r["path"]: r for r in built[1]}
+    scored = [(by_path[r["path"]]["lang"], r["doc_id"], round(r["score"], 9))
+              for r in hits.collect()]
+    want = []
+    langs = sorted({g for g, _, _ in scored})
+    for g in langs:
+        grp = sorted(((s, d) for gg, d, s in scored if gg == g),
+                     key=lambda x: (-x[0], x[1]))[:2]
+        want += [(g, i + 1, d, s) for i, (s, d) in enumerate(grp)]
+    got = [(r["group"], r["rank"], r["doc_id"], round(r["score"], 9))
+           for r in group_top_k(eng, hits, "lang", k=2).collect()]
+    assert got == want
