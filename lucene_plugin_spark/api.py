@@ -238,6 +238,67 @@ class LuceneFacade:
         return [LuceneEntry(id=r["doc_id"], score=r["score"],
                             external_id=r["path"]) for r in df.collect()]
 
+    def _live_engine(self) -> "SearchEngine | None":
+        """Commit pending mutations and return the current engine, or None
+        when nothing has ever been indexed (shared guard for the
+        search-module extensions below)."""
+        self.commit()
+        if not self.catalog.table("docs_meta").exists():
+            return None
+        if self._engine is None:
+            self._engine = SearchEngine(self.spark, self.catalog)
+        return self._engine
+
+    def search_page(self, collection: str, query: str, limit: int = 10,
+                    offset: int = 0) -> list[LuceneEntry]:
+        """Deep paging: ranking rows ``offset+1 .. offset+limit`` (our
+        extension; SearchEngine.search_page, Lucene searchAfter analogue)."""
+        self._check(collection, "collection")
+        self._check(query, "query")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        df = eng.search_page(sanitize_collection(collection), query,
+                             limit=limit, offset=offset, mode=self.mode)
+        return [LuceneEntry(id=r["doc_id"], score=r["score"],
+                            external_id=r["path"]) for r in df.collect()]
+
+    def suggest(self, prefix: str, limit: int = 10) -> list[tuple[str, int]]:
+        """Prefix autocomplete from the term dictionary (lucene-suggest
+        analogue): [(term, collection_frequency)] best-first."""
+        self._check(prefix, "prefix")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return [(r["term"], r["cf"])
+                for r in eng.suggest(prefix, limit=limit).collect()]
+
+    def spellcheck(self, terms: list[str], max_dist: int = 2) -> list[dict]:
+        """Best in-vocabulary correction per query term (DirectSpellChecker
+        analogue): [{'qterm', 'suggestion', 'dist', 'cf'}]."""
+        eng = self._live_engine()
+        if eng is None or not terms:
+            return []
+        return [r.asDict() for r in eng.spellcheck(terms,
+                                                   max_dist=max_dist).collect()]
+
+    def highlight(self, collection: str, term: str, limit: int = 10,
+                  window: int = 40) -> list[dict]:
+        """Top-``limit`` hits for ``term`` with a snippet around the first
+        whole-word match (lucene-highlighter analogue):
+        [{'externalId', 'score', 'snippet'}]."""
+        self._check(collection, "collection")
+        self._check(term, "term")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        from lucene_plugin_spark.query.results import highlight as _hl
+        hits = eng.search(sanitize_collection(collection), term,
+                          limit=limit, mode=self.mode)
+        return [{"externalId": r["path"], "score": r["score"],
+                 "snippet": r["snippet"]}
+                for r in _hl(eng, hits, term, window=window).collect()]
+
     # ---------------------------------------------------------------- async
     def _submit(self, fn, callback, *args) -> concurrent.futures.Future:
         if self._mailbox is None:

@@ -48,19 +48,41 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
 
         def do_GET(self) -> None:  # noqa: N802 (http.server API)
             u = urlparse(self.path)
-            if u.path != "/lucene/search":
-                self._reply(404, {"error": f"no route {u.path}"})
-                return
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             try:
-                with lock:
-                    hits = facade.search(q.get("collection", ""),
-                                         q.get("query", ""),
-                                         int(q.get("limit", 255)))
-                # LuceneEntry list -> the reference's JSON result shape
-                self._reply(200, [{"id": h.id, "score": h.score,
-                                   "externalId": h.external_id}
-                                  for h in hits])
+                if u.path == "/lucene/search":
+                    with lock:
+                        offset = int(q.get("offset", 0))
+                        if offset > 0:  # deep paging (our extension)
+                            hits = facade.search_page(
+                                q.get("collection", ""), q.get("query", ""),
+                                int(q.get("limit", 255)), offset)
+                        else:
+                            hits = facade.search(q.get("collection", ""),
+                                                 q.get("query", ""),
+                                                 int(q.get("limit", 255)))
+                    # LuceneEntry list -> the reference's JSON result shape
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
+                # module-family extensions beyond the reference's six routes
+                elif u.path == "/lucene/suggest":
+                    with lock:
+                        out = facade.suggest(q.get("prefix", ""),
+                                             int(q.get("limit", 10)))
+                    self._reply(200, [{"term": t, "cf": c} for t, c in out])
+                elif u.path == "/lucene/spellcheck":
+                    terms = [t for t in q.get("terms", "").split(",") if t]
+                    with lock:
+                        self._reply(200, facade.spellcheck(terms))
+                elif u.path == "/lucene/highlight":
+                    with lock:
+                        self._reply(200, facade.highlight(
+                            q.get("collection", ""), q.get("term", ""),
+                            int(q.get("limit", 10)),
+                            int(q.get("window", 40))))
+                else:
+                    self._reply(404, {"error": f"no route {u.path}"})
             except Exception as e:  # LuceneException analogue -> 400
                 self._reply(400, {"error": str(e)})
 

@@ -78,3 +78,32 @@ def test_http_validation_errors(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server, "/lucene/nope")
     assert e.value.code == 404
+
+
+def test_http_module_routes(server):
+    for i, text in enumerate(["spark sparkle spangle", "spark beats the rest",
+                              "nothing relevant here"]):
+        _post(server, "/lucene/index-text",
+              {"collection": "web", "id": f"m{i}", "text": text})
+
+    st, sug = _get(server, "/lucene/suggest?prefix=spa&limit=10")
+    assert st == 200
+    assert [s["term"] for s in sug] == ["spark", "spangle", "sparkle"]
+    assert sug[0]["cf"] == 2
+
+    st, fix = _get(server, "/lucene/spellcheck?terms=sprak,beatz")
+    assert st == 200
+    got = {f["qterm"]: f["suggestion"] for f in fix}
+    assert got == {"sprak": "spark", "beatz": "beats"}
+
+    st, hl = _get(server, "/lucene/highlight?collection=web&term=spark"
+                  "&limit=10&window=30")
+    assert st == 200
+    assert {h["externalId"] for h in hl} == {"m0", "m1"}
+    assert all("<em>spark</em>" in h["snippet"] for h in hl)
+
+    # paging: offset walks the same ranking the plain search returns
+    st, full = _get(server, "/lucene/search?collection=web&query=spark&limit=10")
+    st, page = _get(server,
+                    "/lucene/search?collection=web&query=spark&limit=1&offset=1")
+    assert [h["externalId"] for h in page] == [full[1]["externalId"]]
