@@ -72,9 +72,18 @@ def main() -> None:
         ("q_wildcard", lambda: engine.search(None, "ta*e", limit=255).collect()),
         ("q_fuzzy", lambda: engine.search(None, "spark~1", limit=255).collect()),
         ("q_collection", lambda: engine.search("src3", "query table", limit=10).collect()),
+        ("q_paging", lambda: engine.search_page(None, "table", limit=10, offset=10).collect()),
+        ("q_suggest", lambda: engine.suggest("s", limit=10).collect()),
+        ("q_spellcheck", lambda: engine.spellcheck(["sprak", "tabel", "quey"]).collect()),
     ]
     for name, fn in queries:
         timed(name, fn)
+
+    from lucene_plugin_spark.query.results import facet_counts
+    timed("p_facets",
+          lambda: facet_counts(engine,
+                               engine.search(None, "query table", limit=1_000_000),
+                               ["lang", "repo"]).count(), runs=1)
 
     # batched throughput: 64 DISTINCT queries, one distributed job (identical
     # queries are deduped inside search_many, so repeats would measure less)
