@@ -492,6 +492,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_suggest=ft_suggest, ft_spellcheck=ft_spellcheck,
              ft_facets=ft_facets, ft_group_topk=ft_group_topk)
 
+    def ft_span_near(spark, sf):  # SpanNearQuery analogue, unordered slop=3
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(
+            eng.span_near(None, "text", ["table", "hash"], slop=3,
+                          in_order=False, limit=10))
+
+    def ft_sort_field(spark, sf):  # Sort(SortField) analogue: by lang asc
+        _, eng = _engine(spark, sf)
+        out = eng.search_sorted(None, "table", "lang", limit=25,
+                                ascending=True)
+        return out.select(
+            F.col("path").cast("int").cast("bigint").alias("doc_id"),
+            F.col("sort_key").alias("lang"))
+
+    q.update(ft_span_near=ft_span_near, ft_sort_field=ft_sort_field)
+
     # ---- mutation semantics, declarative (W2 upsert / W3-W4 delete) ----
     def merge_upsert(spark, sf):
         base = _documents(spark, sf).select("doc_id", "text", F.lit(0).alias("v"))
@@ -839,6 +855,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              text_lang_id=text_lang_id, text_fingerprint=text_fingerprint,
              text_extract=text_extract)
 
+    def text_gopher(spark, sf):
+        # Gopher-style repetition screens (most-frequent-2gram /
+        # duplicate-5gram char coverage, duplicate-word fraction)
+        out = T.gopher_repetition(_documents(spark, sf), "doc_id", "text")
+        return out.select(F.col("id").alias("doc_id"), "n_chars",
+                          "top2gram_char_frac", "dup5gram_char_frac",
+                          "dup_word_frac",
+                          F.col("passes_gopher").cast("bigint")
+                           .alias("passes_gopher"))
+
+    def text_normalize(spark, sf):
+        # CCNet-style normalization as a dedup key: deterministically noise
+        # each doc (case flip, doubled spaces, punctuation/digit suffix),
+        # normalize, and emit the normalization-invariant sha — the oracle
+        # re-derives the same key in SQL from the same noised input
+        d = _documents(spark, sf)
+        noised = d.select(
+            "doc_id",
+            F.concat(F.lit("  %% "),
+                     F.upper(F.regexp_replace("text", " ", "  ")),
+                     F.lit(" ... 2024!! ")).alias("text"))
+        out = T.normalize_text(noised, "doc_id", "text")
+        return out.select(F.col("id").alias("doc_id"), "norm_sha", "norm_len")
+
+    q.update(text_gopher=text_gopher, text_normalize=text_normalize)
+
     # ---- deterministic sampling / selection (training-data curation) ----
     def sample_hash(spark, sf):
         from lucene_plugin_spark.ops import sampling as S
@@ -950,6 +992,7 @@ _GATE_TAIL = [
     "dedup_ngram_pairs", "dedup_embedding",
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "sim_cosine_topk", "sim_ivf_topk", "text_token_counts", "ft_range",
+    "ft_and", "ft_not", "ft_or_topk", "ft_phrase",
 ]
 
 
@@ -962,6 +1005,9 @@ def _rotate_for_gate(q: dict) -> dict:
         # new in r3: search-adjacent modules
         "ft_paging", "ft_count", "ft_highlight", "ft_suggest",
         "ft_spellcheck", "ft_facets", "ft_group_topk",
+        # new in r3 (second block): span-near, field sort, Gopher screens,
+        # normalization dedup key
+        "ft_span_near", "ft_sort_field", "text_gopher", "text_normalize",
     ]
     head = [k for k in never_checked if k in q]
     mid = [k for k in q if k not in head and k not in _GATE_TAIL]
@@ -1234,6 +1280,37 @@ ranked AS (
   FROM scores s JOIN documents d USING (doc_id))
 SELECT lang, "rank"::bigint AS "rank", doc_id, round(score, 6) AS score
 FROM ranked WHERE "rank" <= 2 ORDER BY lang, "rank"
+"""
+
+    # unordered span-near (SpanNearQuery analogue): ft_phrase_slop's
+    # anchor-displacement with ZERO expected offsets — d = min |pos(hash) -
+    # pos(table)| per anchor, matches at d <= 3, sloppyFreq 1/(1+d)
+    o["ft_span_near"] = f"""
+WITH {_TOK},
+p0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+anch AS (SELECT p0.doc_id, p0.pos, min(abs(p1.pos - p0.pos))::double AS d
+         FROM p0 JOIN p1 USING (doc_id) GROUP BY p0.doc_id, p0.pos),
+ph AS (SELECT doc_id, sum(1.0 / (1.0 + d)) AS ptf
+       FROM anch WHERE d <= 3 GROUP BY doc_id),
+idfs AS (SELECT sum(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS idf_sum
+         FROM dfx CROSS JOIN st WHERE dfx.term IN ('table', 'hash')),
+scores AS (
+  SELECT ph.doc_id,
+         idfs.idf_sum * ph.ptf * 2.2 / (ph.ptf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+  FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # field-sorted search: matches of 'table' ordered by the stored lang
+    # field; engine tie-break = internal docID = (source, zero-padded id)
+    o["ft_sort_field"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+SELECT d.doc_id, d.lang
+FROM m JOIN documents d USING (doc_id)
+ORDER BY d.lang, d.source, d.doc_id LIMIT 25
 """
 
     o["merge_upsert"] = """
@@ -1675,6 +1752,55 @@ WITH {_RAWTOK},
 {_shingle_sql(5)}
 SELECT doc_id, min({md5_long_sql('shingle')}) AS fingerprint
 FROM sh GROUP BY doc_id
+"""
+
+    # Gopher repetition screens (ops/textstats.py gopher_repetition): word
+    # n-grams over the whitespace tokenizer; "char fraction" = chars covered
+    # by the gram's occurrences (count * len(gram)) / doc chars; pass =
+    # top-2gram <= 0.20 AND dup-5gram <= 0.15 on the ROUNDED fractions
+    o["text_gopher"] = """
+WITH raw AS (SELECT doc_id, length(text)::bigint AS n_chars,
+                    list_filter(string_split(lower(text), ' '),
+                                x -> x <> '') AS toks
+             FROM documents),
+g2 AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+       FROM raw, UNNEST(generate_series(1, len(toks) - 1)) s(i)),
+c2 AS (SELECT doc_id, max(cnt * length(gram)) AS top_cover
+       FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+       GROUP BY doc_id),
+g5 AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+       FROM raw, UNNEST(generate_series(1, len(toks) - 4)) s(i)),
+c5 AS (SELECT doc_id, sum(cnt * length(gram)) AS dup_cover
+       FROM (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2)
+       WHERE cnt >= 2 GROUP BY doc_id),
+w AS (SELECT doc_id, len(toks)::double AS n_words,
+             len(list_distinct(toks))::double AS n_distinct
+      FROM raw)
+SELECT r.doc_id, r.n_chars,
+       round(coalesce(c2.top_cover, 0) / r.n_chars, 6) AS top2gram_char_frac,
+       round(coalesce(c5.dup_cover, 0) / r.n_chars, 6) AS dup5gram_char_frac,
+       round(1.0 - w.n_distinct / w.n_words, 6) AS dup_word_frac,
+       (CASE WHEN round(coalesce(c2.top_cover, 0) / r.n_chars, 6) <= 0.20
+              AND round(coalesce(c5.dup_cover, 0) / r.n_chars, 6) <= 0.15
+             THEN 1 ELSE 0 END)::bigint AS passes_gopher
+FROM raw r JOIN w USING (doc_id)
+LEFT JOIN c2 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+"""
+
+    # CCNet-style normalization key over the deterministically noised text
+    # (ops/textstats.py normalize_text): lower -> non-[a-z0-9 space] runs to
+    # a space -> digits to 0 -> collapse spaces -> trim -> sha256
+    o["text_normalize"] = """
+WITH noised AS (SELECT doc_id,
+        '  %% ' || upper(replace(text, ' ', '  ')) || ' ... 2024!! ' AS t
+        FROM documents),
+norm AS (SELECT doc_id,
+        trim(regexp_replace(regexp_replace(regexp_replace(lower(t),
+             '[^a-z0-9 ]+', ' ', 'g'), '[0-9]', '0', 'g'),
+             ' +', ' ', 'g')) AS n
+        FROM noised)
+SELECT doc_id, sha256(n) AS norm_sha, length(n)::bigint AS norm_len
+FROM norm
 """
 
     # deterministic sampling: the SQL states the same seeded-hash-bucket

@@ -299,6 +299,36 @@ class LuceneFacade:
                  "snippet": r["snippet"]}
                 for r in _hl(eng, hits, term, window=window).collect()]
 
+    def span_near(self, collection: str, terms: list[str], slop: int = 2,
+                  in_order: bool = False,
+                  limit: int = 10) -> list[LuceneEntry]:
+        """All ``terms`` within ``slop`` of each other, ordered or unordered
+        (SpanNearQuery analogue; SearchEngine.span_near)."""
+        self._check(collection, "collection")
+        eng = self._live_engine()
+        if eng is None or not terms:
+            return []
+        df = eng.span_near(sanitize_collection(collection), "text", terms,
+                           slop=slop, in_order=in_order, limit=limit,
+                           mode=self.mode)
+        return [LuceneEntry(id=r["doc_id"], score=r["score"],
+                            external_id=r["path"]) for r in df.collect()]
+
+    def search_sorted(self, collection: str, query: str, sort_field: str,
+                      limit: int = 10, ascending: bool = True) -> list[dict]:
+        """Matches ranked by a stored field instead of score
+        (Sort(SortField) analogue): [{'externalId', 'sortKey'}]."""
+        self._check(collection, "collection")
+        self._check(query, "query")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        df = eng.search_sorted(sanitize_collection(collection), query,
+                               sort_field, limit=limit, ascending=ascending,
+                               mode=self.mode)
+        return [{"externalId": r["path"], "sortKey": r["sort_key"]}
+                for r in df.collect()]
+
     # ---------------------------------------------------------------- async
     def _submit(self, fn, callback, *args) -> concurrent.futures.Future:
         if self._mailbox is None:

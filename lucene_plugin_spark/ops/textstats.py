@@ -75,3 +75,95 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataF
     sh = shingles(df, id_col, text_col, n)
     return (sh.withColumn("h", md5_long("shingle"))
             .groupBy("id").agg(F.min("h").alias("fingerprint")))
+
+
+def _word_ngrams(toks, n: int):
+    """Array of space-joined word ``n``-grams of the token array ``toks``
+    (empty when the doc has fewer than ``n`` tokens) — pure JVM
+    higher-order functions, no Python."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_repetition(df: DataFrame, id_col: str, text_col: str,
+                      top_n: int = 2, dup_n: int = 5,
+                      top_thresh: float = 0.20,
+                      dup_thresh: float = 0.15) -> DataFrame:
+    """(id, n_chars, top2gram_char_frac, dup5gram_char_frac, dup_word_frac,
+    passes_gopher): Gopher-style repetition screens (Rae et al. 2021,
+    "Scaling Language Models", table A1 repetition filters), the standard
+    pre-training corpus filter family, adapted to a corpus without line
+    structure (word n-grams over the whitespace tokenizer):
+
+    - ``top2gram_char_frac``: chars covered by the most frequent word
+      ``top_n``-gram = max over grams of ``count * len(gram)``, / doc chars
+      (Gopher rejects > 0.20 for 2-grams);
+    - ``dup5gram_char_frac``: chars covered by all ``dup_n``-grams that
+      occur more than once = Σ ``count * len(gram)`` over grams with
+      count ≥ 2, / doc chars (Gopher rejects > 0.15 for 5-grams; overlaps
+      counted per occurrence, so the fraction can exceed 1 on degenerate
+      repetition — it is a screening signal, not a measure);
+    - ``dup_word_frac``: 1 − distinct/total words (word-level repetition);
+    - ``passes_gopher``: 1 when both char fractions are under their
+      thresholds (int, not bool, for cross-engine hash stability).
+
+    Everything is split/slice/explode/groupBy built-ins — one map-side
+    combined aggregation per n-gram order; no shuffle of the corpus text.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("id"),
+                     F.length(text_col).alias("n_chars"),
+                     toks.alias("toks"))
+    words = base.select(
+        "id",
+        F.size("toks").alias("n_words"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"))
+
+    def _gram_cover(n: int, dup_only: bool) -> DataFrame:
+        g = (base.select("id", F.explode(_word_ngrams(F.col("toks"), n))
+                         .alias("gram"))
+             .groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c")))
+        cover = (F.col("c") * F.length("gram")).alias("cover")
+        if dup_only:
+            return (g.where(F.col("c") >= 2).select("id", cover)
+                    .groupBy("id").agg(F.sum("cover").alias("dup_cover")))
+        return (g.select("id", cover)
+                .groupBy("id").agg(F.max("cover").alias("top_cover")))
+
+    top = _gram_cover(top_n, dup_only=False)
+    dup = _gram_cover(dup_n, dup_only=True)
+    out = (base.select("id", "n_chars")
+           .join(words, "id", "left")
+           .join(top, "id", "left").join(dup, "id", "left")
+           .na.fill({"top_cover": 0, "dup_cover": 0}))
+    top_frac = F.round(F.col("top_cover") / F.col("n_chars"), 6)
+    dup_frac = F.round(F.col("dup_cover") / F.col("n_chars"), 6)
+    return out.select(
+        "id", F.col("n_chars").cast("bigint").alias("n_chars"),
+        top_frac.alias("top2gram_char_frac"),
+        dup_frac.alias("dup5gram_char_frac"),
+        F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6)
+         .alias("dup_word_frac"),
+        ((top_frac <= top_thresh) & (dup_frac <= dup_thresh))
+        .cast("int").alias("passes_gopher"))
+
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, norm_text, norm_sha, norm_len): CCNet-style text normalization
+    (Wenzek et al. 2019 — the dedup key used before hashing paragraphs):
+    lowercase → non-[a-z0-9 space] runs to a space → every digit to ``0``
+    → collapse whitespace → trim.  ``norm_sha`` is the normalization-
+    invariant dedup key (sha256 of the normalized text); grouping on it is
+    exact dedup modulo case/punctuation/digit noise.  All JVM built-ins.
+    """
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col(text_col)),
+        "[^a-z0-9 ]+", " "), "[0-9]", "0"), " +", " "))
+    return df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("norm_text"),
+        F.sha2(norm, 256).alias("norm_sha"),
+        F.length(norm).cast("bigint").alias("norm_len"))

@@ -490,6 +490,77 @@ class SearchEngine:
                 .select("doc_id", "path", "score")
                 .orderBy(F.desc("score"), F.asc("doc_id")))
 
+    def span_near(self, repo: str | None, field: str, terms: list[str],
+                  slop: int = 2, in_order: bool = False, limit: int = 255,
+                  mode: str = "kernel") -> DataFrame:
+        """Lucene ``SpanNearQuery`` analogue: all ``terms`` near each other
+        within ``slop``, ordered or unordered.
+
+        Maps onto the sloppy-phrase anchor-displacement machinery
+        (:class:`~lucene_plugin_spark.query.plan.Phrase`): ordered spans use
+        the consecutive expected offsets ``0..k-1`` (identical to
+        ``"t0 .. tk"~slop``); unordered spans use ALL-ZERO offsets, so the
+        displacement ``Σ_j min_q |q − p|`` measures pure distance of every
+        other term from the anchor with no direction/order component.
+        Matches contribute Lucene's ``1/(1+matchLength)`` sloppyFreq shape
+        to a weighted tf feeding the ordinary phrase BM25 (idf = Σ idf(t)).
+        Same documented deviation from Lucene's greedy span enumeration as
+        the Phrase slop docstring.  Distinct terms occupy distinct
+        positions, so unordered displacement is ≥ k−1; ``slop`` below that
+        can never match — callers pass the window size they mean.
+
+        Runs through the ordinary compiled-kernel search path (driver fast
+        path / per-slice kernels / WAND routing all apply unchanged).
+        """
+        ts = tuple(t.lower() for t in terms)
+        offsets = tuple(range(len(ts))) if in_order else (0,) * len(ts)
+        node = Phrase(field, ts, offsets, slop=int(slop))
+        return self.search_node(node, repo, limit=limit, mode=mode)
+
+    def search_sorted(self, repo: str | None, query: str, sort_field: str,
+                      limit: int = 10, ascending: bool = True,
+                      mode: str = "kernel") -> DataFrame:
+        """Lucene ``Sort(SortField)`` analogue: matches of ``query`` ranked
+        by a stored docvalue-like column of ``docs_meta`` (``lang``,
+        ``repo``, ``path``, ...) instead of BM25 score.
+
+        Exact field sort needs the FULL match set (Lucene's field collector
+        visits every hit too), so the per-slice heaps run unbounded; the
+        sort itself is a distributed top-k — Catalyst compiles
+        ``orderBy(field).limit(k)`` to TakeOrderedAndProject (per-partition
+        field heaps + a k-row driver merge), never a global sort.  Field
+        values come from the skinny ``docs_meta`` table pruned to
+        ``(doc_id, path, field)`` — the content table is never touched.
+        Ties break on internal docID (= (repo, path) order), making the
+        cut at ``limit`` deterministic.  Returns
+        DataFrame(doc_id, path, sort_key).
+        """
+        meta = self.catalog.table("docs_meta").read(self.spark)
+        if sort_field not in meta.columns:
+            raise ValueError(f"sort_field {sort_field!r} not a stored "
+                             f"docs_meta column {meta.columns}")
+        node = parse_query(query)
+        if mode != "kernel":
+            hits = self._search_dataframe(node, repo, limit=1 << 31)
+        else:
+            cq = self._compile_query(node, repo)
+            if cq is None:
+                hits = self.spark.createDataFrame([], HITS_SCHEMA)
+            elif (self._path_map is not None
+                  and cq["est_postings"] <= self.driver_exec_max_postings):
+                res = self._search_driver(cq, 1 << 31)
+                hits = self.spark.createDataFrame(
+                    res[["doc_id", "score"]], "doc_id long, score double")
+            else:
+                hits = self._search_kernel_compiled(cq, 1 << 31)
+        key = F.col(sort_field).cast("string").alias("sort_key")
+        order = (F.col("sort_key").asc() if ascending
+                 else F.col("sort_key").desc())
+        return (meta.select("doc_id", "path", key)
+                .join(hits.select("doc_id"), "doc_id")
+                .orderBy(order, F.asc("doc_id")).limit(limit)
+                .select("doc_id", "path", "sort_key"))
+
     def suggest(self, prefix: str, field: str = "text",
                 limit: int = 10) -> DataFrame:
         """Prefix autocomplete (lucene-suggest analogue): the ``limit`` most

@@ -81,6 +81,24 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                             q.get("collection", ""), q.get("term", ""),
                             int(q.get("limit", 10)),
                             int(q.get("window", 40))))
+                elif u.path == "/lucene/span-near":
+                    terms = [t for t in q.get("terms", "").split(",") if t]
+                    with lock:
+                        hits = facade.span_near(
+                            q.get("collection", ""), terms,
+                            int(q.get("slop", 2)),
+                            q.get("inOrder", "false") == "true",
+                            int(q.get("limit", 10)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
+                elif u.path == "/lucene/search-sorted":
+                    with lock:
+                        self._reply(200, facade.search_sorted(
+                            q.get("collection", ""), q.get("query", ""),
+                            q.get("sortField", "path"),
+                            int(q.get("limit", 10)),
+                            q.get("ascending", "true") == "true"))
                 else:
                     self._reply(404, {"error": f"no route {u.path}"})
             except Exception as e:  # LuceneException analogue -> 400

@@ -423,3 +423,51 @@ def test_quota_topk_matches_pandas(spark):
                             ascending=[False, True]).head(4)
         want |= {(lang, int(i)) for i in top["doc_id"]}
     assert got == want
+
+
+def test_gopher_repetition_signals(spark):
+    from lucene_plugin_spark.ops.textstats import gopher_repetition
+    rows = [
+        (0, "a b a b"),                       # top 2-gram 'a b' x2
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "x y z x y z x y z x y z"),       # dup 5-grams everywhere
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           gopher_repetition(df, "doc_id", "text").collect()}
+    # doc0: n_chars=7; 2-grams 'a b'(2), 'b a'(1) -> top cover 2*3=6
+    assert out[0]["n_chars"] == 7
+    assert abs(out[0]["top2gram_char_frac"] - 6 / 7) < 1e-6
+    assert out[0]["dup5gram_char_frac"] == 0.0      # only len-4 doc
+    assert abs(out[0]["dup_word_frac"] - 0.5) < 1e-6
+    assert out[0]["passes_gopher"] == 0
+    # doc1: all unique words -> top 2-gram count 1, no dup 5-grams
+    assert out[1]["dup5gram_char_frac"] == 0.0
+    assert out[1]["dup_word_frac"] == 0.0
+    assert out[1]["passes_gopher"] == 0  # top 2-gram still covers > 20%
+    # doc2: heavy repetition fails both screens
+    assert out[2]["dup5gram_char_frac"] > 0.15
+    assert out[2]["passes_gopher"] == 0
+
+
+def test_gopher_passes_clean_document(spark):
+    from lucene_plugin_spark.ops.textstats import gopher_repetition
+    words = " ".join(f"w{i:03d}" for i in range(60))
+    df = spark.createDataFrame([(0, words)], "doc_id long, text string")
+    r = gopher_repetition(df, "doc_id", "text").collect()[0]
+    assert r["passes_gopher"] == 1
+    assert r["dup_word_frac"] == 0.0
+
+
+def test_normalize_text_key(spark):
+    import hashlib
+    from lucene_plugin_spark.ops.textstats import normalize_text
+    rows = [(0, "  Hello,  WORLD 42!!"), (1, "hello world 42"),
+            (2, "HELLO... world!! 42")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in normalize_text(df, "doc_id", "text").collect()}
+    # all three normalize to the same dedup key
+    assert out[0]["norm_text"] == "hello world 00"
+    assert out[0]["norm_sha"] == out[1]["norm_sha"] == out[2]["norm_sha"]
+    assert out[0]["norm_sha"] == hashlib.sha256(b"hello world 00").hexdigest()
+    assert out[0]["norm_len"] == 14

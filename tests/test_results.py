@@ -182,3 +182,85 @@ def test_group_top_k_matches_brute(spark, built):
     got = [(r["group"], r["rank"], r["doc_id"], round(r["score"], 9))
            for r in group_top_k(eng, hits, "lang", k=2).collect()]
     assert got == want
+
+
+# ---------------------------------------------------------------- span-near
+@pytest.fixture(scope="module")
+def span_built(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh_span"))
+    docs = [
+        ("r", "000000", "c", "en", "alpha beta gamma"),          # a<b, d=1
+        ("r", "000001", "c", "en", "beta alpha gamma"),          # b<a, d=1
+        ("r", "000002", "c", "en", "alpha x1 x2 x3 beta"),       # a<b, d=4
+        ("r", "000003", "c", "en", "alpha only here gamma"),     # no beta
+    ]
+    catalog = Catalog(wh)
+    IndexBuilder(spark, catalog, docs_per_slice=10).build(
+        spark.createDataFrame(docs, "repo string, path string, commit string,"
+                                    " lang string, content string"))
+    return SearchEngine(spark, catalog).warm()
+
+
+def test_span_near_unordered_ignores_direction(spark, span_built):
+    eng = span_built
+    got = {r["path"] for r in
+           eng.span_near(None, "text", ["alpha", "beta"], slop=1,
+                         in_order=False, limit=10).collect()}
+    # d = min |pos(beta) - pos(alpha)| per anchor: doc0 d=1, doc1 d=1,
+    # doc2 d=4 (> slop), doc3 no beta
+    assert got == {"000000", "000001"}
+
+
+def test_span_near_ordered_requires_order(spark, span_built):
+    eng = span_built
+    got = {r["path"] for r in
+           eng.span_near(None, "text", ["alpha", "beta"], slop=1,
+                         in_order=True, limit=10).collect()}
+    # ordered expects beta at anchor+1: doc0 d=0, doc1 d=2 (> slop)
+    assert got == {"000000"}
+
+
+def test_span_near_ordered_equals_sloppy_phrase(spark, built):
+    eng = _engine(spark, built)
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         eng.span_near(None, "text", ["index", "query"], slop=2,
+                       in_order=True, limit=20).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         eng.search(None, '"index query"~2', limit=20).collect()]
+    assert a == b
+
+
+def test_span_near_slop_widens_matches(spark, span_built):
+    eng = span_built
+    narrow = eng.span_near(None, "text", ["alpha", "beta"], slop=1,
+                           in_order=False, limit=10).count()
+    wide = eng.span_near(None, "text", ["alpha", "beta"], slop=4,
+                         in_order=False, limit=10).count()
+    assert wide == 3 and narrow == 2
+
+
+# ------------------------------------------------------------- field sort
+def test_search_sorted_matches_brute(spark, built):
+    eng = _engine(spark, built)
+    match_paths = {r["path"] for r in
+                   eng.search(None, "index", limit=1_000_000).collect()}
+    rows = [r for r in built[1] if r["path"] in match_paths]
+    want = [(r["lang"], r["path"]) for r in
+            sorted(rows, key=lambda r: (r["lang"], r["repo"], r["path"]))][:15]
+    got = [(r["sort_key"], r["path"]) for r in
+           eng.search_sorted(None, "index", "lang", limit=15).collect()]
+    assert got == want
+
+
+def test_search_sorted_descending(spark, built):
+    eng = _engine(spark, built)
+    got = [r["sort_key"] for r in
+           eng.search_sorted(None, "index", "lang", limit=15,
+                             ascending=False).collect()]
+    assert got == sorted(got, reverse=True)
+
+
+def test_search_sorted_rejects_unknown_field(spark, built):
+    eng = _engine(spark, built)
+    with pytest.raises(ValueError):
+        eng.search_sorted(None, "index", "nosuchfield", limit=5)

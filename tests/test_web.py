@@ -107,3 +107,25 @@ def test_http_module_routes(server):
     st, page = _get(server,
                     "/lucene/search?collection=web&query=spark&limit=1&offset=1")
     assert [h["externalId"] for h in page] == [full[1]["externalId"]]
+
+
+def test_http_span_and_sort_routes(server):
+    for i, text in enumerate(["alpha beta gamma", "beta alpha gamma",
+                              "alpha x y z beta", "gamma only here"]):
+        _post(server, "/lucene/index-text",
+              {"collection": "web", "id": f"s{i}", "text": text})
+
+    st, hits = _get(server, "/lucene/span-near?collection=web"
+                    "&terms=alpha,beta&slop=1&inOrder=false&limit=10")
+    assert st == 200
+    assert {h["externalId"] for h in hits} == {"s0", "s1"}
+
+    st, hits = _get(server, "/lucene/span-near?collection=web"
+                    "&terms=alpha,beta&slop=1&inOrder=true&limit=10")
+    assert {h["externalId"] for h in hits} == {"s0"}
+
+    st, rows = _get(server, "/lucene/search-sorted?collection=web"
+                    "&query=gamma&sortField=path&limit=10")
+    assert st == 200
+    assert [r["externalId"] for r in rows] == ["s0", "s1", "s3"]
+    assert [r["sortKey"] for r in rows] == ["s0", "s1", "s3"]
