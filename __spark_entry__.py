@@ -506,7 +506,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("path").cast("int").cast("bigint").alias("doc_id"),
             F.col("sort_key").alias("lang"))
 
-    q.update(ft_span_near=ft_span_near, ft_sort_field=ft_sort_field)
+    def ft_match_all(spark, sf):  # MatchAllDocsQuery (*:*) over the MUTATED
+        # index: constant score, tombstones (deletes + superseded upsert
+        # generations) must be excluded for the row set to match
+        _, eng = _mut_engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "*:*", limit=1_000_000))
+
+    q.update(ft_span_near=ft_span_near, ft_sort_field=ft_sort_field,
+             ft_match_all=ft_match_all)
 
     # ---- mutation semantics, declarative (W2 upsert / W3-W4 delete) ----
     def merge_upsert(spark, sf):
@@ -879,7 +886,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = T.normalize_text(noised, "doc_id", "text")
         return out.select(F.col("id").alias("doc_id"), "norm_sha", "norm_len")
 
-    q.update(text_gopher=text_gopher, text_normalize=text_normalize)
+    def text_entropy(spark, sf):
+        # unigram Shannon entropy per doc (perplexity-proxy quality screen)
+        out = T.token_entropy(_documents(spark, sf), "doc_id", "text")
+        return out.select(F.col("id").alias("doc_id"), "n_tokens", "entropy")
+
+    q.update(text_gopher=text_gopher, text_normalize=text_normalize,
+             text_entropy=text_entropy)
 
     # ---- deterministic sampling / selection (training-data curation) ----
     def sample_hash(spark, sf):
@@ -992,7 +1005,7 @@ _GATE_TAIL = [
     "dedup_ngram_pairs", "dedup_embedding",
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "sim_cosine_topk", "sim_ivf_topk", "text_token_counts", "ft_range",
-    "ft_and", "ft_not", "ft_or_topk", "ft_phrase",
+    "ft_and", "ft_not", "ft_or_topk", "ft_phrase", "ft_term_topk",
 ]
 
 
@@ -1007,7 +1020,8 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_spellcheck", "ft_facets", "ft_group_topk",
         # new in r3 (second block): span-near, field sort, Gopher screens,
         # normalization dedup key
-        "ft_span_near", "ft_sort_field", "text_gopher", "text_normalize",
+        "ft_span_near", "ft_sort_field", "ft_match_all", "text_gopher",
+        "text_normalize", "text_entropy",
     ]
     head = [k for k in never_checked if k in q]
     mid = [k for k in q if k not in head and k not in _GATE_TAIL]
@@ -1311,6 +1325,13 @@ m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
 SELECT d.doc_id, d.lang
 FROM m JOIN documents d USING (doc_id)
 ORDER BY d.lang, d.source, d.doc_id LIMIT 25
+"""
+
+    # *:* over the mutated index = every live doc (deletes and superseded
+    # upsert generations tombstoned away), constant score 1.0
+    o["ft_match_all"] = """
+SELECT doc_id, cast(1.0 AS double) AS score
+FROM documents WHERE source <> 'src3'
 """
 
     o["merge_upsert"] = """
@@ -1801,6 +1822,18 @@ norm AS (SELECT doc_id,
         FROM noised)
 SELECT doc_id, sha256(n) AS norm_sha, length(n)::bigint AS norm_len
 FROM norm
+"""
+
+    # unigram Shannon entropy H = ln(n) - (sum c*ln c)/n over raw tokens
+    # (ops/textstats.py token_entropy)
+    o["text_entropy"] = f"""
+WITH {_RAWTOK},
+cnt AS (SELECT doc_id, token, count(*)::double AS c
+        FROM rtok GROUP BY doc_id, token),
+agg AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS clnc
+        FROM cnt GROUP BY doc_id)
+SELECT doc_id, n::bigint AS n_tokens, round(ln(n) - clnc / n, 6) AS entropy
+FROM agg
 """
 
     # deterministic sampling: the SQL states the same seeded-hash-bucket

@@ -75,6 +75,10 @@ def main() -> None:
         ("q_paging", lambda: engine.search_page(None, "table", limit=10, offset=10).collect()),
         ("q_suggest", lambda: engine.suggest("s", limit=10).collect()),
         ("q_spellcheck", lambda: engine.spellcheck(["sprak", "tabel", "quey"]).collect()),
+        ("q_span_near", lambda: engine.span_near(None, "text", ["table", "hash"],
+                                                 slop=3, limit=10).collect()),
+        ("q_sort_field", lambda: engine.search_sorted(None, "table", "lang",
+                                                      limit=25).collect()),
     ]
     for name, fn in queries:
         timed(name, fn)
@@ -120,6 +124,9 @@ def main() -> None:
           .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")))
     timed("p_sim_cosine",
           lambda: S.cosine_topk(corpus, qs, "id", "vec", k=10).count(), runs=1)
+    from lucene_plugin_spark.ops import textstats as T
+    timed("p_gopher",
+          lambda: T.gopher_repetition(docs, "doc_id", "text").count(), runs=1)
 
     total = round(sum(timings.values()), 3)
     out = {

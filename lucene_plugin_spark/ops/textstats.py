@@ -151,6 +151,24 @@ def gopher_repetition(df: DataFrame, id_col: str, text_col: str,
         .cast("int").alias("passes_gopher"))
 
 
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, entropy): per-document unigram Shannon entropy
+    H = −Σ p(t)·ln p(t) over the whitespace tokens — the cheap
+    perplexity proxy used to screen degenerate/repetitive text before
+    training (low entropy = repetitive, high = diverse).  One map-side
+    combined groupBy per doc; all JVM built-ins."""
+    t = _tokens(df, id_col, text_col)
+    per_tok = t.groupBy("id", "token").agg(F.count(F.lit(1)).alias("c"))
+    # H = −Σ (c/n)·ln(c/n) = ln(n) − (Σ c·ln c)/n  — one aggregation, no join
+    agg = per_tok.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.log("c")).alias("clnc"))
+    return agg.select(
+        "id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.log("n_tokens") - F.col("clnc") / F.col("n_tokens"), 6)
+         .alias("entropy"))
+
+
 def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, norm_text, norm_sha, norm_len): CCNet-style text normalization
     (Wenzek et al. 2019 — the dedup key used before hashing paragraphs):

@@ -41,8 +41,8 @@ from lucene_plugin_spark.query import bm25
 from lucene_plugin_spark.query.parser import parse_query, sanitize_collection
 from lucene_plugin_spark.query.expand import (EXPANDABLE, exp_cond, exp_key,
                                               exp_match)
-from lucene_plugin_spark.query.plan import (Bool, Fuzzy, Node, Phrase, Range,
-                                            Term, Wildcard,
+from lucene_plugin_spark.query.plan import (Bool, Fuzzy, MatchAll, Node,
+                                            Phrase, Range, Term, Wildcard,
                                             iter_positive_leaves)
 from lucene_plugin_spark.storage.catalog import Catalog
 
@@ -329,7 +329,9 @@ class SearchEngine:
                     mode: str = "kernel") -> DataFrame:
         """:meth:`search` for an already-built query plan node (used by
         programmatic query builders like :meth:`more_like_this`)."""
-        if mode == "kernel":
+        if isinstance(node, MatchAll):
+            hits = self._match_all_hits(repo, node.boost)
+        elif mode == "kernel":
             cq = self._compile_query(node, repo)
             if cq is None:
                 hits = self.spark.createDataFrame([], HITS_SCHEMA)
@@ -357,6 +359,24 @@ class SearchEngine:
         return (meta.join(F.broadcast(topk), "doc_id")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .select("doc_id", "path", "score"))
+
+    def _match_all_hits(self, repo: str | None, boost: float = 1.0
+                        ) -> DataFrame:
+        """MatchAllDocsQuery: every live doc at constant score, straight off
+        the skinny ``docs_meta`` table (collection filter = a pushed-down
+        ``repo`` predicate on the parquet scan; no postings touched).
+        Tombstoned docIDs (deleted or superseded by upsert) are removed with
+        a left-anti join against the tombstones table — the liveDocs mask."""
+        meta = (self.catalog.table("docs_meta").read(self.spark)
+                .select("doc_id", "repo"))
+        if repo is not None:
+            meta = meta.where(F.col("repo") == repo)
+        hits = meta.select("doc_id", F.lit(float(boost)).alias("score"))
+        tomb = self.catalog.table("tombstones")
+        if tomb.exists():
+            dead = tomb.read(self.spark).select("doc_id").distinct()
+            hits = hits.join(dead, "doc_id", "left_anti")
+        return hits
 
     def explain(self, repo: str | None, query: str, key: str) -> dict:
         """Lucene ``IndexSearcher.explain`` analogue: the per-leaf BM25
@@ -961,6 +981,12 @@ class SearchEngine:
         """Driver-side query compilation shared by the distributed kernel and
         the driver fast path: leaves -> specs, term-df lookup, collection
         doc-ranges.  Returns None when the query can match nothing."""
+        if isinstance(node, MatchAll):
+            # match-all has no postings to compile; only search/search_node
+            # route it (straight docs_meta scan).  Fail loudly rather than
+            # returning an empty compile that would read as "no hits".
+            raise ValueError("*:* (MatchAllDocsQuery) is not supported on "
+                             "the batch/explain kernel path; use search()")
         should, must, must_not = _leaves_of(node)
         range_terms = self._expand_ranges(should + must + must_not)
         specs = _compile_leaf_specs(should, must, must_not, range_terms)

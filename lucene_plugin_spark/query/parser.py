@@ -18,9 +18,9 @@ from __future__ import annotations
 import re
 
 from lucene_plugin_spark.analysis.tokenizer import tokenize_text
-from lucene_plugin_spark.query.plan import (DEFAULT_FIELD, Bool, Fuzzy, Node,
-                                            Phrase, Range, Regexp, Term,
-                                            Wildcard)
+from lucene_plugin_spark.query.plan import (DEFAULT_FIELD, Bool, Fuzzy,
+                                            MatchAll, Node, Phrase, Range,
+                                            Regexp, Term, Wildcard)
 
 
 class QueryParseError(ValueError):
@@ -258,6 +258,10 @@ def parse_query(q: str, default_field: str = DEFAULT_FIELD) -> Node:
     # frozen dataclasses so sharing the cached tree is safe
     if q is None or not q.strip():
         raise QueryParseError("empty query")
+    # classic QueryParser special-cases the '*:*' token (MatchAllDocsQuery)
+    # before any field/term handling — mirror that here
+    if q.strip() == "*:*":
+        return MatchAll()
     node = _Parser(q, default_field).parse()
     # A query whose terms all analyzed away (e.g. pure stopwords) parses to an
     # empty Bool — Lucene returns 0 hits for this, it does not error.

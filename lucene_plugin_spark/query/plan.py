@@ -105,6 +105,14 @@ class Fuzzy(Node):
 
 
 @dataclass(frozen=True)
+class MatchAll(Node):
+    """``*:*`` — Lucene MatchAllDocsQuery (classic QueryParser special-cases
+    the token): every live doc, constant score 1.0, collection filter and
+    tombstones respected."""
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Bool(Node):
     """should: scored union; must: required (scored); must_not: excluded."""
     should: tuple[Node, ...] = ()

@@ -471,3 +471,15 @@ def test_normalize_text_key(spark):
     assert out[0]["norm_sha"] == out[1]["norm_sha"] == out[2]["norm_sha"]
     assert out[0]["norm_sha"] == hashlib.sha256(b"hello world 00").hexdigest()
     assert out[0]["norm_len"] == 14
+
+
+def test_token_entropy(spark):
+    import math
+    from lucene_plugin_spark.ops.textstats import token_entropy
+    rows = [(0, "a a a a"), (1, "a b c d"), (2, "a a b b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in token_entropy(df, "doc_id", "text").collect()}
+    assert out[0]["entropy"] == 0.0                      # degenerate
+    assert abs(out[1]["entropy"] - math.log(4)) < 1e-6   # uniform over 4
+    assert abs(out[2]["entropy"] - math.log(2)) < 1e-6   # two 50/50 tokens
+    assert out[0]["n_tokens"] == 4

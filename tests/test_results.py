@@ -264,3 +264,29 @@ def test_search_sorted_rejects_unknown_field(spark, built):
     eng = _engine(spark, built)
     with pytest.raises(ValueError):
         eng.search_sorted(None, "index", "nosuchfield", limit=5)
+
+
+# ---------------------------------------------------------------- match-all
+def test_match_all_returns_every_doc(spark, built):
+    eng = _engine(spark, built)
+    assert eng.search(None, "*:*", limit=1_000_000).count() == N_DOCS
+    hits = eng.search(None, "*:*", limit=5).collect()
+    assert all(r["score"] == 1.0 for r in hits)
+    # collection-scoped match-all
+    repo0 = built[1][0]["repo"]
+    want = sum(1 for r in built[1] if r["repo"] == repo0)
+    assert eng.search(repo0, "*:*", limit=1_000_000).count() == want
+
+
+def test_match_all_respects_deletes(spark, tmp_path):
+    from lucene_plugin_spark import LuceneFacade
+    fac = LuceneFacade(spark, str(tmp_path / "wh_ma"), mode="kernel")
+    for i in range(6):
+        fac.index_text("ma", f"d{i}", f"alpha doc number {i}")
+    assert len(fac.search("ma", "*:*", 100)) == 6
+    fac.delete("ma", "d3")
+    got = {h.external_id for h in fac.search("ma", "*:*", 100)}
+    assert got == {"d0", "d1", "d2", "d4", "d5"}
+    # upsert must not double-count the superseded generation
+    fac.index_text("ma", "d0", "alpha doc number zero rewritten")
+    assert len(fac.search("ma", "*:*", 100)) == 5

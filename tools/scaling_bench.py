@@ -337,7 +337,49 @@ def main() -> None:
            "  cross-epoch artifact.  Either way the story is the same:",
            "  near-linear build at 2->8, bandwidth-walled 8->32, query",
            "  pairs bounded by the same wall.",
-           "",
+           ""]
+    sp_path = os.path.join(REPO, "BENCH", "size_scaling.json")
+    if os.path.exists(sp_path):
+        with open(sp_path) as f:
+            sp = json.load(f).get("pair_16m", {})
+        best, pr = sp.get("best", {}), sp.get("pair_8_to_32")
+        if pr and len(best) == 2:
+            md += ["### Second corpus size: the same 8 <-> 32 pair at "
+                   f"{sp['epochs'][0]['n_docs']:,} docs",
+                   "",
+                   "tools/size_pair.py — interleaved taskset-pinned reps, "
+                   "merged best-per-metric (pool: size_scaling.json).",
+                   "",
+                   "| cores | build sec | build docs/sec | 64-query batch sec"
+                   " | batch q/s |",
+                   "|---|---|---|---|---|"]
+            for c in ("8", "32"):
+                b = best[c]
+                md.append(f"| {c} | {b['build_sec']} | "
+                          f"{b['build_docs_per_sec']:,} | {b['batch64_sec']} "
+                          f"| {b['batch_qps']} |")
+            md += ["",
+                   f"8 -> 32: build speedup {pr['build_speedup']} "
+                   f"(efficiency **{pr['build_efficiency']}**), batch-query "
+                   f"speedup {pr['batch_speedup']} (efficiency "
+                   f"**{pr['batch_efficiency']}**).",
+                   "",
+                   "- The build pair collapses to the bandwidth/disk wall",
+                   "  even harder than at 1M docs: at 16x the data the",
+                   "  fused tokenize+segment stage and the ingest/derived",
+                   "  writes saturate the socket's memory controller and",
+                   "  the single disk from 8 cores up, so 4x the cores buys",
+                   "  1.2x — the same host limit documented in the 8->32",
+                   "  bullet above, magnified by corpus size.",
+                   "- The batch-query pair IMPROVES at 16x the data (0.60",
+                   "  vs 0.54 at 1M): per-slice kernels do more compute per",
+                   "  transferred byte at larger posting volumes (WAND",
+                   "  pruning, block decode), so the compute fraction rises",
+                   "  and extra cores keep paying.  This is the direction",
+                   "  that matters at 100 TB — per-executor work grows",
+                   "  compute-bound, and executors add their own sockets.",
+                   ""]
+    md += [
            "### Why the design scales past one box",
            "",
            "- build: 1 corpus shuffle (docID range assignment) + 1 tiny agg",
