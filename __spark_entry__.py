@@ -515,6 +515,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(ft_span_near=ft_span_near, ft_sort_field=ft_sort_field,
              ft_match_all=ft_match_all)
 
+    # ---- extended boolean surface: mm / FILTER / SynonymQuery / DisMax ----
+    def ft_min_should(spark, sf):  # BooleanQuery.setMinimumNumberShouldMatch
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(
+            eng.search_min_match(None, "join hash merge scan", 2, limit=20))
+
+    def ft_filter(spark, sf):  # Occur.FILTER: required, non-scoring clause
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(
+            eng.search_filtered(None, "spark", "table", limit=20))
+
+    def ft_synonym(spark, sf):  # SynonymQuery: tf=Σ members, df=max member
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(
+            eng.search_synonyms(None, "spark", {"spark": ["table"]},
+                                limit=10))
+
+    def ft_dismax(spark, sf):  # DisjunctionMaxQuery, tie=0.3
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(
+            eng.search_dismax(None, ["join hash", "merge table"], tie=0.3,
+                              limit=15))
+
+    q.update(ft_min_should=ft_min_should, ft_filter=ft_filter,
+             ft_synonym=ft_synonym, ft_dismax=ft_dismax)
+
     # ---- mutation semantics, declarative (W2 upsert / W3-W4 delete) ----
     def merge_upsert(spark, sf):
         base = _documents(spark, sf).select("doc_id", "text", F.lit(0).alias("v"))
@@ -1006,6 +1032,13 @@ _GATE_TAIL = [
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "sim_cosine_topk", "sim_ivf_topk", "text_token_counts", "ft_range",
     "ft_and", "ft_not", "ft_or_topk", "ft_phrase", "ft_term_topk",
+    # green in r2 (single-proven); rotated out in r3 to make check slots for
+    # the extended-boolean entries — each has a double-proven cousin above
+    # covering the same machinery (ft_doc_len/ft_term_dict for the punct
+    # analyzer pair, ev_window_counts for sliding counts, ft_range for the
+    # exclusive-bound variant)
+    "ft_punct_doc_len", "ft_punct_term", "ev_sliding_counts",
+    "ft_range_excl",
 ]
 
 
@@ -1022,6 +1055,8 @@ def _rotate_for_gate(q: dict) -> dict:
         # normalization dedup key
         "ft_span_near", "ft_sort_field", "ft_match_all", "text_gopher",
         "text_normalize", "text_entropy",
+        # new in r3 (third block): extended boolean surface
+        "ft_min_should", "ft_filter", "ft_synonym", "ft_dismax",
     ]
     head = [k for k in never_checked if k in q]
     mid = [k for k in q if k not in head and k not in _GATE_TAIL]
@@ -1332,6 +1367,68 @@ ORDER BY d.lang, d.source, d.doc_id LIMIT 25
     o["ft_match_all"] = """
 SELECT doc_id, cast(1.0 AS double) AS score
 FROM documents WHERE source <> 'src3'
+"""
+
+    # minimumNumberShouldMatch=2 over 4 SHOULD terms: a doc needs >=2
+    # distinct matching query terms; score stays the plain BM25 OR sum
+    o["ft_min_should"] = f"""
+WITH {_TOK},
+scores AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score, count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'hash', 'merge', 'scan')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores WHERE nt >= 2 ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+    # FILTER clause: docs must also contain 'table' but only 'spark' scores
+    o["ft_filter"] = f"""
+WITH {_TOK},
+flt AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
+scores AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term = 'spark' AND tf.doc_id IN (SELECT doc_id FROM flt)
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+    # SynonymQuery over {spark, table}: one pseudo-term with
+    # tf = tf(spark)+tf(table), docFreq = max(df(spark), df(table))
+    o["ft_synonym"] = f"""
+WITH {_TOK},
+syn AS (SELECT doc_id, sum(tf) AS tfs FROM tf
+        WHERE term IN ('spark', 'table') GROUP BY doc_id),
+sdf AS (SELECT max(df) AS df FROM dfx WHERE term IN ('spark', 'table')),
+scores AS (
+  SELECT syn.doc_id,
+         ln(1.0 + (st.n - sdf.df + 0.5) / (sdf.df + 0.5))
+           * syn.tfs * 2.2
+           / (syn.tfs + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+  FROM syn JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN sdf)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # DisjunctionMaxQuery over ('join hash', 'merge table'), tie=0.3:
+    # score = max(s1, s2) + 0.3 * (s1 + s2 - max(s1, s2))
+    o["ft_dismax"] = f"""
+WITH {_TOK},
+s1 AS (SELECT tf.doc_id, sum({_BM25}) AS s
+       FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       WHERE tf.term IN ('join', 'hash') GROUP BY tf.doc_id),
+s2 AS (SELECT tf.doc_id, sum({_BM25}) AS s
+       FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       WHERE tf.term IN ('merge', 'table') GROUP BY tf.doc_id),
+comb AS (
+  SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+         coalesce(s1.s, 0) AS a, coalesce(s2.s, 0) AS b
+  FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id)
+SELECT doc_id,
+       round(greatest(a, b) + 0.3 * (a + b - greatest(a, b)), 6) AS score
+FROM comb ORDER BY score DESC, doc_id LIMIT 15
 """
 
     o["merge_upsert"] = """

@@ -329,6 +329,63 @@ class LuceneFacade:
         return [{"externalId": r["path"], "sortKey": r["sort_key"]}
                 for r in df.collect()]
 
+    def _entries(self, df) -> list[LuceneEntry]:
+        return [LuceneEntry(id=r["doc_id"], score=r["score"],
+                            external_id=r["path"]) for r in df.collect()]
+
+    def search_min_match(self, collection: str, query: str, min_should: int,
+                         limit: int = 255) -> list[LuceneEntry]:
+        """:meth:`search` with Lucene's
+        ``BooleanQuery.setMinimumNumberShouldMatch``: hits must match at
+        least ``min_should`` of the query's SHOULD clauses."""
+        self._check(collection, "collection")
+        self._check(query, "query")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return self._entries(eng.search_min_match(
+            sanitize_collection(collection), query, min_should,
+            limit=limit, mode=self.mode))
+
+    def search_filtered(self, collection: str, query: str, filter_query: str,
+                        limit: int = 255) -> list[LuceneEntry]:
+        """:meth:`search` with a required non-scoring FILTER clause
+        (BooleanClause.Occur.FILTER / ConstantScore analogue)."""
+        self._check(collection, "collection")
+        self._check(query, "query")
+        self._check(filter_query, "filter_query")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return self._entries(eng.search_filtered(
+            sanitize_collection(collection), query, filter_query,
+            limit=limit, mode=self.mode))
+
+    def search_synonyms(self, collection: str, query: str,
+                        synonyms: dict[str, list[str]],
+                        limit: int = 255) -> list[LuceneEntry]:
+        """:meth:`search` with query-time synonym expansion — matching Term
+        leaves score as one Lucene ``SynonymQuery`` pseudo-term
+        (tf = Σ member tfs, docFreq = max member df)."""
+        self._check(collection, "collection")
+        self._check(query, "query")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return self._entries(eng.search_synonyms(
+            sanitize_collection(collection), query, synonyms, limit=limit))
+
+    def search_dismax(self, collection: str, queries: list[str],
+                      tie: float = 0.0, limit: int = 255) -> list[LuceneEntry]:
+        """``DisjunctionMaxQuery``: per-doc best disjunct score +
+        ``tie`` × the sum of the other disjuncts'."""
+        self._check(collection, "collection")
+        eng = self._live_engine()
+        if eng is None or not queries:
+            return []
+        return self._entries(eng.search_dismax(
+            sanitize_collection(collection), queries, tie=tie, limit=limit))
+
     # ---------------------------------------------------------------- async
     def _submit(self, fn, callback, *args) -> concurrent.futures.Future:
         if self._mailbox is None:

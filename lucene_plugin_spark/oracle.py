@@ -22,7 +22,8 @@ from lucene_plugin_spark.analysis.tokenizer import tokenize_text
 from lucene_plugin_spark.query import bm25
 from lucene_plugin_spark.query.expand import EXPANDABLE, exp_match
 from lucene_plugin_spark.query.parser import parse_query, sanitize_collection
-from lucene_plugin_spark.query.plan import Bool, Node, Phrase, Range, Term
+from lucene_plugin_spark.query.plan import (Bool, Node, Phrase, Range, SynSet,
+                                            Term)
 
 
 @dataclass
@@ -128,6 +129,117 @@ class OracleEngine:
                         key=lambda x: (-x[0], x[1]))[:limit]
         return [(d, self.docs[d].path, s) for s, d in ranked]
 
+    def search_min_match(self, repo: str | None, query: str, min_should: int,
+                         limit: int = 255) -> list[tuple[int, str, float]]:
+        """search() + Lucene minimumNumberShouldMatch over SHOULD leaves."""
+        node = parse_query(query)
+        docs = [d for d in self.docs.values() if repo is None or d.repo == repo]
+        should, must, must_not = self._flatten(node)
+        scored: dict[int, float] = defaultdict(float)
+        should_hits = []
+        for leaf in should:
+            hits = self._leaf_hits(leaf, docs)
+            should_hits.append(set(hits))
+            for did, sc in hits.items():
+                scored[did] += sc
+        result_ids = {d for d in scored
+                      if sum(d in s for s in should_hits) >= min_should}
+        for leaf in must:
+            hits = self._leaf_hits(leaf, docs)
+            for did, sc in hits.items():
+                scored[did] += sc
+            result_ids &= set(hits)
+        for leaf in must_not:
+            result_ids -= set(self._leaf_hits(leaf, docs))
+        ranked = sorted(((scored[d], d) for d in result_ids),
+                        key=lambda x: (-x[0], x[1]))[:limit]
+        return [(d, self.docs[d].path, s) for s, d in ranked]
+
+    def search_filtered(self, repo: str | None, query: str, filter_query: str,
+                        limit: int = 255) -> list[tuple[int, str, float]]:
+        """search() restricted to docs matching filter_query (FILTER clause:
+        required, non-scoring)."""
+        docs = [d for d in self.docs.values() if repo is None or d.repo == repo]
+        fs, fm, fn = self._flatten(parse_query(filter_query))
+        allowed: set[int] | None = None
+        matched: set[int] = set()
+        for leaf in fs:
+            matched |= set(self._leaf_hits(leaf, docs))
+        allowed = matched if fs else None
+        for leaf in fm:
+            hits = set(self._leaf_hits(leaf, docs))
+            allowed = hits if allowed is None else (allowed & hits)
+        for leaf in fn:
+            if allowed is not None:
+                allowed -= set(self._leaf_hits(leaf, docs))
+        full = self.search(repo, query, limit=len(self.docs) + 1)
+        out = [(d, p, s) for d, p, s in full
+               if allowed is not None and d in allowed]
+        return out[:limit]
+
+    def search_synonyms(self, repo: str | None, query: str,
+                        synonyms: dict[str, list[str]], limit: int = 255
+                        ) -> list[tuple[int, str, float]]:
+        """search() with Term leaves in ``synonyms`` scored as SynonymQuery
+        (tf = Σ member tfs, df = max member df)."""
+        node = parse_query(query)
+        docs = [d for d in self.docs.values() if repo is None or d.repo == repo]
+        should, must, must_not = self._flatten(node)
+
+        def syn_of(leaf):
+            if isinstance(leaf, Term) and leaf.term in synonyms:
+                members = tuple(dict.fromkeys([leaf.term]
+                                              + list(synonyms[leaf.term])))
+                return SynSet(field=leaf.field, terms=members, boost=leaf.boost)
+            return leaf
+
+        scored: dict[int, float] = defaultdict(float)
+        matched: set[int] = set()
+        must_sets = []
+        for leaf in should:
+            hits = self._leaf_hits(syn_of(leaf), docs)
+            for did, sc in hits.items():
+                scored[did] += sc
+                matched.add(did)
+        for leaf in must:
+            hits = self._leaf_hits(syn_of(leaf), docs)
+            for did, sc in hits.items():
+                scored[did] += sc
+                matched.add(did)
+            must_sets.append(set(hits))
+        result_ids = set(matched)
+        for ms in must_sets:
+            result_ids &= ms
+        for leaf in must_not:
+            result_ids -= set(self._leaf_hits(leaf, docs))
+        ranked = sorted(((scored[d], d) for d in result_ids),
+                        key=lambda x: (-x[0], x[1]))[:limit]
+        return [(d, self.docs[d].path, s) for s, d in ranked]
+
+    def search_dismax(self, repo: str | None, queries: list[str],
+                      tie: float = 0.0, limit: int = 255
+                      ) -> list[tuple[int, str, float]]:
+        """DisjunctionMaxQuery: per-doc max disjunct score + tie×(others)."""
+        docs = [d for d in self.docs.values() if repo is None or d.repo == repo]
+        per_q: list[dict[int, float]] = []
+        for q in queries:
+            should, must, must_not = self._flatten(parse_query(q))
+            if must or must_not:
+                raise ValueError("DisMax disjuncts must be pure should")
+            sc: dict[int, float] = defaultdict(float)
+            for leaf in should:
+                for did, s in self._leaf_hits(leaf, docs).items():
+                    sc[did] += s
+            per_q.append(dict(sc))
+        all_ids = set().union(*per_q) if per_q else set()
+        out = []
+        for did in all_ids:
+            vals = [pq.get(did, 0.0) for pq in per_q]
+            mx = max(vals)
+            out.append((mx + tie * (sum(vals) - mx), did))
+        ranked = sorted(out, key=lambda x: (-x[0], x[1]))[:limit]
+        return [(d, self.docs[d].path, s) for s, d in ranked]
+
     def _flatten(self, node: Node):
         should, must, must_not = [], [], []
 
@@ -149,6 +261,25 @@ class OracleEngine:
         boost = getattr(leaf, "boost", 1.0)
         if isinstance(leaf, Term):
             hits = self._term_hits(leaf.field, leaf.term, docs)
+        elif isinstance(leaf, SynSet):
+            # SynonymQuery: tf = Σ member tfs, df = max member df
+            f = leaf.field
+            n, avgdl = self._field_stats(f)
+            df = max((self._df(f, t) for t in leaf.terms), default=0)
+            hits = {}
+            if df and n:
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                for d in docs:
+                    toks = d.tokens.get(f)
+                    if not toks:
+                        continue
+                    tf = sum(1 for t, _ in toks if t in leaf.terms)
+                    if tf:
+                        dl = float(len(toks))
+                        hits[d.doc_id] = idf * (
+                            tf * (bm25.K1 + 1)
+                            / (tf + bm25.K1 * (1 - bm25.B
+                                               + bm25.B * dl / avgdl)))
         elif isinstance(leaf, EXPANDABLE):
             # Range/Wildcard/Fuzzy: constant-score rewrite over the expansion
             terms = {t for t in self._all_terms(leaf.field)

@@ -41,9 +41,9 @@ from lucene_plugin_spark.query import bm25
 from lucene_plugin_spark.query.parser import parse_query, sanitize_collection
 from lucene_plugin_spark.query.expand import (EXPANDABLE, exp_cond, exp_key,
                                               exp_match)
-from lucene_plugin_spark.query.plan import (Bool, Fuzzy, MatchAll, Node,
-                                            Phrase, Range, Term, Wildcard,
-                                            iter_positive_leaves)
+from lucene_plugin_spark.query.plan import (Bool, DisMax, Fuzzy, MatchAll,
+                                            Node, Phrase, Range, SynSet, Term,
+                                            Wildcard, iter_positive_leaves)
 from lucene_plugin_spark.storage.catalog import Catalog
 
 HITS_SCHEMA = StructType([
@@ -59,13 +59,15 @@ MULTI_HITS_SCHEMA = StructType([
 
 
 def _leaves_of(node: Node):
-    """(positive_leaves, must_leaves, must_not_leaves) — one boolean level.
+    """(positive, must, must_not, filter leaves, min_should) — one boolean
+    level.
 
     The reference only ever produces one boolean level (QueryParser output
     wrapped with the collection MUST); nested Bools are flattened here with
-    MUST/MUST_NOT propagation.
-    """
-    should, must, must_not = [], [], []
+    MUST/MUST_NOT/FILTER propagation.  ``min_should`` is taken from the
+    TOP-LEVEL Bool only (the only place any surface sets it — Lucene applies
+    it per BooleanQuery, and the classic parser never nests one with mm)."""
+    should, must, must_not, filters = [], [], [], []
 
     def walk(n: Node, polarity: str):
         if isinstance(n, Bool):
@@ -73,22 +75,30 @@ def _leaves_of(node: Node):
                 walk(c, polarity if polarity == "must_not" else "should")
             for c in n.must:
                 walk(c, polarity if polarity == "must_not" else "must")
+            for c in n.filter:
+                walk(c, polarity if polarity == "must_not" else "filter")
             for c in n.must_not:
                 walk(c, "must_not")
         else:
-            {"should": should, "must": must, "must_not": must_not}[polarity].append(n)
+            {"should": should, "must": must, "must_not": must_not,
+             "filter": filters}[polarity].append(n)
 
     walk(node, "should")
-    return should, must, must_not
+    min_should = node.min_should if isinstance(node, Bool) else 0
+    return should, must, must_not, filters, min_should
 
 
-def _compile_leaf_specs(should, must, must_not, range_terms):
+def _compile_leaf_specs(should, must, must_not, range_terms, filters=()):
     """Compile flattened boolean leaves -> kernel spec dicts (shared by the
     single-query and batched kernel paths)."""
     def leaf_spec(i, l, polarity):
         b = getattr(l, "boost", 1.0)
         if isinstance(l, Term):
             return {"kind": "term", "field": l.field, "terms": [l.term],
+                    "offsets": None, "leaf_id": i, "polarity": polarity,
+                    "boost": b}
+        if isinstance(l, SynSet):
+            return {"kind": "syn", "field": l.field, "terms": list(l.terms),
                     "offsets": None, "leaf_id": i, "polarity": polarity,
                     "boost": b}
         if isinstance(l, EXPANDABLE):
@@ -101,9 +111,12 @@ def _compile_leaf_specs(should, must, must_not, range_terms):
                 "slop": l.slop,
                 "leaf_id": i, "polarity": polarity, "boost": b}
 
+    n_s, n_m = len(should), len(must)
     return ([leaf_spec(i, l, "should") for i, l in enumerate(should)]
-            + [leaf_spec(len(should) + i, l, "must") for i, l in enumerate(must)]
-            + [leaf_spec(len(should) + len(must) + i, l, "must_not")
+            + [leaf_spec(n_s + i, l, "must") for i, l in enumerate(must)]
+            + [leaf_spec(n_s + n_m + i, l, "filter")
+               for i, l in enumerate(filters)]
+            + [leaf_spec(n_s + n_m + len(filters) + i, l, "must_not")
                for i, l in enumerate(must_not)])
 
 
@@ -324,6 +337,67 @@ class SearchEngine:
         # (api.py); engine-level repos are raw corpus values
         node = parse_query(query)
         return self.search_node(node, repo, limit, mode)
+
+    def search_min_match(self, repo: str | None, query: str, min_should: int,
+                         limit: int = 255, mode: str = "kernel") -> DataFrame:
+        """:meth:`search` with Lucene's
+        ``BooleanQuery.setMinimumNumberShouldMatch``: a doc must match at
+        least ``min_should`` of the query's SHOULD clauses (MUST / FILTER
+        clauses don't count toward it; more clauses required than exist
+        means no hits, Lucene's behavior)."""
+        node = parse_query(query)
+        if isinstance(node, Bool):
+            import dataclasses
+            node = dataclasses.replace(node, min_should=int(min_should))
+        else:  # single leaf = one SHOULD clause
+            node = Bool(should=(node,), min_should=int(min_should))
+        return self.search_node(node, repo, limit, mode)
+
+    def search_filtered(self, repo: str | None, query: str, filter_query: str,
+                        limit: int = 255, mode: str = "kernel") -> DataFrame:
+        """:meth:`search` with a FILTER clause (BooleanClause.Occur.FILTER):
+        ``filter_query`` must match but contributes nothing to the score —
+        Lucene's cached-filter / ConstantScore(0) wrapping."""
+        qn, fn = parse_query(query), parse_query(filter_query)
+        return self.search_node(Bool(should=(qn,), filter=(fn,)),
+                                repo, limit, mode)
+
+    def search_synonyms(self, repo: str | None, query: str,
+                        synonyms: dict[str, list[str]], limit: int = 255
+                        ) -> DataFrame:
+        """:meth:`search` with query-time synonym expansion: every analyzed
+        Term leaf whose term has an entry in ``synonyms`` is rewritten to a
+        Lucene ``SynonymQuery`` over {term} ∪ synonyms[term] — per-doc
+        tf = Σ member tfs, docFreq = max member df (SynonymQuery's blended
+        statistics; reference analyzers would wire this through a
+        SynonymGraphFilter, which the classic parser consumes the same way).
+        Kernel strategy only."""
+        def rewrite(n: Node) -> Node:
+            if isinstance(n, Term) and n.term in synonyms:
+                members = tuple(dict.fromkeys([n.term] + list(synonyms[n.term])))
+                return SynSet(field=n.field, terms=members, boost=n.boost)
+            if isinstance(n, Bool):
+                import dataclasses
+                return dataclasses.replace(
+                    n,
+                    should=tuple(rewrite(c) for c in n.should),
+                    must=tuple(rewrite(c) for c in n.must),
+                    must_not=tuple(rewrite(c) for c in n.must_not),
+                    filter=tuple(rewrite(c) for c in n.filter))
+            return n
+
+        return self.search_node(rewrite(parse_query(query)), repo, limit)
+
+    def search_dismax(self, repo: str | None, queries: list[str],
+                      tie: float = 0.0, limit: int = 255) -> DataFrame:
+        """Lucene ``DisjunctionMaxQuery``: each string in ``queries`` is one
+        disjunct (typically the same user terms against different fields —
+        the dismax multi-field shape); a doc's score is its best disjunct's
+        score plus ``tie`` × the sum of the other disjuncts'.  Kernel
+        strategy only."""
+        node = DisMax(disjuncts=tuple(parse_query(q) for q in queries),
+                      tie=float(tie))
+        return self.search_node(node, repo, limit)
 
     def search_node(self, node: Node, repo: str | None, limit: int = 255,
                     mode: str = "kernel") -> DataFrame:
@@ -662,7 +736,7 @@ class SearchEngine:
                 continue
             leaves = _leaves_of(parse_query(q))
             prepass[q] = leaves
-            for grp in leaves:
+            for grp in leaves[:4]:
                 for l in grp:
                     if isinstance(l, EXPANDABLE):
                         pending_ranges.append(l)
@@ -685,10 +759,12 @@ class SearchEngine:
             alias_rows.append((qid, qid))
             cached = self._compile_cache.get(ckey)
             if cached is None:
-                should, must, must_not = (prepass.get(q)
-                                          or _leaves_of(parse_query(q)))
-                range_terms = self._expand_ranges(should + must + must_not)
-                specs = _compile_leaf_specs(should, must, must_not, range_terms)
+                should, must, must_not, filters, min_should = (
+                    prepass.get(q) or _leaves_of(parse_query(q)))
+                range_terms = self._expand_ranges(
+                    should + must + must_not + filters)
+                specs = _compile_leaf_specs(should, must, must_not,
+                                            range_terms, filters)
                 if not any(s["terms"] for s in specs if s["polarity"] != "must_not"):
                     cached = {"empty": True}  # no positive leaves -> no hits
                 else:
@@ -698,7 +774,9 @@ class SearchEngine:
                     cached = {
                         "empty": False, "specs": specs, "doc_ranges": doc_ranges,
                         "needs_positions": any(sp["kind"] == "phrase" for sp in specs),
-                        "only_terms": (len(specs) > 0 and all(
+                        "min_should": min_should,
+                        "only_terms": (len(specs) > 0 and min_should <= 1
+                                       and all(
                             sp["kind"] == "term" and sp["polarity"] == "should"
                             and sp.get("boost", 1.0) == 1.0
                             for sp in specs)),
@@ -800,7 +878,7 @@ class SearchEngine:
             if (repo, q) in self._compile_cache or q in seen:
                 continue
             seen.add(q)
-            for grp in _leaves_of(parse_query(q)):
+            for grp in _leaves_of(parse_query(q))[:4]:
                 for l in grp:
                     if isinstance(l, EXPANDABLE):
                         pending_ranges.append(l)
@@ -942,9 +1020,14 @@ class SearchEngine:
                          (F.lit(idf_sum) * tfn).alias("score"))
 
     def _search_dataframe(self, node: Node, repo: str | None, limit: int) -> DataFrame:
-        should, must, must_not = _leaves_of(node)
+        if isinstance(node, DisMax) or any(
+                isinstance(l, SynSet) for l in iter_positive_leaves(node)):
+            raise NotImplementedError(
+                "DisMax / SynonymQuery run on the kernel strategy "
+                "(mode='kernel', the default)")
+        should, must, must_not, filters, min_should = _leaves_of(node)
         positive = should + must
-        range_terms = self._expand_ranges(positive + must_not)
+        range_terms = self._expand_ranges(positive + must_not + filters)
         scores = self._leaf_scores_df(positive, range_terms)
         if scores is None:
             return self.spark.createDataFrame([], HITS_SCHEMA)
@@ -957,6 +1040,25 @@ class SearchEngine:
                   .where(F.col("nm") == n_must)
                   .select("doc_id"))
             scores = scores.join(ok, "doc_id", "left_semi")
+        if filters:
+            # FILTER clauses: required, never scored — semi-join on docs
+            # matching ALL filter leaves
+            fsc = self._leaf_scores_df(filters, range_terms)
+            if fsc is None:
+                return self.spark.createDataFrame([], HITS_SCHEMA)
+            fok = (fsc.groupBy("doc_id")
+                   .agg(F.countDistinct("leaf_id").alias("nf"))
+                   .where(F.col("nf") == len(filters))
+                   .select("doc_id"))
+            scores = scores.join(fok, "doc_id", "left_semi")
+        if min_should > 1 and should:
+            should_ids = list(range(len(should)))
+            sok = (scores.where(F.col("leaf_id").isin(should_ids))
+                   .groupBy("doc_id")
+                   .agg(F.countDistinct("leaf_id").alias("ns"))
+                   .where(F.col("ns") >= min_should)
+                   .select("doc_id"))
+            scores = scores.join(sok, "doc_id", "left_semi")
         if must_not:
             neg = self._leaf_scores_df(must_not, range_terms)
             if neg is not None:
@@ -987,9 +1089,34 @@ class SearchEngine:
             # returning an empty compile that would read as "no hits".
             raise ValueError("*:* (MatchAllDocsQuery) is not supported on "
                              "the batch/explain kernel path; use search()")
-        should, must, must_not = _leaves_of(node)
-        range_terms = self._expand_ranges(should + must + must_not)
-        specs = _compile_leaf_specs(should, must, must_not, range_terms)
+        dismax_tie = None
+        if isinstance(node, DisMax):
+            # DisjunctionMaxQuery: flatten each disjunct separately and tag
+            # its leaves with a group id; _score_slice combines per-group
+            # sums with max + tie*(sum of others).  Disjuncts are ordinary
+            # flat queries (MUST/MUST_NOT inside a disjunct is not a shape
+            # any surface builds).
+            dismax_tie = float(node.tie)
+            specs = []
+            min_should = 0
+            range_terms = {}
+            for gi, dj in enumerate(node.disjuncts):
+                s_, m_, n_, f_, _mm = _leaves_of(dj)
+                if m_ or n_ or f_:
+                    raise ValueError("DisMax disjuncts must be pure "
+                                     "should-clause queries")
+                rt = self._expand_ranges(s_)
+                range_terms.update(rt)
+                for sp in _compile_leaf_specs(s_, [], [], rt):
+                    sp["leaf_id"] = len(specs)
+                    sp["group"] = gi
+                    specs.append(sp)
+        else:
+            should, must, must_not, filters, min_should = _leaves_of(node)
+            range_terms = self._expand_ranges(
+                should + must + must_not + filters)
+            specs = _compile_leaf_specs(should, must, must_not, range_terms,
+                                        filters)
         if not any(s["terms"] for s in specs if s["polarity"] != "must_not"):
             return None
         all_terms = sorted({(s["field"], t) for s in specs for t in s["terms"]})
@@ -1006,7 +1133,10 @@ class SearchEngine:
             "terms_only": sorted({t for _, t in all_terms}),
             "doc_ranges": doc_ranges,
             "needs_positions": any(s["kind"] == "phrase" for s in specs),
-            "only_terms": (len(specs) > 0 and all(
+            "min_should": min_should,
+            "dismax_tie": dismax_tie,
+            "only_terms": (len(specs) > 0 and min_should <= 1
+                           and dismax_tie is None and all(
                 s["kind"] == "term" and s["polarity"] == "should"
                 and s.get("boost", 1.0) == 1.0 for s in specs)),
             # work the query will surface, known BEFORE any scan: Σ df per
@@ -1162,7 +1292,9 @@ class SearchEngine:
         else:
             out = _score_slice(idx, norms_pdf, cq["specs"], cq["df_map"],
                                stats, cq["doc_ranges"], limit,
-                               cq["needs_positions"], dead=dead)
+                               cq["needs_positions"], dead=dead,
+                               min_should=cq.get("min_should", 0),
+                               dismax_tie=cq.get("dismax_tie"))
         if out is None or not len(out):
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
@@ -1184,7 +1316,9 @@ class SearchEngine:
         norms_dirs, tomb_dirs = self._sidecar_dirs()
         kernel = _make_slice_kernel(specs, df_map, stats, doc_ranges, limit,
                                     needs_positions, norms_dirs, fields,
-                                    tomb_dirs)
+                                    tomb_dirs,
+                                    min_should=cq.get("min_should", 0),
+                                    dismax_tie=cq.get("dismax_tie"))
         # No shuffle: scan tasks align with whole segment files (one live file
         # per doc-slice, non-split reads via large maxPartitionBytes in
         # session.py), so each task holds complete doc-slices — all query
@@ -1272,7 +1406,8 @@ def _null_nonphrase_positions(seg: DataFrame, phrase_pairs) -> DataFrame:
 
 
 def _make_slice_kernel(specs, df_map, stats, doc_ranges, k, needs_positions,
-                       norms_dirs, fields, tomb_dirs=()):
+                       norms_dirs, fields, tomb_dirs=(), *,
+                       min_should=0, dismax_tie=None):
     """Build the per-task numpy scoring kernel (closure shipped to executors).
 
     Input: arrow batches of segment block rows; a task's rows are whole
@@ -1284,7 +1419,8 @@ def _make_slice_kernel(specs, df_map, stats, doc_ranges, k, needs_positions,
     """
     only_terms = (all(s["kind"] == "term" and s["polarity"] == "should"
                       and s.get("boost", 1.0) == 1.0
-                      for s in specs) and len(specs) > 0)
+                      for s in specs) and len(specs) > 0
+                  and min_should <= 1 and dismax_tie is None)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames = [b for b in batches if len(b)]
@@ -1300,7 +1436,9 @@ def _make_slice_kernel(specs, df_map, stats, doc_ranges, k, needs_positions,
                                         doc_ranges, k, dead=dead)
             else:
                 out = _score_slice(sl, norms_pdf, specs, df_map, stats,
-                                   doc_ranges, k, needs_positions, dead=dead)
+                                   doc_ranges, k, needs_positions, dead=dead,
+                                   min_should=min_should,
+                                   dismax_tie=dismax_tie)
             if out is not None and len(out):
                 yield out
 
@@ -1331,7 +1469,8 @@ def _make_multi_slice_kernel(compiled, df_map, stats, k, norms_dirs, fields,
                 else:
                     out = _score_slice(sl, norms_pdf, c["specs"], df_map, stats,
                                        c["doc_ranges"], k, c["needs_positions"],
-                                       dead=dead)
+                                       dead=dead,
+                                       min_should=c.get("min_should", 0))
                 if out is not None and len(out):
                     out = out.copy()
                     out.insert(0, "query_id", c["qid"])
@@ -1654,12 +1793,22 @@ def _empty_hits() -> pd.DataFrame:
 
 def _score_slice(sl, norms_pdf, specs, df_map,
                  stats, doc_ranges, k, needs_positions,
-                 dead: np.ndarray | None = None) -> pd.DataFrame:
+                 dead: np.ndarray | None = None, *,
+                 min_should: int = 0,
+                 dismax_tie: float | None = None) -> pd.DataFrame:
     """Score one doc-slice: top-k (doc_id, score), numpy throughout.
 
     ``sl`` may be a block-row DataFrame or a prebuilt _SliceIndex;
     ``norms_pdf`` a norms frame or a prebuilt lookup dict (batch callers
-    prebuild both so per-query cost excludes all slice prep)."""
+    prebuild both so per-query cost excludes all slice prep).
+
+    ``min_should``: Lucene minimumNumberShouldMatch — drop docs matching
+    fewer than this many SHOULD leaves (MUST/FILTER don't count).
+    ``dismax_tie``: when set, leaves carry a ``group`` id and the combine is
+    DisjunctionMaxQuery's max + tie×(sum of other groups) instead of the
+    boolean sum.  FILTER leaves gate but never score; a query with ONLY
+    filter leaves returns empty (every facade surface pairs a filter with a
+    scoring main query — Lucene would match at score 0)."""
     idx = _as_slice_index(sl)
     norm_lookup = _build_norm_lookup(norms_pdf)
 
@@ -1678,11 +1827,51 @@ def _score_slice(sl, norms_pdf, specs, df_map,
     scored_frames = []   # (leaf_id, ids, scores) for positive leaves
     must_sets = []
     not_sets = []
+    filter_sets = []     # FILTER leaves: required, non-scoring
+    should_sets = []     # SHOULD leaf match sets (only kept when mm > 1)
     for s in specs:
         field = s["field"]
         boost = s.get("boost", 1.0)
         n_docs, avgdl = stats.get(field, (0.0, 1.0))
-        if s["kind"] == "phrase":
+        if s["kind"] == "syn":
+            # Lucene SynonymQuery: one pseudo-term — tf = Σ member tfs,
+            # docFreq = max member df (blended idf can't exceed the most
+            # selective member's)
+            decoded = decoded_for(field, s["terms"], False)
+            if decoded:
+                ids_all = np.concatenate([v[0] for v in decoded.values()])
+                tfs_all = np.concatenate([v[1] for v in decoded.values()])
+            else:
+                ids_all = np.empty(0, np.int64)
+                tfs_all = np.empty(0, np.int64)
+            keep = _in_ranges(ids_all, doc_ranges, dead)
+            ids_all, tfs_all = ids_all[keep], tfs_all[keep]
+            ids, inv = np.unique(ids_all, return_inverse=True)
+            if s["polarity"] == "must_not":
+                not_sets.append(ids)
+                continue
+            if s["polarity"] == "filter":
+                filter_sets.append(ids)
+                continue
+            df_syn = max((df_map.get((field, t), 0.0) for t in s["terms"]),
+                         default=0.0)
+            if df_syn <= 0 or ids.size == 0:
+                scored_frames.append((s["leaf_id"], np.empty(0, np.int64),
+                                      np.empty(0, np.float64)))
+                if s["polarity"] == "must":
+                    must_sets.append(np.empty(0, np.int64))
+                continue
+            tf_sum = np.bincount(inv, weights=tfs_all.astype(np.float64))
+            scores = bm25.score(tf_sum, dl_of(field, ids), df_syn,
+                                n_docs, avgdl)
+            if boost != 1.0:
+                scores = scores * boost
+            scored_frames.append((s["leaf_id"], ids, scores))
+            if s["polarity"] == "must":
+                must_sets.append(ids)
+            if min_should > 1 and s["polarity"] == "should":
+                should_sets.append(ids)
+        elif s["kind"] == "phrase":
             decoded = _phrase_decode_selective(idx, field, s["terms"])
             ids, ptf = _phrase_match(decoded, s["terms"], s["offsets"],
                                      s.get("slop", 0))
@@ -1690,6 +1879,9 @@ def _score_slice(sl, norms_pdf, specs, df_map,
             ids, ptf = ids[keep], ptf[keep]
             if s["polarity"] == "must_not":
                 not_sets.append(ids)
+                continue
+            if s["polarity"] == "filter":
+                filter_sets.append(ids)
                 continue
             idf_sum = boost * float(sum(
                 bm25.idf(df_map.get((field, t), 0.0) or 1.0, n_docs)
@@ -1702,6 +1894,8 @@ def _score_slice(sl, norms_pdf, specs, df_map,
             scored_frames.append((s["leaf_id"], ids, scores))
             if s["polarity"] == "must":
                 must_sets.append(ids)
+            if min_should > 1 and s["polarity"] == "should":
+                should_sets.append(ids)
         elif s["kind"] == "range":
             decoded = decoded_for(field, s["terms"], False)
             if decoded:
@@ -1712,10 +1906,15 @@ def _score_slice(sl, norms_pdf, specs, df_map,
             if s["polarity"] == "must_not":
                 not_sets.append(ids)
                 continue
+            if s["polarity"] == "filter":
+                filter_sets.append(ids)
+                continue
             scored_frames.append((s["leaf_id"], ids,
                                   np.full(ids.size, boost, np.float64)))
             if s["polarity"] == "must":
                 must_sets.append(ids)
+            if min_should > 1 and s["polarity"] == "should":
+                should_sets.append(ids)
         else:  # term
             t = s["terms"][0]
             decoded = decoded_for(field, [t], False)
@@ -1729,6 +1928,9 @@ def _score_slice(sl, norms_pdf, specs, df_map,
             ids, tfs = ids[keep], tfs[keep]
             if s["polarity"] == "must_not":
                 not_sets.append(ids)
+                continue
+            if s["polarity"] == "filter":
+                filter_sets.append(ids)
                 continue
             df = df_map.get((field, t), 0.0)
             if df <= 0 or ids.size == 0:
@@ -1744,23 +1946,46 @@ def _score_slice(sl, norms_pdf, specs, df_map,
             scored_frames.append((s["leaf_id"], ids, scores))
             if s["polarity"] == "must":
                 must_sets.append(ids)
+            if min_should > 1 and s["polarity"] == "should":
+                should_sets.append(ids)
 
     if not scored_frames:
         return _empty_hits()
 
-    # ---- combine: sum scores over leaves; enforce must/must_not
+    # ---- combine: sum scores over leaves (or dismax over leaf groups);
+    # enforce must/must_not/filter/min_should
     all_ids = np.concatenate([ids for _, ids, _ in scored_frames])
     all_scores = np.concatenate([sc for _, ids, sc in scored_frames])
     if all_ids.size == 0:
         return _empty_hits()
     uniq, inv = np.unique(all_ids, return_inverse=True)
-    total = np.zeros(uniq.size, np.float64)
-    np.add.at(total, inv, all_scores)
+    if dismax_tie is None:
+        total = np.zeros(uniq.size, np.float64)
+        np.add.at(total, inv, all_scores)
+    else:
+        # DisjunctionMaxQuery combine: per-group sums -> max + tie*(rest)
+        group_of = {s["leaf_id"]: s.get("group", 0) for s in specs}
+        groups = sorted({group_of[lid] for lid, _, _ in scored_frames})
+        gidx = {g: i for i, g in enumerate(groups)}
+        mat = np.zeros((len(groups), uniq.size), np.float64)
+        for lid, ids, sc in scored_frames:
+            if ids.size:
+                pos = np.searchsorted(uniq, ids)
+                np.add.at(mat[gidx[group_of[lid]]], pos, sc)
+        mx = mat.max(axis=0)
+        total = mx + dismax_tie * (mat.sum(axis=0) - mx)
     keep = np.ones(uniq.size, dtype=bool)
     for ms in must_sets:
         keep &= np.isin(uniq, ms, assume_unique=False)
+    for fs in filter_sets:
+        keep &= np.isin(uniq, fs, assume_unique=False)
     for ns in not_sets:
         keep &= ~np.isin(uniq, ns, assume_unique=False)
+    if min_should > 1:
+        cnt = np.zeros(uniq.size, np.int64)
+        for ss in should_sets:
+            cnt += np.isin(uniq, ss, assume_unique=False)
+        keep &= cnt >= min_should
     uniq, total = uniq[keep], total[keep]
     if uniq.size == 0:
         return _empty_hits()

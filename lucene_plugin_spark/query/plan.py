@@ -113,25 +113,63 @@ class MatchAll(Node):
 
 
 @dataclass(frozen=True)
+class SynSet(Node):
+    """Lucene ``SynonymQuery`` — terms that are query-time synonyms score as
+    ONE pseudo-term: per-doc tf = Σ member tfs, docFreq = max member df
+    (SynonymQuery.SynonymWeight uses the max docFreq / summed totalTermFreq
+    of its members so a rare synonym cannot inflate the blended idf).  Built
+    by :meth:`SearchEngine.search_synonyms`'s rewrite, never by the classic
+    parser (Lucene wires synonyms through the analysis chain, not query
+    syntax)."""
+    field: str
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Bool(Node):
-    """should: scored union; must: required (scored); must_not: excluded."""
+    """should: scored union; must: required (scored); must_not: excluded;
+    filter: required but non-scoring (BooleanClause.Occur.FILTER — the
+    constant-score cached-filter clause); min_should: Lucene
+    ``BooleanQuery.Builder.setMinimumNumberShouldMatch`` — a doc must match
+    at least this many SHOULD clauses (MUST/FILTER don't count toward it)."""
     should: tuple[Node, ...] = ()
     must: tuple[Node, ...] = ()
     must_not: tuple[Node, ...] = ()
+    filter: tuple[Node, ...] = ()
+    min_should: int = 0
+
+
+@dataclass(frozen=True)
+class DisMax(Node):
+    """Lucene ``DisjunctionMaxQuery`` — score = max over disjunct scores +
+    ``tie`` × (sum of the others).  Top-level only (each disjunct is an
+    ordinary flat query; nested DisMax is not produced by any surface)."""
+    disjuncts: tuple[Node, ...] = ()
+    tie: float = 0.0
+
+
+_LEAF_TYPES = (Term, Phrase, Range, Wildcard, Fuzzy, Regexp, SynSet)
 
 
 def iter_positive_leaves(node: Node):
-    """All scoring leaves (Term/Phrase/Range) outside MUST_NOT clauses."""
-    if isinstance(node, (Term, Phrase, Range, Wildcard, Fuzzy, Regexp)):
+    """All scoring leaves (Term/Phrase/Range/...) outside MUST_NOT clauses."""
+    if isinstance(node, _LEAF_TYPES):
         yield node
     elif isinstance(node, Bool):
-        for c in node.should + node.must:
+        for c in node.should + node.must + node.filter:
+            yield from iter_positive_leaves(c)
+    elif isinstance(node, DisMax):
+        for c in node.disjuncts:
             yield from iter_positive_leaves(c)
 
 
 def iter_all_leaves(node: Node):
-    if isinstance(node, (Term, Phrase, Range, Wildcard, Fuzzy, Regexp)):
+    if isinstance(node, _LEAF_TYPES):
         yield node
     elif isinstance(node, Bool):
-        for c in node.should + node.must + node.must_not:
+        for c in node.should + node.must + node.must_not + node.filter:
+            yield from iter_all_leaves(c)
+    elif isinstance(node, DisMax):
+        for c in node.disjuncts:
             yield from iter_all_leaves(c)

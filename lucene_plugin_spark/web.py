@@ -92,6 +92,33 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                     self._reply(200, [{"id": h.id, "score": h.score,
                                        "externalId": h.external_id}
                                       for h in hits])
+                elif u.path == "/lucene/search-min-match":
+                    with lock:
+                        hits = facade.search_min_match(
+                            q.get("collection", ""), q.get("query", ""),
+                            int(q.get("minShouldMatch", 1)),
+                            int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
+                elif u.path == "/lucene/search-filtered":
+                    with lock:
+                        hits = facade.search_filtered(
+                            q.get("collection", ""), q.get("query", ""),
+                            q.get("filter", ""), int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
+                elif u.path == "/lucene/search-dismax":
+                    djs = [s for s in q.get("queries", "").split(",") if s]
+                    with lock:
+                        hits = facade.search_dismax(
+                            q.get("collection", ""), djs,
+                            float(q.get("tie", 0.0)),
+                            int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
                 elif u.path == "/lucene/search-sorted":
                     with lock:
                         self._reply(200, facade.search_sorted(
@@ -117,6 +144,14 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                     b.get("collection", ""), b.get("id", "")),
                 "/lucene/clear": lambda b: facade.clear(
                     b.get("collection", "")),
+                # synonyms need a JSON map payload -> POST
+                "/lucene/search-synonyms": lambda b: [
+                    {"id": h.id, "score": h.score,
+                     "externalId": h.external_id}
+                    for h in facade.search_synonyms(
+                        b.get("collection", ""), b.get("query", ""),
+                        b.get("synonyms") or {},
+                        int(b.get("limit", 255)))],
             }
             fn = routes.get(u.path)
             if fn is None:
@@ -126,7 +161,10 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                 body = self._body()
                 with lock:
                     out = fn(body)
-                self._reply(200, bool(out) if out is not None else True)
+                if isinstance(out, list):  # search-shaped POST routes
+                    self._reply(200, out)
+                else:
+                    self._reply(200, bool(out) if out is not None else True)
             except Exception as e:
                 self._reply(400, {"error": str(e)})
 

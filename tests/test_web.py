@@ -129,3 +129,37 @@ def test_http_span_and_sort_routes(server):
     assert st == 200
     assert [r["externalId"] for r in rows] == ["s0", "s1", "s3"]
     assert [r["sortKey"] for r in rows] == ["s0", "s1", "s3"]
+
+
+def test_http_extended_boolean_routes(server):
+    for i, text in enumerate(["alpha beta gamma", "alpha only text",
+                              "beta gamma delta", "delta epsilon zeta"]):
+        _post(server, "/lucene/index-text",
+              {"collection": "web", "id": f"b{i}", "text": text})
+
+    # minimumNumberShouldMatch=2 over 3 SHOULD terms
+    st, hits = _get(server, "/lucene/search-min-match?collection=web"
+                    "&query=" + quote("alpha beta gamma")
+                    + "&minShouldMatch=2&limit=10")
+    assert st == 200
+    assert {h["externalId"] for h in hits} == {"b0", "b2"}
+
+    # FILTER: must contain delta, scored only on beta
+    st, hits = _get(server, "/lucene/search-filtered?collection=web"
+                    "&query=beta&filter=delta&limit=10")
+    assert st == 200
+    assert {h["externalId"] for h in hits} == {"b2"}
+
+    # DisMax over two disjuncts
+    st, hits = _get(server, "/lucene/search-dismax?collection=web"
+                    "&queries=" + quote("alpha,epsilon") + "&tie=0.1&limit=10")
+    assert st == 200
+    assert {h["externalId"] for h in hits} == {"b0", "b1", "b3"}
+
+    # SynonymQuery via POST (JSON map payload)
+    st, hits = _post(server, "/lucene/search-synonyms",
+                     {"collection": "web", "query": "alpha",
+                      "synonyms": {"alpha": ["delta"]}, "limit": 10})
+    assert st == 200
+    assert {h["externalId"] for h in hits} == {"b0", "b1", "b2", "b3"}
+    assert all(h["score"] > 0 for h in hits)
