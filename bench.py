@@ -79,6 +79,14 @@ def main() -> None:
                                                  slop=3, limit=10).collect()),
         ("q_sort_field", lambda: engine.search_sorted(None, "table", "lang",
                                                       limit=25).collect()),
+        ("q_min_match", lambda: engine.search_min_match(
+            None, "join hash merge scan", 2, limit=10).collect()),
+        ("q_filter", lambda: engine.search_filtered(
+            None, "spark", "table", limit=10).collect()),
+        ("q_synonym", lambda: engine.search_synonyms(
+            None, "spark", {"spark": ["table"]}, limit=10).collect()),
+        ("q_dismax", lambda: engine.search_dismax(
+            None, ["join hash", "merge table"], tie=0.3, limit=10).collect()),
     ]
     for name, fn in queries:
         timed(name, fn)
