@@ -538,8 +538,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             eng.search_dismax(None, ["join hash", "merge table"], tie=0.3,
                               limit=15))
 
+    def ft_nested(spark, sf):  # nested boolean: (join hash) AND merge —
+        # recursive BooleanWeight semantics (docs with only 'merge' excluded)
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(
+            eng.search(None, "(join hash) AND merge", limit=20))
+
     q.update(ft_min_should=ft_min_should, ft_filter=ft_filter,
-             ft_synonym=ft_synonym, ft_dismax=ft_dismax)
+             ft_synonym=ft_synonym, ft_dismax=ft_dismax, ft_nested=ft_nested)
 
     # ---- mutation semantics, declarative (W2 upsert / W3-W4 delete) ----
     def merge_upsert(spark, sf):
@@ -1033,12 +1039,12 @@ _GATE_TAIL = [
     "sim_cosine_topk", "sim_ivf_topk", "text_token_counts", "ft_range",
     "ft_and", "ft_not", "ft_or_topk", "ft_phrase", "ft_term_topk",
     # green in r2 (single-proven); rotated out in r3 to make check slots for
-    # the extended-boolean entries — each has a double-proven cousin above
+    # the extended-boolean entries — each has a cousin still in the window
     # covering the same machinery (ft_doc_len/ft_term_dict for the punct
     # analyzer pair, ev_window_counts for sliding counts, ft_range for the
-    # exclusive-bound variant)
+    # exclusive-bound variant, ev_hier_rollup for the GROUPING SETS rollup)
     "ft_punct_doc_len", "ft_punct_term", "ev_sliding_counts",
-    "ft_range_excl",
+    "ft_range_excl", "ev_rollup",
 ]
 
 
@@ -1056,7 +1062,7 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_span_near", "ft_sort_field", "ft_match_all", "text_gopher",
         "text_normalize", "text_entropy",
         # new in r3 (third block): extended boolean surface
-        "ft_min_should", "ft_filter", "ft_synonym", "ft_dismax",
+        "ft_min_should", "ft_filter", "ft_synonym", "ft_dismax", "ft_nested",
     ]
     head = [k for k in never_checked if k in q]
     mid = [k for k in q if k not in head and k not in _GATE_TAIL]
@@ -1410,6 +1416,24 @@ scores AS (
   FROM syn JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN sdf)
 SELECT doc_id, round(score, 6) AS score
 FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # nested boolean (join hash) AND merge — recursive BooleanWeight
+    # semantics: docs must contain 'merge' AND at least one of join/hash;
+    # score = bm25(merge) + bm25 over whichever of join/hash match
+    o["ft_nested"] = f"""
+WITH {_TOK},
+inner_ok AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('join', 'hash')),
+must_ok AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+scores AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'hash', 'merge')
+    AND tf.doc_id IN (SELECT doc_id FROM inner_ok)
+    AND tf.doc_id IN (SELECT doc_id FROM must_ok)
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 20
 """
 
     # DisjunctionMaxQuery over ('join hash', 'merge table'), tie=0.3:

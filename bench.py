@@ -87,6 +87,8 @@ def main() -> None:
             None, "spark", {"spark": ["table"]}, limit=10).collect()),
         ("q_dismax", lambda: engine.search_dismax(
             None, ["join hash", "merge table"], tie=0.3, limit=10).collect()),
+        ("q_nested", lambda: engine.search(
+            None, "(join hash) AND merge", limit=10).collect()),
     ]
     for name, fn in queries:
         timed(name, fn)

@@ -100,34 +100,64 @@ class OracleEngine:
     # --------------------------------------------------------------- search
     def search(self, repo: str | None, query: str, limit: int = 255
                ) -> list[tuple[int, str, float]]:
-        """[(doc_id, path, score)] ordered score desc, doc_id asc, top-k."""
+        """[(doc_id, path, score)] ordered score desc, doc_id asc, top-k.
+
+        Evaluated with the RECURSIVE Lucene BooleanWeight/BS2 semantics
+        (``_eval_node``) so nested parenthesized queries gate correctly —
+        e.g. ``(alpha beta) AND gamma`` requires the inner disjunction."""
         node = parse_query(query)
         docs = [d for d in self.docs.values() if repo is None or d.repo == repo]
-        scored: dict[int, float] = defaultdict(float)
-        matched_any = set()
-
-        should, must, must_not = self._flatten(node)
-        must_match_sets = []
-        for leaf in should:
-            hits = self._leaf_hits(leaf, docs)
-            for did, sc in hits.items():
-                scored[did] += sc
-                matched_any.add(did)
-        for leaf in must:
-            hits = self._leaf_hits(leaf, docs)
-            for did, sc in hits.items():
-                scored[did] += sc
-                matched_any.add(did)
-            must_match_sets.append(set(hits))
-        # docs must match every MUST leaf
-        result_ids = set(matched_any)
-        for ms in must_match_sets:
-            result_ids &= ms
-        for leaf in must_not:
-            result_ids -= set(self._leaf_hits(leaf, docs))
-        ranked = sorted(((scored[d], d) for d in result_ids),
+        hits = self._eval_node(node, docs)
+        ranked = sorted(((s, d) for d, s in hits.items()),
                         key=lambda x: (-x[0], x[1]))[:limit]
         return [(d, self.docs[d].path, s) for s, d in ranked]
+
+    def _eval_node(self, node: Node, docs) -> dict[int, float]:
+        """Recursive Lucene semantics: per Bool node every MUST/FILTER child
+        matches, no MUST_NOT child matches, #matching SHOULD >=
+        max(minimumNumberShouldMatch, 1 if no MUST/FILTER else 0); score =
+        Σ matching MUST + SHOULD child scores (FILTER gates at 0).  DisMax:
+        max + tie × (sum of the other children)."""
+        from lucene_plugin_spark.query.plan import DisMax
+        if isinstance(node, DisMax):
+            per = [self._eval_node(c, docs) for c in node.disjuncts]
+            out: dict[int, float] = {}
+            for did in set().union(*per) if per else set():
+                vals = [p.get(did, 0.0) for p in per if did in p]
+                mx = max(vals)
+                out[did] = mx + node.tie * (sum(vals) - mx)
+            return out
+        if not isinstance(node, Bool):
+            return dict(self._leaf_hits(node, docs))
+        mu = [self._eval_node(c, docs) for c in node.must]
+        fl = [self._eval_node(c, docs) for c in node.filter]
+        sh = [self._eval_node(c, docs) for c in node.should]
+        base: set[int] | None = None
+        for h in mu + fl:
+            base = set(h) if base is None else (base & set(h))
+        cnt: dict[int, int] = defaultdict(int)
+        ssum: dict[int, float] = defaultdict(float)
+        for h in sh:
+            for did, sc in h.items():
+                cnt[did] += 1
+                ssum[did] += sc
+        eff_mm = max(node.min_should, 0 if base is not None else 1)
+        if base is None:
+            final = {d for d, c in cnt.items() if c >= eff_mm}
+        elif eff_mm > 0:
+            final = {d for d in base if cnt.get(d, 0) >= eff_mm}
+        else:
+            final = set(base)
+        out = {}
+        for d in final:
+            sc = ssum.get(d, 0.0)
+            for h in mu:
+                sc += h[d]
+            out[d] = sc
+        for c in node.must_not:
+            for d in self._eval_node(c, docs):
+                out.pop(d, None)
+        return out
 
     def search_min_match(self, repo: str | None, query: str, min_should: int,
                          limit: int = 255) -> list[tuple[int, str, float]]:
@@ -219,22 +249,14 @@ class OracleEngine:
     def search_dismax(self, repo: str | None, queries: list[str],
                       tie: float = 0.0, limit: int = 255
                       ) -> list[tuple[int, str, float]]:
-        """DisjunctionMaxQuery: per-doc max disjunct score + tie×(others)."""
+        """DisjunctionMaxQuery: per-doc max disjunct score + tie×(others).
+        Disjuncts are arbitrary queries (evaluated recursively) — Lucene
+        places no shape restriction on them."""
         docs = [d for d in self.docs.values() if repo is None or d.repo == repo]
-        per_q: list[dict[int, float]] = []
-        for q in queries:
-            should, must, must_not = self._flatten(parse_query(q))
-            if must or must_not:
-                raise ValueError("DisMax disjuncts must be pure should")
-            sc: dict[int, float] = defaultdict(float)
-            for leaf in should:
-                for did, s in self._leaf_hits(leaf, docs).items():
-                    sc[did] += s
-            per_q.append(dict(sc))
-        all_ids = set().union(*per_q) if per_q else set()
+        per_q = [self._eval_node(parse_query(q), docs) for q in queries]
         out = []
-        for did in all_ids:
-            vals = [pq.get(did, 0.0) for pq in per_q]
+        for did in (set().union(*per_q) if per_q else set()):
+            vals = [pq[did] for pq in per_q if did in pq]
             mx = max(vals)
             out.append((mx + tie * (sum(vals) - mx), did))
         ranked = sorted(out, key=lambda x: (-x[0], x[1]))[:limit]

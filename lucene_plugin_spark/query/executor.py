@@ -43,7 +43,9 @@ from lucene_plugin_spark.query.expand import (EXPANDABLE, exp_cond, exp_key,
                                               exp_match)
 from lucene_plugin_spark.query.plan import (Bool, DisMax, Fuzzy, MatchAll,
                                             Node, Phrase, Range, SynSet, Term,
-                                            Wildcard, iter_positive_leaves)
+                                            Wildcard, is_nested,
+                                            iter_all_leaves,
+                                            iter_positive_leaves, simplify)
 from lucene_plugin_spark.storage.catalog import Catalog
 
 HITS_SCHEMA = StructType([
@@ -88,36 +90,67 @@ def _leaves_of(node: Node):
     return should, must, must_not, filters, min_should
 
 
+def _leaf_spec(i, l, polarity, range_terms):
+    """One query leaf -> kernel spec dict."""
+    b = getattr(l, "boost", 1.0)
+    if isinstance(l, Term):
+        return {"kind": "term", "field": l.field, "terms": [l.term],
+                "offsets": None, "leaf_id": i, "polarity": polarity,
+                "boost": b}
+    if isinstance(l, SynSet):
+        return {"kind": "syn", "field": l.field, "terms": list(l.terms),
+                "offsets": None, "leaf_id": i, "polarity": polarity,
+                "boost": b}
+    if isinstance(l, EXPANDABLE):
+        # Range/Wildcard/Fuzzy: constant-score OR over expanded terms
+        return {"kind": "range", "field": l.field,
+                "terms": range_terms.get(l, []), "offsets": None,
+                "leaf_id": i, "polarity": polarity, "boost": b}
+    return {"kind": "phrase", "field": l.field, "terms": list(l.terms),
+            "offsets": [o - l.offsets[0] for o in l.offsets],
+            "slop": l.slop,
+            "leaf_id": i, "polarity": polarity, "boost": b}
+
+
 def _compile_leaf_specs(should, must, must_not, range_terms, filters=()):
     """Compile flattened boolean leaves -> kernel spec dicts (shared by the
     single-query and batched kernel paths)."""
-    def leaf_spec(i, l, polarity):
-        b = getattr(l, "boost", 1.0)
-        if isinstance(l, Term):
-            return {"kind": "term", "field": l.field, "terms": [l.term],
-                    "offsets": None, "leaf_id": i, "polarity": polarity,
-                    "boost": b}
-        if isinstance(l, SynSet):
-            return {"kind": "syn", "field": l.field, "terms": list(l.terms),
-                    "offsets": None, "leaf_id": i, "polarity": polarity,
-                    "boost": b}
-        if isinstance(l, EXPANDABLE):
-            # Range/Wildcard/Fuzzy: constant-score OR over expanded terms
-            return {"kind": "range", "field": l.field,
-                    "terms": range_terms.get(l, []), "offsets": None,
-                    "leaf_id": i, "polarity": polarity, "boost": b}
-        return {"kind": "phrase", "field": l.field, "terms": list(l.terms),
-                "offsets": [o - l.offsets[0] for o in l.offsets],
-                "slop": l.slop,
-                "leaf_id": i, "polarity": polarity, "boost": b}
-
     n_s, n_m = len(should), len(must)
-    return ([leaf_spec(i, l, "should") for i, l in enumerate(should)]
-            + [leaf_spec(n_s + i, l, "must") for i, l in enumerate(must)]
-            + [leaf_spec(n_s + n_m + i, l, "filter")
+    return ([_leaf_spec(i, l, "should", range_terms)
+             for i, l in enumerate(should)]
+            + [_leaf_spec(n_s + i, l, "must", range_terms)
+               for i, l in enumerate(must)]
+            + [_leaf_spec(n_s + n_m + i, l, "filter", range_terms)
                for i, l in enumerate(filters)]
-            + [leaf_spec(n_s + n_m + len(filters) + i, l, "must_not")
+            + [_leaf_spec(n_s + n_m + len(filters) + i, l, "must_not",
+                          range_terms)
                for i, l in enumerate(must_not)])
+
+
+def _compile_tree(node: Node, range_terms):
+    """Compile a NESTED plan (post-``simplify`` still composite) into a
+    recursive spec tree for the per-slice tree evaluator, plus the flat
+    leaf-spec list (block prefetch / df lookup / cost estimation walk the
+    flat list; the tree holds references to the same spec dicts).  Lucene
+    analogue: BooleanWeight evaluating arbitrary sub-weights (BS2) instead
+    of one flattened clause list."""
+    specs: list[dict] = []
+
+    def build(n):
+        if isinstance(n, Bool):
+            return {"op": "bool", "mm": int(n.min_should),
+                    "should": [build(c) for c in n.should],
+                    "must": [build(c) for c in n.must],
+                    "filter": [build(c) for c in n.filter],
+                    "must_not": [build(c) for c in n.must_not]}
+        if isinstance(n, DisMax):
+            return {"op": "dismax", "tie": float(n.tie),
+                    "children": [build(c) for c in n.disjuncts]}
+        sp = _leaf_spec(len(specs), n, "should", range_terms)
+        specs.append(sp)
+        return sp
+
+    return build(node), specs
 
 
 class SearchEngine:
@@ -509,6 +542,14 @@ class SearchEngine:
                 "kind": s["kind"], "field": s["field"], "terms": s["terms"],
                 "polarity": s["polarity"], "boost": s.get("boost", 1.0),
                 "matched": hit, "score": sc})
+        if cq.get("tree") is not None:
+            # nested plan: the flat per-leaf breakdown above is informational;
+            # match/total come from the same recursive evaluator search uses
+            ids, scores = _eval_tree_slice(cq["tree"], idx, norms,
+                                           cq["df_map"], stats, dr, dead)
+            out["matches"] = bool(ids.size)
+            out["score"] = float(scores[0]) if ids.size else 0.0
+            return out
         out["matches"] = any_hit and must_ok and not excluded
         out["score"] = total if out["matches"] else 0.0
         return out
@@ -734,16 +775,15 @@ class SearchEngine:
         for _qid, repo, q in queries:
             if (repo, q) in self._compile_cache or q in prepass:
                 continue
-            leaves = _leaves_of(parse_query(q))
-            prepass[q] = leaves
-            for grp in leaves[:4]:
-                for l in grp:
-                    if isinstance(l, EXPANDABLE):
-                        pending_ranges.append(l)
-                    elif isinstance(l, Term):
-                        exact_pairs.add((l.field, l.term))
-                    else:
-                        exact_pairs.update((l.field, t) for t in l.terms)
+            node = simplify(parse_query(q))
+            prepass[q] = node
+            for l in iter_all_leaves(node):
+                if isinstance(l, EXPANDABLE):
+                    pending_ranges.append(l)
+                elif isinstance(l, Term):
+                    exact_pairs.add((l.field, l.term))
+                else:
+                    exact_pairs.update((l.field, t) for t in l.terms)
         self._prefetch_batch(pending_ranges, exact_pairs)
         # identical (repo, query) entries are evaluated ONCE in the kernel and
         # fanned back out to every alias qid afterwards (a query stream with
@@ -759,12 +799,23 @@ class SearchEngine:
             alias_rows.append((qid, qid))
             cached = self._compile_cache.get(ckey)
             if cached is None:
-                should, must, must_not, filters, min_should = (
-                    prepass.get(q) or _leaves_of(parse_query(q)))
-                range_terms = self._expand_ranges(
-                    should + must + must_not + filters)
-                specs = _compile_leaf_specs(should, must, must_not,
-                                            range_terms, filters)
+                node = prepass.get(q)
+                if node is None:
+                    node = simplify(parse_query(q))
+                tree = None
+                if is_nested(node):
+                    range_terms = self._expand_ranges(
+                        [l for l in iter_all_leaves(node)
+                         if isinstance(l, EXPANDABLE)])
+                    tree, specs = _compile_tree(node, range_terms)
+                    min_should = 0
+                else:
+                    should, must, must_not, filters, min_should = \
+                        _leaves_of(node)
+                    range_terms = self._expand_ranges(
+                        should + must + must_not + filters)
+                    specs = _compile_leaf_specs(should, must, must_not,
+                                                range_terms, filters)
                 if not any(s["terms"] for s in specs if s["polarity"] != "must_not"):
                     cached = {"empty": True}  # no positive leaves -> no hits
                 else:
@@ -775,8 +826,9 @@ class SearchEngine:
                         "empty": False, "specs": specs, "doc_ranges": doc_ranges,
                         "needs_positions": any(sp["kind"] == "phrase" for sp in specs),
                         "min_should": min_should,
+                        "tree": tree,
                         "only_terms": (len(specs) > 0 and min_should <= 1
-                                       and all(
+                                       and tree is None and all(
                             sp["kind"] == "term" and sp["polarity"] == "should"
                             and sp.get("boost", 1.0) == 1.0
                             for sp in specs)),
@@ -878,14 +930,13 @@ class SearchEngine:
             if (repo, q) in self._compile_cache or q in seen:
                 continue
             seen.add(q)
-            for grp in _leaves_of(parse_query(q))[:4]:
-                for l in grp:
-                    if isinstance(l, EXPANDABLE):
-                        pending_ranges.append(l)
-                    elif isinstance(l, Term):
-                        exact_pairs.add((l.field, l.term))
-                    else:
-                        exact_pairs.update((l.field, t) for t in l.terms)
+            for l in iter_all_leaves(parse_query(q)):
+                if isinstance(l, EXPANDABLE):
+                    pending_ranges.append(l)
+                elif isinstance(l, Term):
+                    exact_pairs.add((l.field, l.term))
+                else:
+                    exact_pairs.update((l.field, t) for t in l.terms)
         self._prefetch_batch(pending_ranges, exact_pairs)
 
     # ----------------------------------------------------- DataFrame strategy
@@ -1019,12 +1070,97 @@ class SearchEngine:
         return tf.select("doc_id", F.lit(leaf_id).alias("leaf_id"),
                          (F.lit(idf_sum) * tfn).alias("score"))
 
+    def _node_scores_df(self, node: Node, range_terms) -> DataFrame | None:
+        """(doc_id, score) of docs MATCHING ``node`` under recursive Lucene
+        BooleanWeight semantics — the DataFrame-strategy analogue of
+        ``_eval_tree_slice``: child sub-plans combine with joins/agg (must =
+        inner-join score sum, filter = semi-join, should = union + groupBy
+        with an mm HAVING, must_not = anti-join).  None = provably empty."""
+        if not isinstance(node, Bool):
+            sc = self._leaf_scores_df([node], range_terms)
+            if sc is None:
+                return None
+            return sc.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        mu = [self._node_scores_df(c, range_terms) for c in node.must]
+        fl = [self._node_scores_df(c, range_terms) for c in node.filter]
+        if any(x is None for x in mu + fl):
+            return None
+        sh = [s for s in (self._node_scores_df(c, range_terms)
+                          for c in node.should) if s is not None]
+        eff_mm = max(node.min_should, 0 if (mu or fl) else 1)
+        sunion = None
+        if sh:
+            u = None
+            for i, s in enumerate(sh):
+                part = s.select("doc_id", "score", F.lit(i).alias("cid"))
+                u = part if u is None else u.unionByName(part)
+            g = (u.groupBy("doc_id")
+                 .agg(F.sum("score").alias("_ss"),
+                      F.countDistinct("cid").alias("_ns")))
+            if eff_mm > 0:
+                g = g.where(F.col("_ns") >= eff_mm)
+            sunion = g.select("doc_id", "_ss")
+        if not (mu or fl):
+            if sunion is None:
+                return None
+            base = sunion.select("doc_id", F.col("_ss").alias("score"))
+        else:
+            base = None
+            for m in mu:
+                m = m.select("doc_id", F.col("score").alias("_ms"))
+                base = (m.select("doc_id", F.col("_ms").alias("score"))
+                        if base is None else
+                        base.join(m, "doc_id")
+                        .select("doc_id", (F.col("score")
+                                           + F.col("_ms")).alias("score")))
+            rest = fl
+            if base is None:  # FILTER-only node: matches at score 0
+                base = (fl[0].select("doc_id").distinct()
+                        .select("doc_id", F.lit(0.0).alias("score")))
+                rest = fl[1:]
+            for f_ in rest:
+                base = base.join(f_.select("doc_id").distinct(),
+                                 "doc_id", "left_semi")
+            if eff_mm > 0:  # mm demands SHOULD matches even beside MUST
+                if sunion is None:
+                    return None
+                base = (base.join(sunion, "doc_id")
+                        .select("doc_id", (F.col("score")
+                                           + F.col("_ss")).alias("score")))
+            elif sunion is not None:  # optional SHOULD: left join the sums
+                base = (base.join(sunion, "doc_id", "left")
+                        .select("doc_id",
+                                (F.col("score") + F.coalesce(
+                                    F.col("_ss"), F.lit(0.0))).alias("score")))
+        for c in node.must_not:
+            neg = self._node_scores_df(c, range_terms)
+            if neg is not None:
+                base = base.join(neg.select("doc_id").distinct(),
+                                 "doc_id", "left_anti")
+        return base
+
     def _search_dataframe(self, node: Node, repo: str | None, limit: int) -> DataFrame:
-        if isinstance(node, DisMax) or any(
-                isinstance(l, SynSet) for l in iter_positive_leaves(node)):
+        node = simplify(node)
+
+        def has_kernel_only(n):
+            if isinstance(n, (DisMax, SynSet)):
+                return True
+            if isinstance(n, Bool):
+                return any(has_kernel_only(c) for c in
+                           n.should + n.must + n.must_not + n.filter)
+            return False
+
+        if has_kernel_only(node):
             raise NotImplementedError(
                 "DisMax / SynonymQuery run on the kernel strategy "
                 "(mode='kernel', the default)")
+        if is_nested(node):
+            range_terms = self._expand_ranges(
+                [l for l in iter_all_leaves(node) if isinstance(l, EXPANDABLE)])
+            agg = self._node_scores_df(node, range_terms)
+            if agg is None:
+                return self.spark.createDataFrame([], HITS_SCHEMA)
+            return self._finalize_df_hits(agg, repo)
         should, must, must_not, filters, min_should = _leaves_of(node)
         positive = should + must
         range_terms = self._expand_ranges(positive + must_not + filters)
@@ -1064,6 +1200,11 @@ class SearchEngine:
             if neg is not None:
                 scores = scores.join(neg.select("doc_id").distinct(), "doc_id", "left_anti")
         agg = scores.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        return self._finalize_df_hits(agg, repo)
+
+    def _finalize_df_hits(self, agg: DataFrame, repo: str | None) -> DataFrame:
+        """Shared DataFrame-strategy tail: liveDocs (tombstone anti-join) and
+        the collection docID-range filter."""
         tt = self._tombstones_table()
         if tt is not None:
             agg = agg.join(tt.read(self.spark).select("doc_id"), "doc_id", "left_anti")
@@ -1089,8 +1230,17 @@ class SearchEngine:
             # returning an empty compile that would read as "no hits".
             raise ValueError("*:* (MatchAllDocsQuery) is not supported on "
                              "the batch/explain kernel path; use search()")
+        node = simplify(node)
         dismax_tie = None
-        if isinstance(node, DisMax):
+        tree = None
+        if is_nested(node):
+            # nested boolean plan (parenthesized query the flatten rewrites
+            # can't legally collapse): compile the recursive spec tree
+            range_terms = self._expand_ranges(
+                [l for l in iter_all_leaves(node) if isinstance(l, EXPANDABLE)])
+            tree, specs = _compile_tree(node, range_terms)
+            min_should = 0
+        elif isinstance(node, DisMax):
             # DisjunctionMaxQuery: flatten each disjunct separately and tag
             # its leaves with a group id; _score_slice combines per-group
             # sums with max + tie*(sum of others).  Disjuncts are ordinary
@@ -1135,8 +1285,9 @@ class SearchEngine:
             "needs_positions": any(s["kind"] == "phrase" for s in specs),
             "min_should": min_should,
             "dismax_tie": dismax_tie,
+            "tree": tree,
             "only_terms": (len(specs) > 0 and min_should <= 1
-                           and dismax_tie is None and all(
+                           and dismax_tie is None and tree is None and all(
                 s["kind"] == "term" and s["polarity"] == "should"
                 and s.get("boost", 1.0) == 1.0 for s in specs)),
             # work the query will surface, known BEFORE any scan: Σ df per
@@ -1294,7 +1445,8 @@ class SearchEngine:
                                stats, cq["doc_ranges"], limit,
                                cq["needs_positions"], dead=dead,
                                min_should=cq.get("min_should", 0),
-                               dismax_tie=cq.get("dismax_tie"))
+                               dismax_tie=cq.get("dismax_tie"),
+                               tree=cq.get("tree"))
         if out is None or not len(out):
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
@@ -1318,7 +1470,8 @@ class SearchEngine:
                                     needs_positions, norms_dirs, fields,
                                     tomb_dirs,
                                     min_should=cq.get("min_should", 0),
-                                    dismax_tie=cq.get("dismax_tie"))
+                                    dismax_tie=cq.get("dismax_tie"),
+                                    tree=cq.get("tree"))
         # No shuffle: scan tasks align with whole segment files (one live file
         # per doc-slice, non-split reads via large maxPartitionBytes in
         # session.py), so each task holds complete doc-slices — all query
@@ -1407,7 +1560,7 @@ def _null_nonphrase_positions(seg: DataFrame, phrase_pairs) -> DataFrame:
 
 def _make_slice_kernel(specs, df_map, stats, doc_ranges, k, needs_positions,
                        norms_dirs, fields, tomb_dirs=(), *,
-                       min_should=0, dismax_tie=None):
+                       min_should=0, dismax_tie=None, tree=None):
     """Build the per-task numpy scoring kernel (closure shipped to executors).
 
     Input: arrow batches of segment block rows; a task's rows are whole
@@ -1420,7 +1573,8 @@ def _make_slice_kernel(specs, df_map, stats, doc_ranges, k, needs_positions,
     only_terms = (all(s["kind"] == "term" and s["polarity"] == "should"
                       and s.get("boost", 1.0) == 1.0
                       for s in specs) and len(specs) > 0
-                  and min_should <= 1 and dismax_tie is None)
+                  and min_should <= 1 and dismax_tie is None
+                  and tree is None)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames = [b for b in batches if len(b)]
@@ -1438,7 +1592,7 @@ def _make_slice_kernel(specs, df_map, stats, doc_ranges, k, needs_positions,
                 out = _score_slice(sl, norms_pdf, specs, df_map, stats,
                                    doc_ranges, k, needs_positions, dead=dead,
                                    min_should=min_should,
-                                   dismax_tie=dismax_tie)
+                                   dismax_tie=dismax_tie, tree=tree)
             if out is not None and len(out):
                 yield out
 
@@ -1470,7 +1624,8 @@ def _make_multi_slice_kernel(compiled, df_map, stats, k, norms_dirs, fields,
                     out = _score_slice(sl, norms_pdf, c["specs"], df_map, stats,
                                        c["doc_ranges"], k, c["needs_positions"],
                                        dead=dead,
-                                       min_should=c.get("min_should", 0))
+                                       min_should=c.get("min_should", 0),
+                                       tree=c.get("tree"))
                 if out is not None and len(out):
                     out = out.copy()
                     out.insert(0, "query_id", c["qid"])
@@ -1791,11 +1946,156 @@ def _empty_hits() -> pd.DataFrame:
                          "score": pd.Series([], dtype="float64")})
 
 
+def _eval_tree_slice(tree, idx, norm_lookup, df_map, stats, doc_ranges,
+                     dead: np.ndarray | None = None):
+    """Recursively evaluate a compiled spec tree (``_compile_tree``) over one
+    doc-slice: returns (sorted unique docIDs matching the node, scores).
+
+    Lucene BooleanWeight / BS2 semantics per Bool node: every MUST and
+    FILTER child matches; no MUST_NOT child matches; #matching SHOULD
+    children >= max(minimumNumberShouldMatch, 1 if there are no MUST/FILTER
+    children else 0); score = Σ matching MUST scores + Σ matching SHOULD
+    scores (FILTER children gate but contribute 0 — ConstantScore(0)).
+    DisMax nodes combine children with max + tie × (sum of the others).
+    All-numpy; leaf scoring matches ``_score_slice``'s flat path
+    bit-for-bit (same bm25 kernels on the same decoded streams)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+
+    def dl_of(field, ids):
+        nd, dls = norm_lookup[field]
+        return dls[np.searchsorted(nd, ids)]
+
+    def leaf(s):
+        field = s["field"]
+        boost = s.get("boost", 1.0)
+        n_docs, avgdl = stats.get(field, (0.0, 1.0))
+        if s["kind"] == "phrase":
+            decoded = _phrase_decode_selective(idx, field, s["terms"])
+            ids, ptf = _phrase_match(decoded, s["terms"], s["offsets"],
+                                     s.get("slop", 0))
+            keep = _in_ranges(ids, doc_ranges, dead)
+            ids, ptf = ids[keep], ptf[keep]
+            if not ids.size:
+                return empty
+            idf_sum = boost * float(sum(
+                bm25.idf(df_map.get((field, t), 0.0) or 1.0, n_docs)
+                for t in s["terms"]))
+            return ids, idf_sum * bm25.tf_norm(ptf.astype(np.float64),
+                                               dl_of(field, ids), avgdl)
+        decoded = {t: idx.decoded(field, t, False) for t in s["terms"]
+                   if idx.blocks(field, t) is not None}
+        if s["kind"] == "range":
+            if not decoded:
+                return empty
+            ids = np.unique(np.concatenate([v[0] for v in decoded.values()]))
+            ids = ids[_in_ranges(ids, doc_ranges, dead)]
+            return ids, np.full(ids.size, boost, np.float64)
+        if s["kind"] == "syn":
+            if not decoded:
+                return empty
+            ids_all = np.concatenate([v[0] for v in decoded.values()])
+            tfs_all = np.concatenate([v[1] for v in decoded.values()])
+            keep = _in_ranges(ids_all, doc_ranges, dead)
+            ids_all, tfs_all = ids_all[keep], tfs_all[keep]
+            ids, inv = np.unique(ids_all, return_inverse=True)
+            df_syn = max((df_map.get((field, t), 0.0) for t in s["terms"]),
+                         default=0.0)
+            if df_syn <= 0 or ids.size == 0:
+                return empty
+            tf_sum = np.bincount(inv, weights=tfs_all.astype(np.float64))
+            scores = bm25.score(tf_sum, dl_of(field, ids), df_syn,
+                                n_docs, avgdl)
+            return ids, (scores * boost if boost != 1.0 else scores)
+        # term
+        t = s["terms"][0] if s["terms"] else None
+        got = decoded.get(t)
+        if got is None:
+            return empty
+        ids, tfs = got[0], got[1]
+        keep = _in_ranges(ids, doc_ranges, dead)
+        ids, tfs = ids[keep], tfs[keep]
+        df = df_map.get((field, t), 0.0)
+        if df <= 0 or ids.size == 0:
+            return empty
+        scores = bm25.score(tfs.astype(np.float64), dl_of(field, ids), df,
+                            n_docs, avgdl)
+        return ids, (scores * boost if boost != 1.0 else scores)
+
+    def ev(n):
+        if "op" not in n:
+            return leaf(n)
+        if n["op"] == "dismax":
+            evals = [ev(c) for c in n["children"]]
+            evals = [e for e in evals if e[0].size]
+            if not evals:
+                return empty
+            uniq = np.unique(np.concatenate([e[0] for e in evals]))
+            mat = np.zeros((len(evals), uniq.size), np.float64)
+            for i, (ids, sc) in enumerate(evals):
+                mat[i, np.searchsorted(uniq, ids)] = sc
+            mx = mat.max(axis=0)
+            return uniq, mx + n["tie"] * (mat.sum(axis=0) - mx)
+        # bool
+        mu = [ev(c) for c in n["must"]]
+        fl = [ev(c) for c in n["filter"]]
+        base = None
+        for ids, _ in mu + fl:
+            base = ids if base is None else base[
+                np.isin(base, ids, assume_unique=True)]
+            if base.size == 0:
+                return empty
+        sh = [ev(c) for c in n["should"]]
+        eff_mm = max(n["mm"], 0 if base is not None else 1)
+        if sh and any(ids.size for ids, _ in sh):
+            uniq = np.unique(np.concatenate([ids for ids, _ in sh]))
+            cnt = np.zeros(uniq.size, np.int64)
+            ssc = np.zeros(uniq.size, np.float64)
+            for ids, sc in sh:
+                if ids.size:
+                    pos = np.searchsorted(uniq, ids)
+                    cnt[pos] += 1
+                    ssc[pos] += sc
+            if eff_mm > 0:
+                ok = cnt >= eff_mm
+                uniq, ssc = uniq[ok], ssc[ok]
+            if base is None:
+                final, score = uniq, ssc
+            else:
+                if eff_mm > 0:
+                    final = base[np.isin(base, uniq, assume_unique=True)]
+                else:
+                    final = base
+                score = np.zeros(final.size, np.float64)
+                pos = np.searchsorted(uniq, final)
+                inb = pos < uniq.size
+                hit = inb.copy()
+                hit[inb] = uniq[pos[inb]] == final[inb]
+                score[hit] += ssc[pos[hit]]
+        else:
+            if base is None or eff_mm > 0:
+                return empty  # no (matching) SHOULD but mm demands some
+            final = base
+            score = np.zeros(final.size, np.float64)
+        for ids, sc in mu:  # final ⊆ every MUST's ids by construction
+            score = score + sc[np.searchsorted(ids, final)]
+        if n["must_not"]:
+            neg = [ev(c)[0] for c in n["must_not"]]
+            neg = [x for x in neg if x.size]
+            if neg:
+                keep = ~np.isin(final, np.unique(np.concatenate(neg)),
+                                assume_unique=True)
+                final, score = final[keep], score[keep]
+        return final, score
+
+    return ev(tree)
+
+
 def _score_slice(sl, norms_pdf, specs, df_map,
                  stats, doc_ranges, k, needs_positions,
                  dead: np.ndarray | None = None, *,
                  min_should: int = 0,
-                 dismax_tie: float | None = None) -> pd.DataFrame:
+                 dismax_tie: float | None = None,
+                 tree=None) -> pd.DataFrame:
     """Score one doc-slice: top-k (doc_id, score), numpy throughout.
 
     ``sl`` may be a block-row DataFrame or a prebuilt _SliceIndex;
@@ -1808,9 +2108,20 @@ def _score_slice(sl, norms_pdf, specs, df_map,
     DisjunctionMaxQuery's max + tie×(sum of other groups) instead of the
     boolean sum.  FILTER leaves gate but never score; a query with ONLY
     filter leaves returns empty (every facade surface pairs a filter with a
-    scoring main query — Lucene would match at score 0)."""
+    scoring main query — Lucene would match at score 0).
+
+    ``tree``: compiled spec tree for NESTED boolean plans — routes to the
+    recursive ``_eval_tree_slice`` (specs/min_should/dismax_tie unused)."""
     idx = _as_slice_index(sl)
     norm_lookup = _build_norm_lookup(norms_pdf)
+
+    if tree is not None:
+        uniq, total = _eval_tree_slice(tree, idx, norm_lookup, df_map,
+                                       stats, doc_ranges, dead)
+        if uniq.size == 0:
+            return _empty_hits()
+        order = np.lexsort((uniq, -total))[:k]
+        return pd.DataFrame({"doc_id": uniq[order], "score": total[order]})
 
     def dl_of(field, ids):
         nd, dls = norm_lookup[field]

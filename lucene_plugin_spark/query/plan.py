@@ -143,8 +143,7 @@ class Bool(Node):
 @dataclass(frozen=True)
 class DisMax(Node):
     """Lucene ``DisjunctionMaxQuery`` — score = max over disjunct scores +
-    ``tie`` × (sum of the others).  Top-level only (each disjunct is an
-    ordinary flat query; nested DisMax is not produced by any surface)."""
+    ``tie`` × (sum of the others)."""
     disjuncts: tuple[Node, ...] = ()
     tie: float = 0.0
 
@@ -173,3 +172,86 @@ def iter_all_leaves(node: Node):
     elif isinstance(node, DisMax):
         for c in node.disjuncts:
             yield from iter_all_leaves(c)
+
+
+def simplify(node: Node) -> Node:
+    """Lucene ``BooleanQuery#rewrite``-style flattenings that preserve
+    matching AND scoring exactly; anything not provably flatten-safe is
+    left nested for the tree evaluator.
+
+    - a pure-SHOULD Bool child in a SHOULD list inlines its children
+      (>=1-of-union matching and score-sum are identical) when neither
+      level carries minimumNumberShouldMatch > 1;
+    - a pure-MUST Bool child in a MUST list inlines (AND associativity);
+    - a pure-SHOULD Bool child in MUST_NOT position distributes
+      (De Morgan: NOT(a OR b) = NOT a AND NOT b);
+    - a single-positive-clause Bool rewrites to the clause itself
+      (Lucene's 1-clause BooleanQuery rewrite).
+    """
+    if isinstance(node, DisMax):
+        return DisMax(disjuncts=tuple(simplify(c) for c in node.disjuncts),
+                      tie=node.tie)
+    if not isinstance(node, Bool):
+        return node
+    should = [simplify(c) for c in node.should]
+    must = [simplify(c) for c in node.must]
+    must_not = [simplify(c) for c in node.must_not]
+    filt = [simplify(c) for c in node.filter]
+
+    def pure_should(b: Node) -> bool:
+        return (isinstance(b, Bool) and bool(b.should) and not b.must
+                and not b.must_not and not b.filter and b.min_should <= 1)
+
+    def pure_must(b: Node) -> bool:
+        return (isinstance(b, Bool) and bool(b.must) and not b.should
+                and not b.must_not and not b.filter and b.min_should == 0)
+
+    if node.min_should <= 1:
+        flat: list[Node] = []
+        for c in should:
+            flat.extend(c.should) if pure_should(c) else flat.append(c)
+        should = flat
+    flat = []
+    for c in must:
+        if pure_must(c):
+            flat.extend(c.must)
+        elif pure_should(c) and len(c.should) == 1:
+            flat.append(c.should[0])
+        else:
+            flat.append(c)
+    must = flat
+    flat = []
+    for c in must_not:
+        if pure_should(c):
+            flat.extend(c.should)
+        elif pure_must(c) and len(c.must) == 1:
+            flat.append(c.must[0])
+        else:
+            flat.append(c)
+    must_not = flat
+    if (len(should) == 1 and not must and not must_not and not filt
+            and node.min_should <= 1):
+        return should[0]
+    if (len(must) == 1 and not should and not must_not and not filt
+            and node.min_should == 0):
+        return must[0]
+    return Bool(should=tuple(should), must=tuple(must),
+                must_not=tuple(must_not), filter=tuple(filt),
+                min_should=node.min_should)
+
+
+def is_nested(node: Node) -> bool:
+    """True when (post-:func:`simplify`) the plan still has composite
+    children — flattening would change Lucene semantics, so the recursive
+    tree evaluator must run it."""
+    if isinstance(node, Bool):
+        return any(isinstance(c, (Bool, DisMax)) for c in
+                   node.should + node.must + node.must_not + node.filter)
+    if isinstance(node, DisMax):
+        return any(
+            isinstance(d, DisMax)
+            or (isinstance(d, Bool) and (is_nested(d) or bool(d.must)
+                                         or bool(d.must_not) or bool(d.filter)
+                                         or d.min_should > 1))
+            for d in node.disjuncts)
+    return False

@@ -154,8 +154,14 @@ def test_dismax_tie_zero_is_pure_max(spark, built):
         assert abs(s - max(a.get(d, 0.0), b.get(d, 0.0))) < 1e-9
 
 
-def test_dismax_rejects_non_should(spark, built):
-    catalog, _ = built
+def test_dismax_conjunction_disjunct(spark, built):
+    """DisMax disjuncts are arbitrary queries (Lucene places no shape
+    restriction): a conjunction disjunct routes through the recursive tree
+    evaluator and matches the oracle."""
+    catalog, oracle = built
     eng = SearchEngine(spark, catalog)
-    with pytest.raises(ValueError):
-        eng.search_dismax(None, ["index AND query"], tie=0.1, limit=10)
+    qs = ["index AND query", "cache merge"]
+    got = _got(eng.search_dismax(None, qs, tie=0.1, limit=30))
+    want = oracle.search_dismax(None, qs, tie=0.1, limit=30)
+    assert got
+    _assert_match(got, want)
