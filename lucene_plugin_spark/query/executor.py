@@ -390,9 +390,12 @@ class SearchEngine:
                         limit: int = 255, mode: str = "kernel") -> DataFrame:
         """:meth:`search` with a FILTER clause (BooleanClause.Occur.FILTER):
         ``filter_query`` must match but contributes nothing to the score —
-        Lucene's cached-filter / ConstantScore(0) wrapping."""
+        Lucene's cached-filter / ConstantScore(0) wrapping.  mm=1 makes the
+        main query required (the Solr/ES ``q``+``fq`` idiom) — without it
+        Lucene would also match filter-only docs at score 0."""
         qn, fn = parse_query(query), parse_query(filter_query)
-        return self.search_node(Bool(should=(qn,), filter=(fn,)),
+        return self.search_node(Bool(should=(qn,), filter=(fn,),
+                                     min_should=1),
                                 repo, limit, mode)
 
     def search_synonyms(self, repo: str | None, query: str,

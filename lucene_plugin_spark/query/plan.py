@@ -241,10 +241,15 @@ def simplify(node: Node) -> Node:
 
 
 def is_nested(node: Node) -> bool:
-    """True when (post-:func:`simplify`) the plan still has composite
-    children — flattening would change Lucene semantics, so the recursive
-    tree evaluator must run it."""
+    """True when (post-:func:`simplify`) the plan needs the recursive tree
+    evaluator: composite children (flattening would change Lucene
+    semantics), or FILTER clauses with no MUST and mm==0 — Lucene's
+    Boolean2ScorerSupplier makes SHOULD optional whenever MUST *or* FILTER
+    clauses exist, so filter-only-matching docs match at score 0, which the
+    flat path (candidates = docs hitting a scoring leaf) cannot produce."""
     if isinstance(node, Bool):
+        if node.filter and not node.must and node.min_should == 0:
+            return True
         return any(isinstance(c, (Bool, DisMax)) for c in
                    node.should + node.must + node.must_not + node.filter)
     if isinstance(node, DisMax):
