@@ -926,6 +926,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(text_gopher=text_gopher, text_normalize=text_normalize,
              text_entropy=text_entropy)
 
+    # ---- curation: decontamination + PII screening (ops/curation.py) ----
+    def cur_decontam(spark, sf):
+        # benchmark decontamination: eval set = the 12-token prefixes of
+        # docs with doc_id % 17 == 3; flag any corpus doc sharing a word
+        # 5-gram with the eval set (GPT-3-style n-gram screen).  Corpus side
+        # is map-only; eval shingles broadcast.
+        from lucene_plugin_spark.ops import curation as C
+        d = _documents(spark, sf)
+        ev = (d.where(F.col("doc_id") % 17 == 3)
+              .select(F.col("doc_id").alias("eval_id"),
+                      F.concat_ws(
+                          " ",
+                          F.slice(F.filter(F.split(F.lower("text"), " "),
+                                           lambda x: x != ""),
+                                  1, 12)).alias("etext")))
+        out = C.decontaminate(d, "doc_id", "text", ev, "etext", n=5)
+        return out.select(
+            F.col("id").alias("doc_id"),
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            "overlap_ratio", "contaminated")
+
+    def cur_pii(spark, sf):
+        # PII screen over deterministically injected PII (docs with
+        # doc_id % 7 == 0 get an email + IPv4 + phone tail); counts per
+        # detector + sha256 of the redacted text.  Pure map pass.
+        from lucene_plugin_spark.ops import curation as C
+        d = _documents(spark, sf)
+        did = F.col("doc_id")
+        tail = F.concat(
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com from 10.0."),
+            (did % 200).cast("string"), F.lit("."),
+            (did % 250).cast("string"), F.lit(" or 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"))
+        pdf = d.select(
+            "doc_id",
+            F.when(did % 7 == 0, F.concat(F.col("text"), tail))
+             .otherwise(F.col("text")).alias("ptext"))
+        out = C.pii_screen(pdf, "doc_id", "ptext")
+        return out.select(
+            F.col("id").alias("doc_id"),
+            F.col("n_emails").cast("bigint").alias("n_emails"),
+            F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+            F.col("n_phones").cast("bigint").alias("n_phones"),
+            F.col("n_pii").cast("bigint").alias("n_pii"),
+            "redacted_sha256")
+
+    q.update(cur_decontam=cur_decontam, cur_pii=cur_pii)
+
     # ---- deterministic sampling / selection (training-data curation) ----
     def sample_hash(spark, sf):
         from lucene_plugin_spark.ops import sampling as S
@@ -1063,6 +1114,8 @@ def _rotate_for_gate(q: dict) -> dict:
         "text_normalize", "text_entropy",
         # new in r3 (third block): extended boolean surface
         "ft_min_should", "ft_filter", "ft_synonym", "ft_dismax", "ft_nested",
+        # new in r3 (fourth block): curation — decontamination, PII screen
+        "cur_decontam", "cur_pii",
     ]
     head = [k for k in never_checked if k in q]
     mid = [k for k in q if k not in head and k not in _GATE_TAIL]
@@ -2039,6 +2092,56 @@ WITH px AS (
 SELECT doc_id, u.ts::bigint AS frame_ts_ms,
        sha256(substr(p144, 1 + 48*(u.ts//1000), 48)) AS frame_sha256
 FROM px, UNNEST([0, 1000, 2000]) u(ts)
+"""
+
+    # benchmark decontamination: corpus 5-gram shingles vs the eval set
+    # (12-token prefixes of docs with doc_id % 17 == 3); a 5-gram of the
+    # prefix starts at pos <= 7 so it ends by pos 11 (ops/curation.py)
+    _ej = "\n".join(
+        f"JOIN rtok e{i} ON e0.doc_id = e{i}.doc_id AND e{i}.pos = e0.pos + {i}"
+        for i in range(1, 5))
+    _ec = " || ' ' || ".join(f"e{i}.token" for i in range(5))
+    o["cur_decontam"] = f"""
+WITH {_RAWTOK},
+{_shingle_sql(5)},
+esh AS (SELECT DISTINCT {_ec} AS shingle
+        FROM rtok e0
+        {_ej}
+        WHERE e0.doc_id % 17 = 3 AND e0.pos <= 7),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+shared AS (SELECT s.doc_id, count(*) AS n_shared
+           FROM sh s JOIN esh USING (shingle) GROUP BY s.doc_id)
+SELECT sizes.doc_id AS doc_id, sizes.n_shingles::bigint AS n_shingles,
+       coalesce(shared.n_shared, 0)::bigint AS n_shared,
+       round(coalesce(shared.n_shared, 0)::double / sizes.n_shingles, 6)
+         AS overlap_ratio,
+       coalesce(shared.n_shared, 0) >= 1 AS contaminated
+FROM sizes LEFT JOIN shared ON sizes.doc_id = shared.doc_id
+"""
+
+    # PII screen over the same deterministic injection as the Spark entry;
+    # patterns are the Java∩RE2 strings from ops/curation.py verbatim
+    from lucene_plugin_spark.ops.curation import EMAIL_RE, IPV4_RE, PHONE_RE
+    o["cur_pii"] = f"""
+WITH p AS (SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text
+         || ' contact user' || doc_id || '@example.com from 10.0.'
+         || (doc_id % 200) || '.' || (doc_id % 250) || ' or 555-'
+         || lpad((doc_id % 1000)::varchar, 3, '0') || '-'
+         || lpad((doc_id % 10000)::varchar, 4, '0')
+    ELSE text END AS ptext FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(ptext, '{EMAIL_RE}'))::bigint AS n_emails,
+  len(regexp_extract_all(ptext, '{IPV4_RE}'))::bigint AS n_ipv4,
+  len(regexp_extract_all(ptext, '{PHONE_RE}'))::bigint AS n_phones,
+  (len(regexp_extract_all(ptext, '{EMAIL_RE}'))
+   + len(regexp_extract_all(ptext, '{IPV4_RE}'))
+   + len(regexp_extract_all(ptext, '{PHONE_RE}')))::bigint AS n_pii,
+  sha256(regexp_replace(regexp_replace(regexp_replace(ptext,
+      '{EMAIL_RE}', '<EMAIL>', 'g'),
+      '{IPV4_RE}', '<IP>', 'g'),
+      '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_sha256
+FROM p
 """
 
     return o
