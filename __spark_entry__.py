@@ -808,7 +808,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
                         F.round("revenue", 6).alias("revenue")))
 
-    q.update(tpch_q1_pricing=tpch_q1_pricing, tpch_q3_topk=tpch_q3_topk)
+    def tpch_q6(spark, sf):
+        # forecasting-revenue-change (Q6 shape): pure filter + global agg —
+        # the whole query is one pushed scan + map-side partial sum, zero
+        # joins.  DECIMAL sums so partial/final order cannot diverge from
+        # the oracle's single-pass order.
+        dec = lambda c: F.col(c).cast("decimal(18,2)")
+        li = _tab(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (dec("l_discount") >= F.lit("0.05").cast("decimal(18,2)"))
+            & (dec("l_discount") <= F.lit("0.07").cast("decimal(18,2)"))
+            & (F.col("l_quantity") < 24))
+        return li.agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+             .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"))
+
+    q.update(tpch_q1_pricing=tpch_q1_pricing, tpch_q3_topk=tpch_q3_topk,
+             tpch_q6=tpch_q6)
+
+    def ev_quantiles(spark, sf):
+        # exact per-group percentiles (PERCENTILE_CONT semantics; linear
+        # interpolation at rank p*(n-1)).  Exact is the oracle-gated form;
+        # at 100 TB the same entry shape runs percentile_approx (t-digest,
+        # mergeable partial state) — exact needs a per-group sort.
+        ev = _events(spark, sf)
+        return (ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99")))
+
+    q.update(ev_quantiles=ev_quantiles)
+
+    def ft_field_stats(spark, sf):
+        # Lucene CollectionStatistics analogue (IndexReader.getSumDocFreq /
+        # getSumTotalTermFreq / getDocCount per field — the statistics BM25
+        # reads): one tiny agg over term_dict + field_lens, no corpus scan.
+        cat, _ = _engine(spark, sf)
+        td = cat.table("term_dict").read(spark)
+        fl = cat.table("field_lens").read(spark)
+        a = td.groupBy("field").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("df").cast("bigint").alias("sum_df"),
+            F.sum("cf").cast("bigint").alias("sum_cf"))
+        b = fl.groupBy("field").agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"))
+        return a.join(b, "field").select(
+            "field", "n_terms", "sum_df", "sum_cf", "doc_count")
+
+    q.update(ft_field_stats=ft_field_stats)
 
     # ---- custom join operators (brief: as-of join / range join) ----
     def ev_asof_join(spark, sf):
@@ -1116,6 +1166,9 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_min_should", "ft_filter", "ft_synonym", "ft_dismax", "ft_nested",
         # new in r3 (fourth block): curation — decontamination, PII screen
         "cur_decontam", "cur_pii",
+        # new in r3 (fifth block): Q6 scan-agg, exact per-group percentiles,
+        # per-field collection statistics
+        "tpch_q6", "ev_quantiles", "ft_field_stats",
     ]
     head = [k for k in never_checked if k in q]
     mid = [k for k in q if k not in head and k not in _GATE_TAIL]
@@ -2092,6 +2145,44 @@ WITH px AS (
 SELECT doc_id, u.ts::bigint AS frame_ts_ms,
        sha256(substr(p144, 1 + 48*(u.ts//1000), 48)) AS frame_sha256
 FROM px, UNNEST([0, 1000, 2000]) u(ts)
+"""
+
+    o["tpch_q6"] = """
+SELECT sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE
+         AS revenue,
+       count(*)::bigint AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount::DECIMAL(18,2) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+    # exact PERCENTILE_CONT per group (linear interpolation at p*(n-1) —
+    # Spark percentile() and DuckDB quantile_cont share the definition)
+    o["ev_quantiles"] = """
+SELECT event_type, count(*)::bigint AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+    # per-field collection statistics: text from the analyzed-token CTE;
+    # lang/src are single-token map fields (one token per doc)
+    o["ft_field_stats"] = f"""
+WITH {_TOK}
+SELECT 'text' AS field,
+       (SELECT count(*) FROM dfx)::bigint AS n_terms,
+       (SELECT sum(df) FROM dfx)::bigint AS sum_df,
+       (SELECT sum(tf) FROM tf)::bigint AS sum_cf,
+       (SELECT count(*) FROM dl)::bigint AS doc_count
+UNION ALL
+SELECT 'lang', count(DISTINCT lang)::bigint, count(*)::bigint,
+       count(*)::bigint, count(*)::bigint FROM documents
+UNION ALL
+SELECT 'src', count(DISTINCT source)::bigint, count(*)::bigint,
+       count(*)::bigint, count(*)::bigint FROM documents
 """
 
     # benchmark decontamination: corpus 5-gram shingles vs the eval set
