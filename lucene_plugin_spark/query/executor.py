@@ -40,7 +40,7 @@ from lucene_plugin_spark.index import codec
 from lucene_plugin_spark.query import bm25
 from lucene_plugin_spark.query.parser import parse_query, sanitize_collection
 from lucene_plugin_spark.query.expand import (EXPANDABLE, exp_cond, exp_key,
-                                              exp_match)
+                                              exp_mask, exp_match)
 from lucene_plugin_spark.query.plan import (Bool, DisMax, Fuzzy, MatchAll,
                                             Node, Phrase, Range, SynSet, Term,
                                             Wildcard, is_nested,
@@ -177,6 +177,12 @@ class SearchEngine:
         self._blocks_cache: dict[tuple[str, str], dict] = {}
         self._blocks_cache_rows = 0
         self._range_cache: dict[tuple[str, str, str], list[str]] = {}
+        # driver-local term dictionary (pandas) — Lucene keeps the term
+        # dictionary FST memory-resident per segment; we mirror that up to
+        # td_local_max_rows and fall back to the distributed term_dict scan
+        # above it (10^12-file corpora).  None = not yet probed, False =
+        # too large / unreadable, else a pandas frame.
+        self._td_local: object = None
 
     # ------------------------------------------------------------- warm path
     #: warm() collects the docID->path map to the driver only below this many
@@ -237,6 +243,50 @@ class SearchEngine:
             return self._td_cached
         return self.catalog.table("term_dict").read(self.spark)
 
+    #: rows above which the term dictionary stays distributed-only.  Below
+    #: it, the dictionary is read once driver-side via parquet footers +
+    #: pyarrow (no Spark job) and every expansion / df lookup resolves
+    #: in-process — the analogue of Lucene's memory-resident terms index.
+    #: 2M rows of (field, term, df, cf) is ~100-200 MB peak, well under a
+    #: driver's budget; a 10^12-file code corpus blows past the bound and
+    #: keeps the honest distributed scan.
+    td_local_max_rows = 2_000_000
+
+    def _term_dict_local(self):
+        """Driver-local pandas term dictionary, or None (too large /
+        unreadable).  Reads the CURRENT snapshot's parquet dirs directly via
+        pyarrow — no Spark job; footer metadata answers the size probe."""
+        if self._td_local is False:
+            return None
+        if self._td_local is not None:
+            return self._td_local
+        try:
+            import glob as _glob
+
+            import pyarrow.dataset as pads
+
+            from lucene_plugin_spark.storage.catalog import entry_path
+            snap = self.catalog.table("term_dict").snapshot()
+            files: list[str] = []
+            for e in snap.data_dirs:
+                files.extend(_glob.glob(
+                    os.path.join(entry_path(e), "**", "*.parquet"),
+                    recursive=True))
+            if not files:
+                self._td_local = False
+                return None
+            dset = pads.dataset(files, format="parquet")
+            if dset.count_rows() > self.td_local_max_rows:
+                self._td_local = False
+                return None
+            pdf = dset.to_table(
+                columns=["field", "term", "df", "cf"]).to_pandas()
+        except Exception:
+            self._td_local = False
+            return None
+        self._td_local = pdf
+        return pdf
+
     def _meta_path_df(self) -> DataFrame:
         if self._meta_cached is not None:
             return self._meta_cached
@@ -251,14 +301,24 @@ class SearchEngine:
         positions) for the phrase cost estimate."""
         missing = [p for p in pairs if p not in self._df_cache]
         if missing:
-            td = self._term_dict_df()
-            fields = sorted({f for f, _ in missing})
-            terms = sorted({t for _, t in missing})
-            rows = (td.where(f"field IN ({_sql_in_list(fields)}) "
-                             f"AND term IN ({_sql_in_list(terms)})")
-                    .collect())
-            found = {(r["field"], r["term"]): float(r["df"]) for r in rows}
-            cfs = {(r["field"], r["term"]): float(r["cf"]) for r in rows}
+            tdl = self._term_dict_local()
+            if tdl is not None:
+                fs = {f for f, _ in missing}
+                ts = {t for _, t in missing}
+                sub = tdl[tdl["field"].isin(fs) & tdl["term"].isin(ts)]
+                found = {(f, t): float(d) for f, t, d in
+                         zip(sub["field"], sub["term"], sub["df"])}
+                cfs = {(f, t): float(c) for f, t, c in
+                       zip(sub["field"], sub["term"], sub["cf"])}
+            else:
+                td = self._term_dict_df()
+                fields = sorted({f for f, _ in missing})
+                terms = sorted({t for _, t in missing})
+                rows = (td.where(f"field IN ({_sql_in_list(fields)}) "
+                                 f"AND term IN ({_sql_in_list(terms)})")
+                        .collect())
+                found = {(r["field"], r["term"]): float(r["df"]) for r in rows}
+                cfs = {(r["field"], r["term"]): float(r["cf"]) for r in rows}
             for p in missing:
                 self._df_cache[p] = found.get(p, 0.0)
                 self._cf_cache[p] = cfs.get(p, 0.0)
@@ -299,10 +359,15 @@ class SearchEngine:
         for r in [l for l in leaves if isinstance(l, EXPANDABLE)]:
             key = exp_key(r)
             if key not in self._range_cache:
-                if td is None:
-                    td = self._term_dict_df()
-                terms = td.where(exp_cond(r)).select("term").collect()
-                self._range_cache[key] = sorted(x["term"] for x in terms)
+                tdl = self._term_dict_local()
+                if tdl is not None:
+                    mask = exp_mask(r, tdl["field"], tdl["term"])
+                    self._range_cache[key] = sorted(tdl["term"][mask].tolist())
+                else:
+                    if td is None:
+                        td = self._term_dict_df()
+                    terms = td.where(exp_cond(r)).select("term").collect()
+                    self._range_cache[key] = sorted(x["term"] for x in terms)
             out[r] = self._range_cache[key]
         return out
 
@@ -330,6 +395,30 @@ class SearchEngine:
                 missing_r.append(r)
         missing_p = sorted(p for p in exact_pairs if p not in self._df_cache)
         if not missing_r and not missing_p:
+            return
+        tdl = self._term_dict_local()
+        if tdl is not None:
+            # in-process resolution: same fills as the distributed scan
+            # below, zero Spark jobs
+            for r in missing_r:
+                mask = exp_mask(r, tdl["field"], tdl["term"])
+                sub = tdl[mask]
+                self._range_cache[exp_key(r)] = sorted(sub["term"].tolist())
+                for f, t, d, c in zip(sub["field"], sub["term"],
+                                      sub["df"], sub["cf"]):
+                    self._df_cache[(f, t)] = float(d)
+                    self._cf_cache[(f, t)] = float(c)
+            if missing_p:
+                fs = {f for f, _ in missing_p}
+                ts = {t for _, t in missing_p}
+                sub = tdl[tdl["field"].isin(fs) & tdl["term"].isin(ts)]
+                for f, t, d, c in zip(sub["field"], sub["term"],
+                                      sub["df"], sub["cf"]):
+                    self._df_cache[(f, t)] = float(d)
+                    self._cf_cache[(f, t)] = float(c)
+            for p in missing_p:   # absent terms: df 0, never re-scanned
+                self._df_cache.setdefault(p, 0.0)
+                self._cf_cache.setdefault(p, 0.0)
             return
         conds = [exp_cond(r) for r in missing_r]
         by_field: dict[str, list[str]] = {}

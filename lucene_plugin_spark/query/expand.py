@@ -186,6 +186,52 @@ def exp_cond(leaf):
             & (F.levenshtein(F.col("term"), F.lit(leaf.term)) <= leaf.max_edits))
 
 
+def exp_mask(leaf, fields, terms):
+    """Vectorized membership over a driver-local term dictionary: boolean
+    numpy mask with ``mask[i] == exp_match(leaf, fields[i], terms[i])``.
+
+    ``fields``/``terms`` are pandas Series.  Range is fully vectorized;
+    Wildcard/Regexp prefilter with the sound literal prefix
+    (``wildcard_prefix``/``regexp_prefix`` — same pushdown as the Spark
+    path) then run the compiled regex on survivors only; Fuzzy prefilters
+    with the length band before the Python DP.  Property-tested against
+    :func:`exp_match` element-wise (test_nested_property.py)."""
+    import numpy as np
+
+    m = (fields == leaf.field).to_numpy(dtype=bool, copy=True)
+    if not m.any():
+        return m
+    if isinstance(leaf, Range):
+        t = terms.to_numpy()
+        lo = (t >= leaf.lo) if leaf.include_lo else (t > leaf.lo)
+        hi = (t <= leaf.hi) if leaf.include_hi else (t < leaf.hi)
+        return m & lo & hi
+    if isinstance(leaf, (Wildcard, Regexp)):
+        prefix = (wildcard_prefix(leaf.pattern) if isinstance(leaf, Wildcard)
+                  else regexp_prefix(leaf.pattern))
+        if prefix:
+            m &= terms.str.startswith(prefix).to_numpy(dtype=bool)
+        idx = np.flatnonzero(m)
+        if idx.size:
+            if isinstance(leaf, Wildcard):
+                rx = re.compile(wildcard_regex(leaf.pattern))
+                hit = [rx.match(x) is not None for x in terms.iloc[idx]]
+            else:
+                rx = re.compile(leaf.pattern)
+                hit = [rx.fullmatch(x) is not None for x in terms.iloc[idx]]
+            m[idx] = hit
+        return m
+    # Fuzzy: length band (same sargable conjunct as exp_cond), DP on rest
+    n = len(leaf.term)
+    lens = terms.str.len().to_numpy()
+    m &= (lens >= n - leaf.max_edits) & (lens <= n + leaf.max_edits)
+    idx = np.flatnonzero(m)
+    if idx.size:
+        m[idx] = [levenshtein(x, leaf.term) <= leaf.max_edits
+                  for x in terms.iloc[idx]]
+    return m
+
+
 def exp_match(leaf, field: str, term: str) -> bool:
     """Driver/oracle-side membership test — same semantics as exp_cond."""
     if field != leaf.field:
