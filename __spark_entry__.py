@@ -976,6 +976,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(text_gopher=text_gopher, text_normalize=text_normalize,
              text_entropy=text_entropy)
 
+    def text_bigram_ppl(spark, sf):
+        # corpus-bigram cross-entropy per doc (CCNet/KenLM perplexity-filter
+        # shape; LM = the corpus itself, so fully deterministic)
+        out = T.bigram_cross_entropy(_documents(spark, sf), "doc_id", "text")
+        return out.select(F.col("id").alias("doc_id"), "n_bigrams", "xent")
+
+    def text_pack(spark, sf):
+        # greedy contiguous sequence packing (pretraining batch construction:
+        # docs laid head-to-tail into 512-token windows per source shard)
+        out = T.pack_sequences(_documents(spark, sf), "doc_id", "text",
+                               "source", budget=512)
+        return out.select(F.col("id").alias("doc_id"), "group", "n_tokens",
+                          "seq_id")
+
+    q.update(text_bigram_ppl=text_bigram_ppl, text_pack=text_pack)
+
+    # ---- lucene-join / facet-range / term-vector module analogues ----
+    def ft_block_join(spark, sf):
+        # ToParentBlockJoinQuery analogue: children = docs, parent = their
+        # 10-doc block (docIDs are dense in path order, so the block map is
+        # the Lucene parent-bitset structure); child query "spark merge"
+        # (scored OR), ScoreMode.Total
+        from lucene_plugin_spark.query.results import to_parent_join
+        _, eng = _engine(spark, sf)
+        hits = eng.search(None, "spark merge", limit=1_000_000)
+        out = to_parent_join(
+            eng, hits, F.floor(F.col("path").cast("int") / 10), "total")
+        return out.select(F.col("parent").cast("bigint").alias("parent"),
+                          F.round("score", 6).alias("score"), "n_children")
+
+    def ft_range_facets(spark, sf):
+        # LongRangeFacetCounts analogue: dl-bucketed counts of the "spark"
+        # match set (inclusive lo / exclusive hi; overlapping ranges counted
+        # independently, zero-count ranges reported)
+        from lucene_plugin_spark.query.results import range_facet_counts
+        _, eng = _engine(spark, sf)
+        hits = eng.search(None, "spark", limit=1_000_000)
+        return range_facet_counts(
+            eng, hits, [("short", 0, 40), ("mid", 40, 80),
+                        ("long", 80, 1_000_000), ("all", 0, 1_000_000)])
+
+    def ft_term_vector(spark, sf):
+        # IndexReader.getTermVector analogue: doc 7's indexed (term, tf),
+        # answered from posting blocks (slice-pruned point read)
+        _, eng = _engine(spark, sf)
+        return eng.term_vector(None, "000007")
+
+    q.update(ft_block_join=ft_block_join, ft_range_facets=ft_range_facets,
+             ft_term_vector=ft_term_vector)
+
     # ---- curation: decontamination + PII screening (ops/curation.py) ----
     def cur_decontam(spark, sf):
         # benchmark decontamination: eval set = the 12-token prefixes of
@@ -1169,6 +1219,10 @@ def _rotate_for_gate(q: dict) -> dict:
         # new in r3 (fifth block): Q6 scan-agg, exact per-group percentiles,
         # per-field collection statistics
         "tpch_q6", "ev_quantiles", "ft_field_stats",
+        # new in r3 (sixth block): streaming sink end-to-end, lucene-join /
+        # facet-range / term-vector modules, bigram perplexity, packing
+        "stream_index_search", "ft_block_join", "ft_range_facets",
+        "ft_term_vector", "text_bigram_ppl", "text_pack",
     ]
     head = [k for k in never_checked if k in q]
     mid = [k for k in q if k not in head and k not in _GATE_TAIL]
@@ -2061,6 +2115,75 @@ agg AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS clnc
         FROM cnt GROUP BY doc_id)
 SELECT doc_id, n::bigint AS n_tokens, round(ln(n) - clnc / n, 6) AS entropy
 FROM agg
+"""
+
+    # corpus-bigram cross-entropy: P(w2|w1) = c(w1 w2)/c(w1 ·) with the
+    # context count defined over bigram heads (probabilities sum to 1 per
+    # context); xent = -avg ln P over each doc's bigrams
+    o["text_bigram_ppl"] = f"""
+WITH {_RAWTOK},
+bg AS (SELECT t0.doc_id, t0.token AS w1, t1.token AS w2
+       FROM rtok t0 JOIN rtok t1
+         ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1),
+mb AS (SELECT w1, w2, count(*)::double AS cb FROM bg GROUP BY 1, 2),
+mu AS (SELECT w1, count(*)::double AS cu FROM bg GROUP BY 1),
+sc AS (SELECT bg.doc_id, ln(mb.cb) - ln(mu.cu) AS lnp
+       FROM bg JOIN mb USING (w1, w2) JOIN mu USING (w1))
+SELECT doc_id, count(*)::bigint AS n_bigrams, round(-avg(lnp), 6) AS xent
+FROM sc GROUP BY doc_id
+"""
+
+    # greedy contiguous sequence packing: seq_id = budget window the doc
+    # STARTS in, running token sum per source shard in doc_id order
+    o["text_pack"] = """
+WITH t AS (SELECT doc_id, source AS "group",
+                  len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> ''))::bigint AS n_tokens
+           FROM documents)
+SELECT doc_id, "group", n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 512.0) AS bigint) AS seq_id
+FROM t
+"""
+
+    # block join: per-doc BM25 of the scored OR, summed into floor(id/10)
+    # parent blocks (ScoreMode.Total), parent-level tie-break
+    o["ft_block_join"] = f"""
+WITH {_TOK},
+child AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('spark', 'merge')
+  GROUP BY tf.doc_id)
+SELECT CAST(floor(doc_id / 10) AS bigint) AS parent,
+       round(sum(score), 6) AS score, count(*)::bigint AS n_children
+FROM child GROUP BY 1
+"""
+
+    # range facets over the 'spark' match set: dl = analyzed token count
+    # (the field_lens docvalue), inclusive lo / exclusive hi
+    o["ft_range_facets"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+md AS (SELECT dl.dl AS dl FROM m JOIN dl USING (doc_id))
+SELECT 'short' AS label, CAST(0 AS bigint) AS lo, CAST(40 AS bigint) AS hi,
+       (SELECT count(*) FROM md WHERE dl >= 0 AND dl < 40)::bigint AS doc_count
+UNION ALL
+SELECT 'mid', 40, 80,
+       (SELECT count(*) FROM md WHERE dl >= 40 AND dl < 80)::bigint
+UNION ALL
+SELECT 'long', 80, 1000000,
+       (SELECT count(*) FROM md WHERE dl >= 80 AND dl < 1000000)::bigint
+UNION ALL
+SELECT 'all', 0, 1000000,
+       (SELECT count(*) FROM md WHERE dl >= 0 AND dl < 1000000)::bigint
+"""
+
+    # term vector of doc 7: analyzed (term, tf) — what the index stores
+    o["ft_term_vector"] = f"""
+WITH {_TOK}
+SELECT term, CAST(tf AS bigint) AS tf FROM tf WHERE doc_id = 7 ORDER BY term
 """
 
     # deterministic sampling: the SQL states the same seeded-hash-bucket

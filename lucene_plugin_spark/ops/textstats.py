@@ -185,3 +185,69 @@ def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         norm.alias("norm_text"),
         F.sha2(norm, 256).alias("norm_sha"),
         F.length(norm).cast("bigint").alias("norm_len"))
+
+
+def bigram_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_bigrams, xent): per-document cross-entropy under the corpus
+    bigram MLE model — the CCNet/KenLM perplexity-filter shape (Wenzek et
+    al. 2019) with the LM trained on the corpus itself, so the operator is
+    deterministic and needs no external model.
+
+    ``P(w2|w1) = c(w1 w2) / c(w1 ·)`` counted over the whole corpus
+    (``c(w1 ·)`` = occurrences of w1 *as a bigram head*, so probabilities
+    sum to 1 per context); ``xent = −mean ln P`` over the doc's bigrams.
+    Docs with fewer than 2 tokens have no bigrams and drop out.
+
+    Scale shape: bigrams come from ``zip_with`` over each row's token array
+    (no positional self-join), the model is two map-side-combined grouped
+    counts whose output is |distinct bigrams| / |vocab| rows — not corpus
+    rows — and the scoring join is plan-chosen (AQE broadcasts the model
+    when it fits, shuffle-joins on w1/w2 otherwise).  Two passes over the
+    corpus total, no driver-side state.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+                 lambda x: x != "").alias("toks"))
+    pairs = F.when(
+        F.size("toks") >= 2,
+        F.zip_with(F.slice("toks", 1, F.size("toks") - 1),
+                   F.slice("toks", 2, F.size("toks") - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    ).otherwise(F.array())
+    bg = (toks.select("id", F.explode(pairs).alias("p"))
+          .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    model_b = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    model_u = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    scored = (bg.join(model_b, ["w1", "w2"]).join(model_u, ["w1"])
+              .select("id", (F.log("cb") - F.log("cu")).alias("lnp")))
+    return (scored.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.round(-F.avg("lnp"), 6).alias("xent")))
+
+
+def pack_sequences(df: DataFrame, id_col: str, text_col: str,
+                   group_col: str, budget: int = 512) -> DataFrame:
+    """(id, group, n_tokens, seq_id): greedy contiguous sequence packing —
+    the pretraining batch-construction step that lays documents head-to-tail
+    into fixed token budgets.  Within each group (shard), docs in id order
+    concatenate and ``seq_id`` is the budget-window a doc STARTS in (docs may
+    straddle a boundary — concatenation-mode packing, the norm for LM
+    pretraining, not best-fit bin packing).
+
+    Deterministic: ordering is (group, id), token counts are the whitespace
+    tokenizer's.  Scale shape: ONE running-sum window per group partition —
+    groups are the parallelism unit exactly as a sharded packer runs at
+    100 TB; there is no global ordering and no driver-side state.  Skewed
+    groups are the caller's sharding choice (split a giant shard upstream).
+    """
+    from pyspark.sql import Window
+    t = df.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("group"),
+        F.size(F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+                        lambda x: x != "")).cast("bigint").alias("n_tokens"))
+    w = (Window.partitionBy("group").orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select("id", "group", "n_tokens",
+                    F.floor(start / budget).cast("bigint").alias("seq_id"))

@@ -717,6 +717,68 @@ class SearchEngine:
                 .select("doc_id", "path", "score")
                 .orderBy(F.desc("score"), F.asc("doc_id")))
 
+    def term_vector(self, repo: str | None, key: str,
+                    field: str = "text") -> DataFrame:
+        """``IndexReader.getTermVector`` analogue: the (term, tf) vector of
+        one stored document, answered from the INDEX (slice-scoped posting
+        block decode), not by re-analyzing stored content — so it reflects
+        exactly what was indexed, including post-mutation state (a deleted
+        doc returns an empty vector, an upserted doc its live version's).
+
+        Scale shape: docID resolution is a parquet-pruned one-row filter on
+        docs_meta; the block scan pushes ``field = ? AND first_doc <= id AND
+        last_doc >= id`` into the segments scan, and with slice-aligned
+        files that prunes to the single doc-slice containing the doc
+        (Lucene reads one segment's term-vector file the same way).  The
+        mapInPandas decode touches only blocks whose docID window straddles
+        the target — a bounded point read, never a corpus scan.
+        """
+        meta = self.catalog.table("docs_meta").read(self.spark)
+        cond = F.col("path") == key
+        if repo is not None:
+            cond = cond & (F.col("repo") == repo)
+        # live-version resolution: docs_meta keeps dead rows until compaction
+        # (an upserted key has BOTH its tombstoned old doc_id and its live
+        # new one), so anti-join tombstones and take the latest generation —
+        # doc_ids are append-ordered, so max(doc_id) IS last-write-wins
+        cand = meta.where(cond).select("doc_id")
+        tt = self._tombstones_table()
+        if tt is not None:
+            cand = cand.join(tt.read(self.spark).select("doc_id"),
+                             "doc_id", "left_anti")
+        row = cand.agg(F.max("doc_id").alias("doc_id")).collect()
+        empty = self.spark.createDataFrame([], "term string, tf bigint")
+        if not row or row[0]["doc_id"] is None:
+            return empty
+        doc_id = int(row[0]["doc_id"])
+        # term != "" drops the fused norms sentinel rows (fused.NORMS_TERM):
+        # norms are docvalues, not vocabulary
+        seg = (self._segments_df()
+               .where((F.col("field") == field) & (F.col("term") != "")
+                      & (F.col("first_doc") <= doc_id)
+                      & (F.col("last_doc") >= doc_id))
+               .select("term", "doc_gaps", "tfs"))
+
+        def scan(it):
+            for pdf in it:
+                terms: list[str] = []
+                tfs: list[int] = []
+                for term, gaps, tfb in zip(pdf["term"], pdf["doc_gaps"],
+                                           pdf["tfs"]):
+                    ids = codec.decode_ids(gaps)
+                    j = int(np.searchsorted(ids, doc_id))
+                    if j < ids.size and ids[j] == doc_id:
+                        terms.append(term)
+                        tfs.append(int(codec.varint_decode(tfb)[j]))
+                yield pd.DataFrame({"term": terms, "tf": tfs})
+
+        # a (term, doc) pair lives in exactly one block (docIDs are unique
+        # per posting list); the grouped sum is pure defense and its input
+        # is |doc's distinct terms| rows, not the corpus
+        return (seg.mapInPandas(scan, "term string, tf bigint")
+                .groupBy("term").agg(F.sum("tf").cast("bigint").alias("tf"))
+                .orderBy("term"))
+
     def span_near(self, repo: str | None, field: str, terms: list[str],
                   slop: int = 2, in_order: bool = False, limit: int = 255,
                   mode: str = "kernel") -> DataFrame:

@@ -107,3 +107,79 @@ def group_top_k(engine, hits: DataFrame, group_col: str = "lang",
             .select(F.col(group_col).alias("group"), "rank",
                     "doc_id", "path", "score")
             .orderBy("group", "rank"))
+
+
+def to_parent_join(engine, hits: DataFrame, parent_of,
+                   score_mode: str = "max") -> DataFrame:
+    """Child-hits -> parent-hits join (``ToParentBlockJoinQuery`` analogue,
+    the lucene-join module's block join).
+
+    In Lucene, parent and child documents are indexed as one contiguous
+    block and the parent is the block's trailing doc; each matching child's
+    score folds into its parent per ``ScoreMode``.  Our docIDs are dense and
+    assigned in (repo, path) order, so any monotone docID/path -> parent map
+    expresses the same block structure; ``parent_of`` is that map as a
+    Column over the hit frame (e.g. ``F.floor(F.col("path").cast("int")/10)``
+    for 10-child blocks).
+
+    ``score_mode``: ``max`` | ``total`` | ``avg`` | ``min`` (Lucene
+    ScoreMode.Max/Total/Avg/Min) | ``none`` (parents score 1.0, membership
+    only).  Returns DataFrame(parent, score, n_children) ordered
+    (score desc, parent asc) — the parent-level tie-break.
+
+    Scale shape: one grouped aggregation over the match set, map-side
+    combined, output |matching parents| rows; no join against the corpus.
+    """
+    aggs = {"max": F.max, "total": F.sum, "avg": F.avg, "min": F.min}
+    g = hits.withColumn("parent", parent_of)
+    if score_mode == "none":
+        out = g.groupBy("parent").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_children")
+        ).withColumn("score", F.lit(1.0))
+    elif score_mode in aggs:
+        out = g.groupBy("parent").agg(
+            aggs[score_mode]("score").alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_children"))
+    else:
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    return (out.select("parent", "score", "n_children")
+            .orderBy(F.desc("score"), F.asc("parent")))
+
+
+def range_facet_counts(engine, hits: DataFrame,
+                       ranges: list[tuple[str, int, int | None]],
+                       field: str = "text") -> DataFrame:
+    """Numeric range facets over a match set (``LongRangeFacetCounts``
+    analogue, lucene-facet module): count matching docs whose per-field
+    token length (the ``field_lens`` docvalue — dl, what BM25 normalizes
+    by) falls in each requested range.
+
+    ``ranges``: (label, lo, hi) with inclusive lo and exclusive hi
+    (``hi=None`` = unbounded).  Ranges may overlap and every requested
+    range yields a row (count 0 included) — Lucene counts each LongRange
+    independently.
+
+    Scale shape: one doc_id equi-join against the skinny field_lens table
+    (docvalues analogue, no content column) then a SINGLE conditional
+    aggregation producing one row — all ranges counted in one pass, the
+    shuffle carries one row per partition.  ``stack`` unpivots driver-side
+    schema-only; no per-range scans.
+    """
+    lens = (engine.catalog.table("field_lens").read(engine.spark)
+            .where(F.col("field") == field).select("doc_id", "dl"))
+    m = hits.select("doc_id").join(lens, "doc_id")
+    aggs = []
+    for i, (label, lo, hi) in enumerate(ranges):
+        cond = F.col("dl") >= F.lit(lo)
+        if hi is not None:
+            cond = cond & (F.col("dl") < F.lit(hi))
+        aggs.append(F.coalesce(F.sum(cond.cast("long")), F.lit(0))
+                    .alias(f"_r{i}"))
+    row = m.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{label}', {lo}L, "
+        f"{('CAST(NULL AS BIGINT)' if hi is None else str(hi) + 'L')}, _r{i}"
+        for i, (label, lo, hi) in enumerate(ranges))
+    return (row.select(F.expr(
+        f"stack({len(ranges)}, {stack_args}) AS (label, lo, hi, doc_count)"))
+        .orderBy("lo", "label"))
