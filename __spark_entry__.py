@@ -702,10 +702,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   bands=4, verify_threshold=0.4)
         return out.select(F.col("id").alias("doc_id"), "cluster_id", "kept")
 
+    def dedup_spans(spark, sf):
+        # exact duplicated-substring coverage (Lee et al. ExactSubstr at
+        # token granularity): tokens covered by a 5-gram occurring >= 2
+        # times corpus-wide, per doc
+        d = _documents(spark, sf)
+        out = D.dup_span_coverage(d, "doc_id", "text", n=5, min_count=2)
+        return out.select(F.col("id").alias("doc_id"), "n_tokens",
+                          "n_dup_tokens", "dup_fraction")
+
     q.update(dedup_exact=dedup_exact, dedup_ngram_pairs=dedup_ngram_pairs,
              dedup_minhash=dedup_minhash, dedup_simhash=dedup_simhash,
              dedup_simhash_pairs=dedup_simhash_pairs,
-             dedup_clusters=dedup_clusters)
+             dedup_clusters=dedup_clusters, dedup_spans=dedup_spans)
 
     # ---- similarity search ----
     def sim_cosine_topk(spark, sf):
@@ -1223,6 +1232,8 @@ def _rotate_for_gate(q: dict) -> dict:
         # facet-range / term-vector modules, bigram perplexity, packing
         "stream_index_search", "ft_block_join", "ft_range_facets",
         "ft_term_vector", "text_bigram_ppl", "text_pack",
+        # new in r3 (seventh block): exact substring-span dedup coverage
+        "dedup_spans",
     ]
     head = [k for k in never_checked if k in q]
     mid = [k for k in q if k not in head and k not in _GATE_TAIL]
@@ -1735,6 +1746,31 @@ walk(id, r) AS (
 ),
 cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id)
 SELECT doc_id, cluster_id, (doc_id = cluster_id) AS kept FROM cc
+"""
+
+    # exact duplicated-substring coverage: positional 5-gram starts (every
+    # occurrence one row), starts of n-grams occurring >= 2 times anywhere
+    # expand to their n covered token positions, distinct per doc
+    o["dedup_spans"] = """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '), x -> x <> '')
+                  AS toks
+           FROM documents),
+tk AS (SELECT doc_id, len(toks)::bigint AS n_tokens, toks FROM t),
+st AS (SELECT doc_id, i - 1 AS pos,
+              array_to_string(toks[i:i+4], ' ') AS shingle
+       FROM tk, UNNEST(generate_series(1, n_tokens - 4)) s(i)
+       WHERE n_tokens >= 5),
+dup AS (SELECT shingle FROM st GROUP BY shingle HAVING count(*) >= 2),
+ds AS (SELECT st.doc_id, st.pos FROM st JOIN dup USING (shingle)),
+cov AS (SELECT DISTINCT doc_id, pos + j AS cpos
+        FROM ds, UNNEST(generate_series(0, 4)) u(j)),
+nd AS (SELECT doc_id, count(*)::bigint AS n_dup FROM cov GROUP BY doc_id)
+SELECT tk.doc_id, n_tokens,
+       coalesce(nd.n_dup, 0)::bigint AS n_dup_tokens,
+       round(coalesce(nd.n_dup, 0) / greatest(n_tokens, 1)::double, 6)
+         AS dup_fraction
+FROM tk LEFT JOIN nd USING (doc_id)
 """
 
     simbits = (

@@ -356,3 +356,74 @@ def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
                               nodes=df.select(F.col(id_col).alias("id")),
                               max_iter=max_iter)
     return cc.withColumn("kept", F.col("cluster_id") == F.col("id"))
+
+
+def dup_span_coverage(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 5, min_count: int = 2) -> DataFrame:
+    """Exact duplicated-substring screening at token granularity — the
+    ExactSubstr criterion of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): a token is *duplicated* if some word
+    n-gram covering it occurs at least ``min_count`` times corpus-wide
+    (every positional occurrence counts, within- and cross-document).
+
+    Returns one row per doc: (id, n_tokens, n_dup_tokens, dup_fraction) —
+    the per-document duplicated-span coverage a pipeline thresholds to drop
+    boilerplate-heavy documents or to cut the repeated spans themselves
+    (the (id, pos) start set is ``_dup_span_starts``'s output, exposed for
+    that second use).
+
+    Scale shape: positional shingles come from array functions over each
+    row (no positional self-join); the occurrence count is ONE hash-groupBy
+    (map-side combined) whose output is |distinct n-grams| rows; the
+    duplicated set joins back to starts by shingle equi-join (AQE
+    broadcasts it when small — typically a tiny fraction of the vocabulary
+    survives ``min_count``); coverage expansion is n× over *duplicated
+    starts only*, and the per-(id, pos) distinct is partially aggregated
+    map-side.  At 100 TB, substitute ``xxhash64(shingle)`` for the string
+    on both sides of the count/join to shrink shuffle bytes (64-bit
+    collisions are ~n²/2⁶⁵ — negligible vs the screening's purpose); the
+    string form here keeps the operator exactly reproducible in ANSI SQL.
+    """
+    starts, toks = _dup_span_starts(df, id_col, text_col, n)
+    dup = (starts.groupBy("shingle")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .where(F.col("c") >= min_count)
+           .select("shingle"))
+    covered = (starts.join(dup, "shingle")
+               .select("id", F.explode(
+                   F.sequence(F.col("pos"), F.col("pos") + (n - 1)))
+                   .alias("cpos"))
+               .distinct())
+    ndup = covered.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup"))
+    return (toks.select("id", "n_tokens")
+            .join(ndup, "id", "left")
+            .select("id", "n_tokens",
+                    F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint")
+                    .alias("n_dup_tokens"),
+                    F.round(F.coalesce(F.col("n_dup"), F.lit(0))
+                            / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+                    .alias("dup_fraction")))
+
+
+def _dup_span_starts(df: DataFrame, id_col: str, text_col: str, n: int
+                     ) -> tuple[DataFrame, DataFrame]:
+    """(starts, toks): positional n-gram starts (id, pos, shingle) — NOT
+    deduped, every occurrence is one row — plus per-doc token counts.
+    Positions index the empty-filtered token array (dense)."""
+    toks = (df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+                 lambda x: x != "").alias("toks"))
+        .select("id", "toks", F.size("toks").cast("bigint").alias("n_tokens")))
+    grams = F.when(
+        F.col("n_tokens") >= n,
+        F.transform(F.sequence(F.lit(1), (F.col("n_tokens") - (n - 1)).cast("int")),
+                    lambda i: F.struct(
+                        (i - 1).cast("int").alias("pos"),
+                        F.concat_ws(" ", F.slice("toks", i, n)).alias("shingle")))
+    ).otherwise(F.array().cast("array<struct<pos:int,shingle:string>>"))
+    starts = (toks.select("id", F.explode(grams).alias("s"))
+              .select("id", F.col("s.pos").alias("pos"),
+                      F.col("s.shingle").alias("shingle")))
+    return starts, toks

@@ -183,3 +183,39 @@ def test_pack_sequences_matches_greedy_cumsum(spark):
             assert got[(g, i)] == (n, cum // 64), (g, i)
             cum += n
     assert len(got) == len(rows)
+
+
+# --------------------------------------------------- exact substring spans
+def test_dup_span_coverage_matches_bruteforce(spark):
+    from lucene_plugin_spark.ops.dedup import dup_span_coverage
+    rows = [(i, r["content"]) for i, r in enumerate(generate_rows(70, seed=9))]
+    # inject exact repeats so the dup set is non-trivial
+    rows += [(100, rows[3][1]), (101, rows[3][1] + " extra tail tokens here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    n = 5
+    got = {r["id"]: (r["n_tokens"], r["n_dup_tokens"], r["dup_fraction"])
+           for r in dup_span_coverage(df, "doc_id", "text", n=n).collect()}
+    toks = {i: _toks(t) for i, t in rows}
+    cnt = Counter()
+    for ts in toks.values():
+        for j in range(len(ts) - n + 1):
+            cnt[tuple(ts[j:j + n])] += 1
+    for i, ts in toks.items():
+        cov = set()
+        for j in range(len(ts) - n + 1):
+            if cnt[tuple(ts[j:j + n])] >= 2:
+                cov.update(range(j, j + n))
+        frac = round(len(cov) / max(len(ts), 1), 6)
+        assert got[i] == (len(ts), len(cov), frac), i
+    # the injected exact dup is fully covered
+    assert got[100][2] == 1.0 and got[3][2] == 1.0
+
+
+def test_dup_span_coverage_short_docs(spark):
+    from lucene_plugin_spark.ops.dedup import dup_span_coverage
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "")], ["doc_id", "text"])
+    got = {r["id"]: (r["n_tokens"], r["n_dup_tokens"], r["dup_fraction"])
+           for r in dup_span_coverage(df, "doc_id", "text", n=5).collect()}
+    # shorter than n: no shingles, zero coverage, still reported
+    assert got == {0: (3, 0, 0.0), 1: (3, 0, 0.0), 2: (0, 0, 0.0)}
