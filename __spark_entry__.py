@@ -108,6 +108,7 @@ def _mut_engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEngine
             catalog = Catalog(wh)
             builder = IndexBuilder(spark, catalog, docs_per_slice=200)
             builder.build(_docs_source(spark, sf_dir), fields_map_col="fields")
+            catalog.tag("pre_mutation")  # time-travel anchor (ft_asof)
             mut = IndexMutator(spark, catalog, builder)
             upd = (_docs_source(spark, sf_dir)
                    .where(F.col("path").cast("int") % 50 == 0)
@@ -117,6 +118,13 @@ def _mut_engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEngine
             mut.delete_keys(_docs_source(spark, sf_dir)
                             .where(F.col("repo") == "src3")
                             .select("repo", "path"))
+        if catalog.tag_pins("pre_mutation") is None:
+            # warehouse predates tags: the build committed each table exactly
+            # once, so first-history pins reconstruct the pre-mutation state
+            # (tombstones excluded — it did not exist before the deletes)
+            catalog.tag("pre_mutation",
+                        {t: catalog.table(t).history()[0]
+                         for t in catalog.table_names() if t != "tombstones"})
         _MUT_ENGINES[sf_dir] = (catalog, SearchEngine(spark, catalog).warm())
     return _MUT_ENGINES[sf_dir]
 
@@ -154,6 +162,36 @@ def _compact_engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEn
             mut.compact()
         _COMPACT_ENGINES[sf_dir] = (catalog, SearchEngine(spark, catalog).warm())
     return _COMPACT_ENGINES[sf_dir]
+
+
+#: lowercase-only salt so the SQL oracle can mirror the analysis chain with
+#: fold+stem SQL alone (uppercase would also exercise camel seams, which the
+#: pytest suite covers engine-vs-oracle instead)
+_STEM_SALT = " cach\u00e9 na\u00efve queries tables"
+
+_STEM_ENGINES: dict[str, tuple[Catalog, SearchEngine]] = {}
+
+
+def _stem_engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEngine]:
+    """Index built with the "fold_stem" analyzer variant (ASCII folding +
+    Harman S-stemmer, analysis/tokenizer.py) over a corpus salted with
+    accented/plural forms on every third doc — the variant is persisted on
+    the segments snapshot and picked up by the query side automatically."""
+    if sf_dir not in _STEM_ENGINES:
+        wh = os.path.join("/tmp/lps_entry_stem",
+                          sf_dir.strip("/").replace("/", "_"))
+        catalog = Catalog(wh)
+        if not catalog.table("segments").exists():
+            builder = IndexBuilder(spark, catalog, docs_per_slice=200,
+                                   analyzer="fold_stem")
+            src = (_docs_source(spark, sf_dir)
+                   .withColumn("content", F.when(
+                       F.col("path").cast("int") % 3 == 0,
+                       F.concat(F.col("content"), F.lit(_STEM_SALT)))
+                       .otherwise(F.col("content"))))
+            builder.build(src)
+        _STEM_ENGINES[sf_dir] = (catalog, SearchEngine(spark, catalog).warm())
+    return _STEM_ENGINES[sf_dir]
 
 
 _STREAM_ENGINES: dict[str, tuple[Catalog, SearchEngine]] = {}
@@ -288,6 +326,48 @@ rtok AS (SELECT doc_id, toks[i] AS token, i-1 AS pos
 
 _BM25 = ("ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) * "
          "tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))")
+
+
+def _stem_tok_cte(p: str = "") -> str:
+    """Tokenization CTEs for the fold_stem salted corpus (``_stem_engine``):
+    lower -> ASCII fold -> split -> stop filter (PRE-stem, Lucene filter
+    order) -> Harman S-stem — fold_sql/stem_sql are the tokenizer module's
+    own SQL twins, so any drift in the Python chain breaks the hash here.
+    ``p`` prefixes every CTE name (lets one statement carry two corpora)."""
+    from lucene_plugin_spark.analysis.tokenizer import fold_sql, stem_sql
+    salted = ("CASE WHEN doc_id % 3 = 0 "
+              "THEN text || ' cach\u00e9 na\u00efve queries tables' "
+              "ELSE text END")
+    folded = fold_sql(f"lower({salted})")
+    return f"""
+{p}raw AS (SELECT doc_id, {folded} AS t FROM documents),
+{p}tokens AS (SELECT doc_id, u.tok AS tok0
+  FROM {p}raw,
+       UNNEST(list_filter(string_split_regex(t, '[^a-z0-9]+'),
+                          x -> x <> '')) u(tok)),
+{p}tok AS (SELECT doc_id, {stem_sql('tok0')} AS term FROM {p}tokens
+           WHERE tok0 NOT IN ({STOPWORDS_SQL_LIST})),
+{p}tf AS (SELECT doc_id, term, count(*)::double tf FROM {p}tok GROUP BY 1, 2),
+{p}dl AS (SELECT doc_id, count(*)::double dl FROM {p}tok GROUP BY 1),
+{p}st AS (SELECT count(*)::double n, avg(dl) avgdl FROM {p}dl),
+{p}dfx AS (SELECT term, count(*)::double df FROM {p}tf GROUP BY 1)
+"""
+
+
+def _stem_bm25_sql(terms: list[str], k: int) -> str:
+    """Scored OR over the fold_stem corpus — ``terms`` are POST-stem forms
+    (the engine analyzes query text with the same chain)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_stem_tok_cte()},
+scores AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT {k}
+"""
 
 
 def _bm25_or_sql(terms: list[str], k: int, extra_where: str = "",
@@ -1178,6 +1258,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "frame_sha256")
 
     q.update(mm_features=mm_features, mm_resize=mm_resize, mm_frames=mm_frames)
+
+    # ---- round-3 eighth block: advanced scoring family (QueryRescorer,
+    # ConstantScoreQuery, FunctionScoreQuery, ClassicSimilarity, SpanFirst),
+    # analyzer variants (ASCII folding + S-stemming), cross-table snapshot
+    # time travel, and federated multi-index merge (query/advanced.py,
+    # analysis/tokenizer.py, storage/catalog.py tags) ----
+    def ft_rescore(spark, sf):
+        # two-phase: strict-AND base, proximity-phrase rescore (the standard
+        # Lucene QueryRescorer shape); window untruncated so the oracle's
+        # window selection is cut-free (tied-score caveat above)
+        from lucene_plugin_spark.query.advanced import rescore
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(rescore(
+            eng, None, "join AND hash", '"table hash"',
+            window=1_000_000, weight=2.0, limit=10))
+
+    def ft_const_score(spark, sf):
+        from lucene_plugin_spark.query.advanced import constant_score
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(constant_score(
+            eng, None, "join AND hash", boost=3.5, limit=1_000_000))
+
+    def ft_func_score(spark, sf):
+        from lucene_plugin_spark.query.advanced import function_score
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(function_score(
+            eng, None, "join AND hash", weight=0.25, limit=10))
+
+    def ft_tfidf(spark, sf):
+        from lucene_plugin_spark.query.advanced import tfidf_search
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(tfidf_search(
+            eng, None, ["spark", "join", "table"], limit=10))
+
+    def ft_span_first(spark, sf):
+        from lucene_plugin_spark.query.advanced import span_first
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(span_first(
+            eng, None, "spark", end=5, limit=1_000_000))
+
+    def ft_asof(spark, sf):
+        # time travel: the MUTATED index read at the pre-mutation tag must
+        # answer from the ORIGINAL corpus (upserts/deletes invisible)
+        cat, _ = _mut_engine(spark, sf)
+        eng = SearchEngine.at_tag(spark, cat, "pre_mutation")
+        return _hits_as_orig_ids(eng.search(None, "table", limit=10))
+
+    def ft_stem(spark, sf):
+        # S-stemmed index: 'queries' and 'query' conflate; salted docs with
+        # ' ... queries tables' match a 'queries' query via the stem
+        _, eng = _stem_engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "queries table", limit=10))
+
+    def ft_fold(spark, sf):
+        # accented QUERY text folds to ascii and matches the folded index;
+        # untruncated: every salted doc carries tf=1, so equal (tf, dl)
+        # pairs tie and a k-cut would pick different (equally correct) docs
+        _, eng = _stem_engine(spark, sf)
+        return _hits_as_orig_ids(eng.search(None, "cach\u00e9",
+                                            limit=1_000_000))
+
+    def ft_federated(spark, sf):
+        # two independent indexes (standard analyzer / fold_stem analyzer +
+        # salted corpus), each with its own stats; one merged top-k
+        from lucene_plugin_spark.query.advanced import federated_search
+        _, e1 = _engine(spark, sf)
+        _, e2 = _stem_engine(spark, sf)
+        out = federated_search([("a", e1), ("b", e2)], None, "table",
+                               limit=10)
+        return out.select(
+            "index",
+            F.col("path").cast("int").cast("bigint").alias("doc_id"),
+            F.round("score", 6).alias("score"))
+
+    q.update(ft_rescore=ft_rescore, ft_const_score=ft_const_score,
+             ft_func_score=ft_func_score, ft_tfidf=ft_tfidf,
+             ft_span_first=ft_span_first, ft_asof=ft_asof, ft_stem=ft_stem,
+             ft_fold=ft_fold, ft_federated=ft_federated)
     return _rotate_for_gate(q)
 
 
@@ -1234,6 +1392,10 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_term_vector", "text_bigram_ppl", "text_pack",
         # new in r3 (seventh block): exact substring-span dedup coverage
         "dedup_spans",
+        # new in r3 (eighth block): advanced scoring, analyzer variants,
+        # snapshot time travel, federated merge
+        "ft_rescore", "ft_const_score", "ft_func_score", "ft_tfidf",
+        "ft_span_first", "ft_asof", "ft_stem", "ft_fold", "ft_federated",
     ]
     head = [k for k in never_checked if k in q]
     mid = [k for k in q if k not in head and k not in _GATE_TAIL]
@@ -2392,6 +2554,124 @@ SELECT doc_id,
       '{IPV4_RE}', '<IP>', 'g'),
       '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_sha256
 FROM p
+"""
+
+    # ---- round-3 eighth block: advanced scoring, analyzer variants, time
+    # travel, federated merge ----
+
+    # QueryRescorer: base = strict AND(join, hash), untruncated window;
+    # final = base + 2.0 * phrase("table hash") score (0 when no match)
+    o["ft_rescore"] = f"""
+WITH {_TOK},
+base AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score, count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'hash')
+  GROUP BY tf.doc_id),
+p0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+ph AS (SELECT p0.doc_id, count(*)::double ptf
+       FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+       GROUP BY p0.doc_id),
+idfs AS (SELECT sum(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS idf_sum
+         FROM dfx CROSS JOIN st WHERE dfx.term IN ('table', 'hash')),
+sec AS (
+  SELECT ph.doc_id,
+         idfs.idf_sum * ph.ptf * 2.2 / (ph.ptf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+  FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs)
+SELECT base.doc_id,
+       round(base.score + 2.0 * coalesce(sec.score, 0.0), 6) AS score
+FROM base LEFT JOIN sec USING (doc_id)
+WHERE base.nt = 2
+ORDER BY score DESC, base.doc_id LIMIT 10
+"""
+
+    # ConstantScoreQuery: every AND(join, hash) match scores exactly 3.5;
+    # untruncated so the docID-order cut is tie-free on both sides
+    o["ft_const_score"] = f"""
+WITH {_TOK},
+m AS (SELECT doc_id FROM tf WHERE term IN ('join', 'hash')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT doc_id, cast(3.5 AS double) AS score FROM m ORDER BY doc_id
+"""
+
+    # FunctionScoreQuery: bm25(AND(join, hash)) * (1 + 0.25 * ln(1 + dl))
+    o["ft_func_score"] = f"""
+WITH {_TOK},
+base AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score, count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'hash')
+  GROUP BY tf.doc_id)
+SELECT base.doc_id,
+       round(base.score * (1.0 + 0.25 * ln(1.0 + dl.dl)), 6) AS score
+FROM base JOIN dl USING (doc_id)
+WHERE base.nt = 2
+ORDER BY score DESC, base.doc_id LIMIT 10
+"""
+
+    # ClassicSimilarity (Lucene <= 5 default TF-IDF, the similarity the
+    # reference binary actually ran): sqrt(tf) * (1+ln(N/(df+1)))^2 / sqrt(dl)
+    o["ft_tfidf"] = f"""
+WITH {_TOK},
+scores AS (
+  SELECT tf.doc_id,
+         sum(sqrt(tf.tf) * pow(1.0 + ln(st.n / (dfx.df + 1.0)), 2)
+             / sqrt(dl.dl)) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('spark', 'join', 'table')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # SpanFirstQuery(spark, 5): tf = occurrences at pos < 5, idf from the
+    # term's ordinary df (Lucene SpanWeight termStates)
+    o["ft_span_first"] = f"""
+WITH {_TOK},
+ptf AS (SELECT doc_id, count(*)::double ptf FROM tok
+        WHERE term = 'spark' AND pos < 5 GROUP BY doc_id),
+dfq AS (SELECT df FROM dfx WHERE term = 'spark'),
+scores AS (
+  SELECT ptf.doc_id,
+         ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+         * ptf.ptf * 2.2 / (ptf.ptf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+  FROM ptf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN dfq)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id
+"""
+
+    # time travel: the mutated index AT the pre-mutation tag answers from
+    # the ORIGINAL corpus — the oracle is plain-corpus BM25
+    o["ft_asof"] = _bm25_or_sql(["table"], 10)
+
+    # fold_stem analyzer corpus: every third doc salted with accented /
+    # plural forms; chain = lower -> fold -> split -> stop -> stem
+    o["ft_stem"] = _stem_bm25_sql(["query", "table"], 10)
+    o["ft_fold"] = _stem_bm25_sql(["cache"], 1_000_000)
+
+    # federated: per-index stats (main tok CTE vs prefixed stem CTE), merged
+    # top-10 on (score desc, index asc, doc_id asc)
+    o["ft_federated"] = f"""
+WITH {_TOK},
+a AS (
+  SELECT 'a' AS idx, tf.doc_id, round(sum({_BM25}), 6) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term = 'table'
+  GROUP BY tf.doc_id
+  ORDER BY score DESC, tf.doc_id LIMIT 10),
+{_stem_tok_cte("s")},
+b AS (
+  SELECT 'b' AS idx, stf.doc_id, round(sum(
+    ln(1.0 + (sst.n - sdfx.df + 0.5) / (sdfx.df + 0.5)) *
+    stf.tf * 2.2 / (stf.tf + 1.2 * (0.25 + 0.75 * sdl.dl / sst.avgdl))), 6) AS score
+  FROM stf JOIN sdfx USING (term) JOIN sdl USING (doc_id) CROSS JOIN sst
+  WHERE stf.term = 'table'
+  GROUP BY stf.doc_id
+  ORDER BY score DESC, stf.doc_id LIMIT 10)
+SELECT idx AS index, doc_id, score FROM (
+  SELECT * FROM a UNION ALL SELECT * FROM b)
+ORDER BY score DESC, idx, doc_id LIMIT 10
 """
 
     return o

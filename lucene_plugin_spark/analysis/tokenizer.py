@@ -60,6 +60,84 @@ _SPLIT_RE = "[^a-z0-9\x01\x02\x03]+"
 _EMPTY = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64),
           pa.array([], type=pa.string()))
 
+# --------------------------------------------------------------------------
+# analyzer variants (index-time option, round-tripped through the catalog's
+# segments snapshot properties so the query side always analyzes with the
+# SAME chain the index was built with — Lucene's per-index Analyzer wiring,
+# reference LuceneIndexBean.java:666)
+#
+# "fold_stem" = standard chain + two extra filters:
+#   * ASCII folding (Lucene ASCIIFoldingFilter's Latin-1 subset) applied
+#     after lowercase, BEFORE the split — an accented char is outside
+#     [a-z0-9], so unfolded it would break the token ('café' -> 'caf');
+#   * minimal-English S-stemmer (Harman 1991: -ies->-y, -es->-e, -s->'')
+#     applied to the post-stop vocabulary.  Deliberately SQL-expressible
+#     (the DuckDB oracle mirrors both via fold_sql()/stem_sql()) unlike
+#     Porter, whose rule cascade is not reasonably expressible in ANSI SQL.
+# --------------------------------------------------------------------------
+
+#: (accented, ascii) pairs — lowercase only (folding runs after utf8_lower)
+FOLD_PAIRS: list[tuple[str, str]] = [
+    ("á", "a"), ("à", "a"), ("â", "a"), ("ä", "a"), ("ã", "a"), ("å", "a"),
+    ("é", "e"), ("è", "e"), ("ê", "e"), ("ë", "e"),
+    ("í", "i"), ("ì", "i"), ("î", "i"), ("ï", "i"),
+    ("ó", "o"), ("ò", "o"), ("ô", "o"), ("ö", "o"), ("õ", "o"), ("ø", "o"),
+    ("ú", "u"), ("ù", "u"), ("û", "u"), ("ü", "u"),
+    ("ç", "c"), ("ñ", "n"), ("ý", "y"), ("ÿ", "y"),
+    ("æ", "ae"), ("œ", "oe"), ("ß", "ss"),
+]
+
+ANALYZER_VARIANTS = ("standard", "fold_stem")
+
+
+def stem_s_word(w: str) -> str:
+    """Harman S-stemmer with a len>3 guard (shorter plurals are ambiguous
+    and the English stop list already removes 'is'/'as'/'this').  Each rule's
+    exception TERMINATES (Harman: 'goes' keeps its -oes, it does not fall
+    through to the bare-s rule)."""
+    if len(w) < 4:
+        return w
+    if w.endswith("ies"):
+        return w if w.endswith(("eies", "aies")) else w[:-3] + "y"
+    if w.endswith("es"):
+        return w if w.endswith(("aes", "ees", "oes")) else w[:-1]
+    if w.endswith("s"):
+        return w if w.endswith(("us", "ss")) else w[:-1]
+    return w
+
+
+def fold_ascii_text(s: str) -> str:
+    """Scalar folding (oracle/driver side) — same table as the Arrow path."""
+    for acc, rep in FOLD_PAIRS:
+        s = s.replace(acc, rep)
+    return s
+
+
+def stem_sql(expr: str) -> str:
+    """ANSI-SQL S-stemmer over a term expression — the DuckDB-oracle twin of
+    :func:`stem_s_word` (same rules, same guard)."""
+    return (f"CASE WHEN len({expr}) < 4 THEN {expr} "
+            f"WHEN {expr} LIKE '%ies' THEN "
+            f"(CASE WHEN {expr} LIKE '%eies' OR {expr} LIKE '%aies' "
+            f"THEN {expr} ELSE substr({expr}, 1, len({expr}) - 3) || 'y' END) "
+            f"WHEN {expr} LIKE '%es' THEN "
+            f"(CASE WHEN {expr} LIKE '%aes' OR {expr} LIKE '%ees' "
+            f"OR {expr} LIKE '%oes' "
+            f"THEN {expr} ELSE substr({expr}, 1, len({expr}) - 1) END) "
+            f"WHEN {expr} LIKE '%s' THEN "
+            f"(CASE WHEN {expr} LIKE '%us' OR {expr} LIKE '%ss' "
+            f"THEN {expr} ELSE substr({expr}, 1, len({expr}) - 1) END) "
+            f"ELSE {expr} END")
+
+
+def fold_sql(expr: str) -> str:
+    """Chained replace() over the folding table — DuckDB-oracle twin of the
+    Arrow folding pass (expects an already-lowercased expression)."""
+    out = expr
+    for acc, rep in FOLD_PAIRS:
+        out = f"replace({out}, '{acc}', '{rep}')"
+    return out
+
 
 def _as_string_array(texts) -> pa.Array:
     if isinstance(texts, pd.Series):
@@ -75,7 +153,8 @@ def _as_string_array(texts) -> pa.Array:
     return arr
 
 
-def tokenize_codes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]:
+def tokenize_codes(texts, variant: str = "standard"
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]:
     """Tokenize strings -> ``(row, code, pos, vocab)``, all post-stop-filter.
 
     ``row``  int64: positional index of the source string (0..len-1);
@@ -83,7 +162,8 @@ def tokenize_codes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]
     ``pos``  int64: token ordinal in the post-split pre-stop stream (Lucene
     position; stop removal leaves gaps);
     ``vocab`` Arrow StringArray of distinct terms (may include stopwords at
-    codes that never appear in ``code``).
+    codes that never appear in ``code``);
+    ``variant``: "standard" or "fold_stem" (module docs above).
     """
     arr = _as_string_array(texts)
     if len(arr) == 0:
@@ -94,6 +174,12 @@ def tokenize_codes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]
     # regex separates snake segments with identical tokens AND positions —
     # one fewer full string copy in a memory-bandwidth-bound kernel
     s = pc.utf8_lower(s)
+    if variant == "fold_stem":
+        # fold only when the batch actually has non-ASCII bytes — 31 full
+        # string scans are not free on a memory-bandwidth-bound kernel
+        if bool(pc.any(pc.match_substring_regex(s, "[^\\x00-\\x7f]")).as_py()):
+            for acc, rep in FOLD_PAIRS:
+                s = pc.replace_substring(s, pattern=acc, replacement=rep)
     # the protect passes cost 6 full string scans — skip them when the batch
     # has no word-internal punctuation candidates at all (pure-alnum corpora)
     has_mid = bool(pc.any(pc.match_substring_regex(s, "['.,]")).as_py())
@@ -139,19 +225,32 @@ def tokenize_codes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]
     if stop_mask.dtype == object:
         stop_mask = np.array([bool(x) for x in stop_mask], dtype=bool)
     keep = ~stop_mask[code]
-    return row[keep], code[keep], pos[keep], vocab
+    row, code, pos = row[keep], code[keep], pos[keep]
+    if variant == "fold_stem":
+        # stem the (small) vocab AFTER the stop filter (Lucene filter order:
+        # stop -> stem), then re-encode so stemmed collisions ('dogs' and
+        # 'dog') share one code — duplicate vocab entries would split tf/df
+        stemmed = pa.array([stem_s_word(t) for t in vocab.to_pylist()],
+                           type=pa.string())
+        enc = pc.dictionary_encode(stemmed)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        remap = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        code = remap[code]
+        vocab = enc.dictionary
+    return row, code, pos, vocab
 
 
 _STOP_ARRAY = pa.array(sorted(ENGLISH_STOP_WORDS), type=pa.string())
 
 
-def tokenize_series(texts: pd.Series) -> pd.DataFrame:
+def tokenize_series(texts: pd.Series, variant: str = "standard") -> pd.DataFrame:
     """Tokenize a Series of strings -> DataFrame(row, term, pos).
 
     Compatibility surface over :func:`tokenize_codes` (materializes term
     strings; prefer the codes form in hot paths).
     """
-    row, code, pos, vocab = tokenize_codes(texts)
+    row, code, pos, vocab = tokenize_codes(texts, variant=variant)
     if len(row) == 0:
         return pd.DataFrame({"row": row, "term": pd.Series([], dtype=object),
                              "pos": pos})
@@ -159,17 +258,17 @@ def tokenize_series(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"row": row, "term": terms.reset_index(drop=True), "pos": pos})
 
 
-def tokenize_text(text: str) -> list[tuple[str, int]]:
+def tokenize_text(text: str, variant: str = "standard") -> list[tuple[str, int]]:
     """Single-string convenience (driver-side / oracle): [(term, pos), ...]."""
-    df = tokenize_series(pd.Series([text]))
+    df = tokenize_series(pd.Series([text]), variant=variant)
     return list(zip(df["term"].tolist(), df["pos"].tolist()))
 
 
-def analyze_query_terms(text: str) -> list[str]:
+def analyze_query_terms(text: str, variant: str = "standard") -> list[str]:
     """Analyze free text the way the query parser does (terms only, in order).
 
     Mirrors the reference, where the classic QueryParser runs the same
     analyzer over query text (LuceneIndexBean.java:727-735): stopwords in the
     query vanish, camelCase query tokens split into sub-terms.
     """
-    return [t for t, _ in tokenize_text(text)]
+    return [t for t, _ in tokenize_text(text, variant=variant)]

@@ -386,6 +386,74 @@ class LuceneFacade:
         return self._entries(eng.search_dismax(
             sanitize_collection(collection), queries, tie=tie, limit=limit))
 
+    def search_rescore(self, collection: str, query: str, rescore_query: str,
+                       window: int = 50, weight: float = 2.0,
+                       limit: int = 10) -> list[LuceneEntry]:
+        """Two-phase ranking (``QueryRescorer``): top-``window`` docs of
+        ``query`` re-ranked by ``base + weight * score(rescore_query)``."""
+        from lucene_plugin_spark.query.advanced import rescore
+        self._check(collection, "collection")
+        self._check(query, "query")
+        self._check(rescore_query, "rescore_query")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return self._entries(rescore(eng, sanitize_collection(collection),
+                                     query, rescore_query, window=window,
+                                     weight=weight, limit=limit))
+
+    def search_constant_score(self, collection: str, query: str,
+                              boost: float = 1.0,
+                              limit: int = 255) -> list[LuceneEntry]:
+        """``ConstantScoreQuery``: every match scores exactly ``boost``."""
+        from lucene_plugin_spark.query.advanced import constant_score
+        self._check(collection, "collection")
+        self._check(query, "query")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return self._entries(constant_score(
+            eng, sanitize_collection(collection), query, boost=boost,
+            limit=limit))
+
+    def search_function_score(self, collection: str, query: str,
+                              weight: float = 0.1,
+                              limit: int = 10) -> list[LuceneEntry]:
+        """``FunctionScoreQuery``: bm25 * (1 + weight * ln(1 + doc_len))."""
+        from lucene_plugin_spark.query.advanced import function_score
+        self._check(collection, "collection")
+        self._check(query, "query")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return self._entries(function_score(
+            eng, sanitize_collection(collection), query, weight=weight,
+            limit=limit))
+
+    def search_tfidf(self, collection: str, terms: list[str],
+                     limit: int = 10) -> list[LuceneEntry]:
+        """ClassicSimilarity (TF-IDF) ranking — the similarity the reference
+        binary's Lucene 5.2.1 actually defaulted to."""
+        from lucene_plugin_spark.query.advanced import tfidf_search
+        self._check(collection, "collection")
+        eng = self._live_engine()
+        if eng is None or not terms:
+            return []
+        return self._entries(tfidf_search(
+            eng, sanitize_collection(collection), terms, limit=limit))
+
+    def search_span_first(self, collection: str, term: str, end: int,
+                          limit: int = 255) -> list[LuceneEntry]:
+        """``SpanFirstQuery``: ``term`` within the first ``end`` positions."""
+        from lucene_plugin_spark.query.advanced import span_first
+        self._check(collection, "collection")
+        self._check(term, "term")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return self._entries(span_first(
+            eng, sanitize_collection(collection), term, end, limit=limit))
+
     # ---------------------------------------------------------------- async
     def _submit(self, fn, callback, *args) -> concurrent.futures.Future:
         if self._mailbox is None:

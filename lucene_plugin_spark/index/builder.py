@@ -98,12 +98,15 @@ class IndexBuilder:
 
     def __init__(self, spark: SparkSession, catalog: Catalog,
                  docs_per_slice: int = 250_000, block_size: int = BLOCK_SIZE,
-                 doc_buckets: int = 8):
+                 doc_buckets: int = 8, analyzer: str = "standard"):
         self.spark = spark
         self.catalog = catalog
         self.docs_per_slice = docs_per_slice
         self.block_size = block_size
         self.doc_buckets = doc_buckets
+        #: analysis-chain variant (tokenizer.ANALYZER_VARIANTS); persisted on
+        #: the segments snapshot so SearchEngine analyzes queries identically
+        self.analyzer = analyzer
         self.stage_times: dict[str, float] = {}
 
     # ------------------------------------------------------------------ docs
@@ -207,9 +210,11 @@ class IndexBuilder:
         par = max(self.spark.sparkContext.defaultParallelism, 4)
         fv = self._field_values(docs_meta).repartition(par)
 
+        variant = self.analyzer
+
         def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                t = tokenize_series(pdf["value"])
+                t = tokenize_series(pdf["value"], variant=variant)
                 rows = t["row"].to_numpy()
                 yield pd.DataFrame({
                     "doc_id": pdf["doc_id"].to_numpy()[rows],
@@ -232,9 +237,11 @@ class IndexBuilder:
         schema = ("field string, term string, doc_id long, tf int, dl long, "
                   "positions array<int>")
 
+        variant = self.analyzer
+
         def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                t = tokenize_series(pdf["value"])
+                t = tokenize_series(pdf["value"], variant=variant)
                 if not len(t):
                     continue
                 rows = t["row"].to_numpy()
@@ -288,7 +295,8 @@ class IndexBuilder:
         if docs_snap is None:
             docs_snap = docs_t.current_snapshot_id()
         docs = docs_t.read(self.spark, docs_snap)
-        fp = f"docs-{docs_snap}"
+        fp = (f"docs-{docs_snap}" if self.analyzer == "standard"
+              else f"docs-{docs_snap}-{self.analyzer}")
         self.stage_times = {}
         _t0 = _time.perf_counter()
 
@@ -368,11 +376,14 @@ class IndexBuilder:
             if fused_tasks > 0:
                 seg_in = seg_in.coalesce(fused_tasks)
             seg = seg_in.mapInArrow(
-                fused.make_fused_segment_kernel(self.docs_per_slice, self.block_size),
+                fused.make_fused_segment_kernel(self.docs_per_slice,
+                                                self.block_size,
+                                                self.analyzer),
                 fused.SEGMENT_DDL)
             self.catalog.table("segments").overwrite(
                 seg, partition_by=["dslice"],
-                properties={"stage": "segments", "fingerprint": fp},
+                properties={"stage": "segments", "fingerprint": fp,
+                            "analyzer": self.analyzer},
                 lineage={"doc_slices": "dslice = doc_id // %d" % self.docs_per_slice,
                          "input": {"table": "docs_meta", "fingerprint": fp}})
         self._release_id_cache()

@@ -76,13 +76,14 @@ def _first_value_per_key(doc_ids: np.ndarray, fields_cells: list):
 
 
 def _field_block_arrays(field: str, dslice: int, doc_ids: np.ndarray,
-                        values, block_size: int):
+                        values, block_size: int,
+                        analyzer: str = "standard"):
     """Build compressed posting blocks + the norms row for one (slice, field).
 
     Returns a dict of column lists (SEGMENT_DDL order) or None if the field
     tokenizes to nothing.
     """
-    row, code, pos, vocab = tokenize_codes(values)
+    row, code, pos, vocab = tokenize_codes(values, variant=analyzer)
     if len(row) == 0:
         return None
     doc = doc_ids[row]
@@ -168,7 +169,8 @@ def _field_block_arrays(field: str, dslice: int, doc_ids: np.ndarray,
     }
 
 
-def make_fused_segment_kernel(docs_per_slice: int, block_size: int):
+def make_fused_segment_kernel(docs_per_slice: int, block_size: int,
+                              analyzer: str = "standard"):
     """mapInArrow generator: (dslice, doc_id, content [, fields]) batches ->
     SEGMENT_DDL record batches.  Buffers its partition (bounded: a partition
     is one docs_meta slice file, docs_per_slice docs at most)."""
@@ -204,7 +206,8 @@ def make_fused_segment_kernel(docs_per_slice: int, block_size: int):
             cols: dict[str, list] = {c: [] for c in _SEG_COLS}
             for fname in sorted(per_field):
                 d, vals = per_field[fname]
-                block_cols = _field_block_arrays(fname, int(ds), d, vals, block_size)
+                block_cols = _field_block_arrays(fname, int(ds), d, vals,
+                                                 block_size, analyzer)
                 if block_cols is None:
                     continue
                 for c in _SEG_COLS:

@@ -36,10 +36,11 @@ class OracleDoc:
 
 
 class OracleEngine:
-    def __init__(self):
+    def __init__(self, analyzer: str = "standard"):
         self.docs: dict[int, OracleDoc] = {}
         self.by_key: dict[tuple[str, str], int] = {}
         self._next_id = 0
+        self.analyzer = analyzer  # must match the engine under test
 
     # ------------------------------------------------------------- indexing
     def index_doc(self, repo: str, path: str, fields: dict[str, str],
@@ -61,7 +62,7 @@ class OracleEngine:
         d = OracleDoc(doc_id=doc_id, repo=repo, path=path)
         for f, text in fields.items():
             if text is not None:
-                toks = tokenize_text(text)
+                toks = tokenize_text(text, variant=self.analyzer)
                 if toks:  # a field with zero surviving tokens has no postings
                     d.tokens[f] = toks
         self.docs[doc_id] = d
@@ -105,7 +106,7 @@ class OracleEngine:
         Evaluated with the RECURSIVE Lucene BooleanWeight/BS2 semantics
         (``_eval_node``) so nested parenthesized queries gate correctly —
         e.g. ``(alpha beta) AND gamma`` requires the inner disjunction."""
-        node = parse_query(query)
+        node = parse_query(query, variant=self.analyzer)
         docs = [d for d in self.docs.values() if repo is None or d.repo == repo]
         hits = self._eval_node(node, docs)
         ranked = sorted(((s, d) for d, s in hits.items()),
@@ -162,7 +163,7 @@ class OracleEngine:
     def search_min_match(self, repo: str | None, query: str, min_should: int,
                          limit: int = 255) -> list[tuple[int, str, float]]:
         """search() + Lucene minimumNumberShouldMatch over SHOULD leaves."""
-        node = parse_query(query)
+        node = parse_query(query, variant=self.analyzer)
         docs = [d for d in self.docs.values() if repo is None or d.repo == repo]
         should, must, must_not = self._flatten(node)
         scored: dict[int, float] = defaultdict(float)
@@ -212,7 +213,7 @@ class OracleEngine:
                         ) -> list[tuple[int, str, float]]:
         """search() with Term leaves in ``synonyms`` scored as SynonymQuery
         (tf = Σ member tfs, df = max member df)."""
-        node = parse_query(query)
+        node = parse_query(query, variant=self.analyzer)
         docs = [d for d in self.docs.values() if repo is None or d.repo == repo]
         should, must, must_not = self._flatten(node)
 
@@ -376,11 +377,11 @@ class OracleEngine:
 
     # ------------------------------------------------------------ bulk load
     @classmethod
-    def from_rows(cls, rows) -> "OracleEngine":
+    def from_rows(cls, rows, analyzer: str = "standard") -> "OracleEngine":
         """rows: iterable of dicts with repo/path/content (+ optional fields
         map).  doc_ids assigned exactly like the engine: dense, ordered by
         (repo, path)."""
-        eng = cls()
+        eng = cls(analyzer=analyzer)
         rows = sorted(rows, key=lambda r: (r["repo"], r["path"]))
         for i, r in enumerate(rows):
             fields = {"text": r["content"]}

@@ -1,0 +1,194 @@
+"""Advanced scoring surfaces over a built index: two-phase rescoring,
+constant-score, function-score (doc-value boosts), ClassicSimilarity
+(TF-IDF) ranking and SpanFirst queries.
+
+Lucene analogues (reference reaches all of these through the same
+``IndexSearcher`` the plugin wraps, LuceneIndexBean.java:727-735):
+
+- :func:`rescore`        -> ``QueryRescorer.rescore(searcher, topDocs, q, w, n)``
+- :func:`constant_score` -> ``ConstantScoreQuery(q)`` (boost per match)
+- :func:`function_score` -> ``FunctionScoreQuery`` (boost by doc value)
+- :func:`tfidf_search`   -> ``ClassicSimilarity`` ranking (Lucene <=5 default)
+- :func:`span_first`     -> ``SpanFirstQuery(SpanTermQuery(t), end)``
+- :func:`federated_search`-> ``MultiReader``-style fan-out, per-index stats
+
+Module-level functions over a :class:`SearchEngine` (the pattern of
+``query/results.py``): the engine carries the catalog, snapshot pins and
+analyzer; these compose its primitives declaratively so Catalyst keeps
+owning the physical plan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from lucene_plugin_spark.index.builder import flat_postings_view
+from lucene_plugin_spark.query.parser import parse_query
+
+#: "everything" limit for paths that legitimately need the full match set
+#: (Lucene's field/function collectors also visit every hit)
+_ALL = (1 << 31) - 1  # Integer.MAX_VALUE: .limit() takes a Java int
+
+
+def rescore(engine, repo: str | None, query: str, rescore_query: str,
+            window: int = 50, weight: float = 2.0, limit: int = 10) -> DataFrame:
+    """Two-phase ranking (Lucene ``QueryRescorer`` / ES ``rescore``):
+    rank by ``query``; the top ``window`` docs are re-scored as
+    ``base + weight * secondary`` where ``secondary`` is the doc's score
+    under ``rescore_query`` (0 when it doesn't match); docs OUTSIDE the
+    window keep their base ranking and can never re-enter the top-k —
+    exactly Lucene's window semantics.
+
+    Scale shape: the window is k-row and broadcast; the secondary query runs
+    once through the ordinary engine (its own pruned top-k machinery).  Use
+    a selective secondary (phrase / strict AND — the standard proximity
+    rescore) so its match set, not the corpus, bounds the extra cost.
+    """
+    base = engine.search(repo, query, limit=window)
+    rnode = parse_query(rescore_query, variant=engine.analyzer)
+    sec = (engine.search_node(rnode, repo, limit=_ALL)
+           .select("doc_id", F.col("score").alias("_sec")))
+    return (base.join(sec, "doc_id", "left")
+            .select("doc_id", "path",
+                    (F.col("score")
+                     + F.lit(float(weight))
+                     * F.coalesce(F.col("_sec"), F.lit(0.0))).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(limit))
+
+
+def constant_score(engine, repo: str | None, query: str, boost: float = 1.0,
+                   limit: int = 255) -> DataFrame:
+    """``ConstantScoreQuery``: every match scores exactly ``boost``; ranking
+    degenerates to docID order (Lucene's tie-break), so the top-k cut is the
+    first ``limit`` matching docIDs.  The match set is computed by the
+    ordinary engine; scoring work is skipped conceptually (scores are
+    overwritten), which is honest to Lucene — its ConstantScoreWeight still
+    iterates the same postings, it just doesn't read norms."""
+    node = parse_query(query, variant=engine.analyzer)
+    hits = engine.search_node(node, repo, limit=_ALL)
+    return (hits.select("doc_id", "path",
+                        F.lit(float(boost)).alias("score"))
+            .orderBy(F.asc("doc_id")).limit(limit))
+
+
+def function_score(engine, repo: str | None, query: str, field: str = "text",
+                   weight: float = 0.1, limit: int = 10) -> DataFrame:
+    """``FunctionScoreQuery``: final = bm25 * (1 + weight * ln(1 + dl)) —
+    a document-value boost from the index's own norms (field length), the
+    docvalue every Lucene function query can reach without stored fields.
+
+    Needs the FULL match set (a boost can promote any match into the top-k;
+    Lucene's function collector visits every hit too).  The doc-length side
+    is the skinny ``field_lens`` table — (doc_id, dl) longs, never content —
+    and the join is doc_id equi-join, AQE-broadcastable when the match set
+    is small."""
+    node = parse_query(query, variant=engine.analyzer)
+    hits = engine.search_node(node, repo, limit=_ALL)
+    lens = (engine._tbl("field_lens")
+            .where(F.col("field") == field).select("doc_id", "dl"))
+    boost = 1.0 + F.lit(float(weight)) * F.log(F.lit(1.0) + F.col("dl"))
+    return (hits.join(lens, "doc_id")
+            .select("doc_id", "path", (F.col("score") * boost).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(limit))
+
+
+def tfidf_search(engine, repo: str | None, terms: list[str],
+                 field: str = "text", limit: int = 10) -> DataFrame:
+    """Top-k under Lucene ``ClassicSimilarity`` (the TF-IDF the reference's
+    Lucene 5.2.1 actually defaulted to — LuceneIndexBean.java:664-691 never
+    calls setSimilarity; our BM25 default follows the north rule, this is
+    the fidelity mode):
+
+    ``score(d) = Σ_t sqrt(tf) * (1 + ln(N / (df + 1)))² * (1 / sqrt(dl))``
+
+    (query-norm omitted: it is rank-neutral).  Same declarative shape as the
+    BM25 DataFrame strategy — postings derived from the segments scan with
+    the term predicate pushed to the term-sorted parquet row groups, stats
+    broadcast, arithmetic in whole-stage codegen."""
+    ts = sorted({t.lower() for t in terms})
+    flat = (flat_postings_view(engine.spark, engine.catalog, terms=ts)
+            .where(F.col("field") == field))
+    td = (engine._tbl("term_dict")
+          .where((F.col("field") == field) & F.col("term").isin(ts))
+          .select("term", "df"))
+    n_docs, _avgdl = engine._field_stats().get(field, (0.0, 1.0))
+    if n_docs == 0.0:
+        return engine.spark.createDataFrame(
+            [], "doc_id long, path string, score double")
+    idf = F.lit(1.0) + F.log(F.lit(float(n_docs)) / (F.col("df") + 1.0))
+    per_term = (F.sqrt(F.col("tf").cast("double")) * idf * idf
+                / F.sqrt(F.col("dl").cast("double")))
+    agg = (flat.join(F.broadcast(td), "term")
+           .select("doc_id", per_term.alias("s"))
+           .groupBy("doc_id").agg(F.sum("s").alias("score")))
+    agg = engine._finalize_df_hits(agg, repo)
+    meta = engine._meta_path_df()
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+    return (meta.join(F.broadcast(topk), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "path", "score"))
+
+
+def span_first(engine, repo: str | None, term: str, end: int,
+               field: str = "text", limit: int = 255) -> DataFrame:
+    """``SpanFirstQuery(SpanTermQuery(term), end)``: docs where ``term``
+    occurs at a position < ``end`` (Lucene positions = post-stop ordinals
+    with gaps, identical to ours).  Scoring: BM25 over the WITHIN-RANGE
+    occurrence count as tf — the span-scorer shape (freq = matching spans)
+    with our BM25 similarity; idf uses the term's ordinary docFreq, exactly
+    like Lucene's SpanWeight building termStates from the term itself.
+
+    Declarative: positions come from the same pruned segments decode as a
+    phrase; the position filter is a higher-order array function, no Python.
+    """
+    from lucene_plugin_spark.query import bm25
+    t = term.lower()
+    flat = (flat_postings_view(engine.spark, engine.catalog, terms=[t])
+            .where((F.col("field") == field) & (F.col("term") == t)))
+    stats = engine._field_stats()
+    n_docs, avgdl = stats.get(field, (0.0, 1.0))
+    dfv = engine._df_for_pairs([(field, t)]).get((field, t), 0.0)
+    if n_docs == 0.0 or not dfv:
+        return engine.spark.createDataFrame(
+            [], "doc_id long, path string, score double")
+    tf_first = F.size(F.filter("positions", lambda p: p < F.lit(int(end))))
+    idf = float(bm25.idf(float(dfv), n_docs))
+    tfn = (tf_first.cast("double") * (bm25.K1 + 1.0)
+           / (tf_first.cast("double")
+              + bm25.K1 * (1.0 - bm25.B + bm25.B * F.col("dl") / F.lit(avgdl))))
+    agg = (flat.where(tf_first > 0)
+           .select("doc_id", (F.lit(idf) * tfn).alias("score"))
+           .groupBy("doc_id").agg(F.sum("score").alias("score")))
+    agg = engine._finalize_df_hits(agg, repo)
+    meta = engine._meta_path_df()
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+    return (meta.join(F.broadcast(topk), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "path", "score"))
+
+
+def federated_search(engines: list[tuple[str, object]], repo: str | None,
+                     query: str, limit: int = 10) -> DataFrame:
+    """Fan a query out across several independent indexes and merge one
+    top-k — the ``MultiReader`` / cross-cluster-search shape, except each
+    index KEEPS its own corpus statistics (df/N/avgdl) and its own analyzer,
+    exactly like federated Lucene deployments where per-shard IDF is not
+    blended.  Ties across indexes break on (index asc, doc_id asc) so the
+    merged cut is deterministic.
+
+    Scale shape: per-index top-``limit`` is each engine's ordinary pruned
+    search; the merge unions k-row frames — driver-side cost O(n_indexes *
+    limit), never corpus-bound."""
+    parts = []
+    for name, eng in engines:
+        parts.append(eng.search(repo, query, limit=limit)
+                     .select(F.lit(name).alias("index"),
+                             "doc_id", "path", "score"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (out.orderBy(F.desc("score"), F.asc("index"), F.asc("doc_id"))
+            .limit(limit))

@@ -46,7 +46,7 @@ from lucene_plugin_spark.query.plan import (Bool, DisMax, Fuzzy, MatchAll,
                                             Wildcard, is_nested,
                                             iter_all_leaves,
                                             iter_positive_leaves, simplify)
-from lucene_plugin_spark.storage.catalog import Catalog
+from lucene_plugin_spark.storage.catalog import Catalog, SnapshotError
 
 HITS_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -157,10 +157,26 @@ class SearchEngine:
     """Top-level search API over a built index (snapshot-pinned reads)."""
 
     def __init__(self, spark: SparkSession, catalog: Catalog,
-                 snapshot_id: int | None = None):
+                 snapshot_id: int | None = None,
+                 pins: dict[str, int] | None = None):
         self.spark = spark
         self.catalog = catalog
+        # cross-table snapshot pins (Catalog.tag time travel).  ``pins``
+        # covers every table that existed at tag time; ``snapshot_id`` is
+        # the legacy segments-only pin (W8 analogue) and defaults to the
+        # tag's segments entry when pins are given.
+        self.pins = pins
+        if snapshot_id is None and pins is not None:
+            snapshot_id = pins.get("segments")
         self.snapshot_id = snapshot_id  # pin the segments snapshot (W8 analogue)
+        # index-time analyzer variant, round-tripped through the segments
+        # snapshot properties (builder.py) so query analysis always matches
+        # what was indexed — Lucene's shared-Analyzer wiring
+        try:
+            self.analyzer = (catalog.table("segments").snapshot(snapshot_id)
+                             .properties.get("analyzer", "standard"))
+        except Exception:
+            self.analyzer = "standard"
         self._stats = None
         self._repo_ranges = None
         self._seg_cached: DataFrame | None = None
@@ -213,9 +229,9 @@ class SearchEngine:
                             .read(self.spark, self.snapshot_id)
                             .coalesce(n_parts).persist())
         self._seg_cached.count()
-        self._td_cached = self.catalog.table("term_dict").read(self.spark).persist()
+        self._td_cached = self._tbl("term_dict").persist()
         self._td_cached.count()
-        self._meta_cached = (self.catalog.table("docs_meta").read(self.spark)
+        self._meta_cached = (self._tbl("docs_meta")
                              .select("doc_id", "path").persist())
         n_meta = self._meta_cached.count()
         if collect_paths is None:
@@ -241,7 +257,7 @@ class SearchEngine:
     def _term_dict_df(self) -> DataFrame:
         if self._td_cached is not None:
             return self._td_cached
-        return self.catalog.table("term_dict").read(self.spark)
+        return self._tbl("term_dict")
 
     #: rows above which the term dictionary stays distributed-only.  Below
     #: it, the dictionary is read once driver-side via parquet footers +
@@ -266,7 +282,7 @@ class SearchEngine:
             import pyarrow.dataset as pads
 
             from lucene_plugin_spark.storage.catalog import entry_path
-            snap = self.catalog.table("term_dict").snapshot()
+            snap = self._tbl_snapshot("term_dict")
             files: list[str] = []
             for e in snap.data_dirs:
                 files.extend(_glob.glob(
@@ -290,7 +306,7 @@ class SearchEngine:
     def _meta_path_df(self) -> DataFrame:
         if self._meta_cached is not None:
             return self._meta_cached
-        return self.catalog.table("docs_meta").read(self.spark).select("doc_id", "path")
+        return self._tbl("docs_meta").select("doc_id", "path")
 
     def _df_for_pairs(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], float]:
         """(field, term) -> document frequency, via a driver-side cache over
@@ -327,14 +343,14 @@ class SearchEngine:
     # ------------------------------------------------------------ metadata
     def _field_stats(self) -> dict[str, tuple[float, float]]:
         if self._stats is None:
-            rows = self.catalog.table("stats").read(self.spark).collect()
+            rows = self._tbl("stats").collect()
             self._stats = {r["field"]: (float(r["n_docs"]), float(r["avgdl"]))
                            for r in rows}
         return self._stats
 
     def repo_doc_ranges(self, repo: str) -> list[tuple[int, int]]:
         if self._repo_ranges is None:
-            meta = self.catalog.table("docs_meta").read(self.spark)
+            meta = self._tbl("docs_meta")
             # docIDs are contiguous per (repo, build generation); without a
             # gen column there has been exactly one generation
             keys = ["repo", "gen"] if "gen" in meta.columns else ["repo"]
@@ -346,7 +362,32 @@ class SearchEngine:
                 self._repo_ranges.setdefault(r["repo"], []).append((r["lo"], r["hi"]))
         return self._repo_ranges.get(repo, [])
 
+    @classmethod
+    def at_tag(cls, spark: SparkSession, catalog: Catalog,
+               tag: str) -> "SearchEngine":
+        """Time-travel reader: every table read pinned to the snapshot ids
+        recorded by ``Catalog.tag(tag)`` — queries answer exactly as they
+        did when the tag was written, regardless of later upserts, deletes
+        or compactions (Iceberg AS OF semantics across the whole index)."""
+        pins = catalog.tag_pins(tag)
+        if pins is None:
+            raise SnapshotError(f"no such tag: {tag!r}")
+        return cls(spark, catalog, pins=pins)
+
+    def _tbl(self, name: str) -> DataFrame:
+        """Snapshot-pinned table read (tag pins when present)."""
+        sid = self.pins.get(name) if self.pins is not None else None
+        return self.catalog.table(name).read(self.spark, sid)
+
+    def _tbl_snapshot(self, name: str):
+        sid = self.pins.get(name) if self.pins is not None else None
+        return self.catalog.table(name).snapshot(sid)
+
     def _tombstones_table(self):
+        # under tag pins, a tombstones table created after the tag must read
+        # as nonexistent (the tagged state had no deletes)
+        if self.pins is not None and "tombstones" not in self.pins:
+            return None
         tt = self.catalog.table("tombstones")
         return tt if tt.exists() else None
 
@@ -457,7 +498,7 @@ class SearchEngine:
         # repo taken verbatim: collection-name sanitization (reference Q13)
         # is a facade-level concern applied at BOTH index and search time
         # (api.py); engine-level repos are raw corpus values
-        node = parse_query(query)
+        node = parse_query(query, variant=self.analyzer)
         return self.search_node(node, repo, limit, mode)
 
     def search_min_match(self, repo: str | None, query: str, min_should: int,
@@ -467,7 +508,7 @@ class SearchEngine:
         least ``min_should`` of the query's SHOULD clauses (MUST / FILTER
         clauses don't count toward it; more clauses required than exist
         means no hits, Lucene's behavior)."""
-        node = parse_query(query)
+        node = parse_query(query, variant=self.analyzer)
         if isinstance(node, Bool):
             import dataclasses
             node = dataclasses.replace(node, min_should=int(min_should))
@@ -482,7 +523,7 @@ class SearchEngine:
         Lucene's cached-filter / ConstantScore(0) wrapping.  mm=1 makes the
         main query required (the Solr/ES ``q``+``fq`` idiom) — without it
         Lucene would also match filter-only docs at score 0."""
-        qn, fn = parse_query(query), parse_query(filter_query)
+        qn, fn = parse_query(query, variant=self.analyzer), parse_query(filter_query, variant=self.analyzer)
         return self.search_node(Bool(should=(qn,), filter=(fn,),
                                      min_should=1),
                                 repo, limit, mode)
@@ -511,7 +552,7 @@ class SearchEngine:
                     filter=tuple(rewrite(c) for c in n.filter))
             return n
 
-        return self.search_node(rewrite(parse_query(query)), repo, limit)
+        return self.search_node(rewrite(parse_query(query, variant=self.analyzer)), repo, limit)
 
     def search_dismax(self, repo: str | None, queries: list[str],
                       tie: float = 0.0, limit: int = 255) -> DataFrame:
@@ -520,7 +561,8 @@ class SearchEngine:
         the dismax multi-field shape); a doc's score is its best disjunct's
         score plus ``tie`` × the sum of the other disjuncts'.  Kernel
         strategy only."""
-        node = DisMax(disjuncts=tuple(parse_query(q) for q in queries),
+        node = DisMax(disjuncts=tuple(parse_query(q, variant=self.analyzer)
+                               for q in queries),
                       tie=float(tie))
         return self.search_node(node, repo, limit)
 
@@ -566,14 +608,14 @@ class SearchEngine:
         ``repo`` predicate on the parquet scan; no postings touched).
         Tombstoned docIDs (deleted or superseded by upsert) are removed with
         a left-anti join against the tombstones table — the liveDocs mask."""
-        meta = (self.catalog.table("docs_meta").read(self.spark)
+        meta = (self._tbl("docs_meta")
                 .select("doc_id", "repo"))
         if repo is not None:
             meta = meta.where(F.col("repo") == repo)
         hits = meta.select("doc_id", F.lit(float(boost)).alias("score"))
         tomb = self.catalog.table("tombstones")
         if tomb.exists():
-            dead = tomb.read(self.spark).select("doc_id").distinct()
+            dead = self._tbl("tombstones").select("doc_id").distinct()
             hits = hits.join(dead, "doc_id", "left_anti")
         return hits
 
@@ -587,7 +629,7 @@ class SearchEngine:
         re-derivation that could drift.  Driver-side only: one metadata
         row fetch + the cached block fetch; never a corpus scan.
         """
-        node = parse_query(query)
+        node = parse_query(query, variant=self.analyzer)
         row = (self._meta_path_df().where(F.col("path") == key)
                .limit(1).collect())
         out: dict = {"path": key, "doc_id": None, "matches": False,
@@ -669,7 +711,7 @@ class SearchEngine:
 
         from lucene_plugin_spark.analysis.tokenizer import tokenize_text
 
-        docs_t = self.catalog.table("docs").read(self.spark)
+        docs_t = self._tbl("docs")
         cond = F.col("path") == key
         if repo is not None:
             cond = cond & (F.col("repo") == repo)
@@ -678,7 +720,8 @@ class SearchEngine:
             [], "doc_id long, path string, score double")
         if not row or not row[0]["content"]:
             return empty
-        tf = Counter(t for t, _ in tokenize_text(row[0]["content"]))
+        tf = Counter(t for t, _ in tokenize_text(row[0]["content"],
+                                                 variant=self.analyzer))
         if not tf:
             return empty
         stats = self._field_stats()
@@ -733,7 +776,7 @@ class SearchEngine:
         mapInPandas decode touches only blocks whose docID window straddles
         the target — a bounded point read, never a corpus scan.
         """
-        meta = self.catalog.table("docs_meta").read(self.spark)
+        meta = self._tbl("docs_meta")
         cond = F.col("path") == key
         if repo is not None:
             cond = cond & (F.col("repo") == repo)
@@ -744,7 +787,7 @@ class SearchEngine:
         cand = meta.where(cond).select("doc_id")
         tt = self._tombstones_table()
         if tt is not None:
-            cand = cand.join(tt.read(self.spark).select("doc_id"),
+            cand = cand.join(self._tbl("tombstones").select("doc_id"),
                              "doc_id", "left_anti")
         row = cand.agg(F.max("doc_id").alias("doc_id")).collect()
         empty = self.spark.createDataFrame([], "term string, tf bigint")
@@ -824,11 +867,11 @@ class SearchEngine:
         cut at ``limit`` deterministic.  Returns
         DataFrame(doc_id, path, sort_key).
         """
-        meta = self.catalog.table("docs_meta").read(self.spark)
+        meta = self._tbl("docs_meta")
         if sort_field not in meta.columns:
             raise ValueError(f"sort_field {sort_field!r} not a stored "
                              f"docs_meta column {meta.columns}")
-        node = parse_query(query)
+        node = parse_query(query, variant=self.analyzer)
         if mode != "kernel":
             hits = self._search_dataframe(node, repo, limit=1 << 31)
         else:
@@ -929,7 +972,7 @@ class SearchEngine:
         for _qid, repo, q in queries:
             if (repo, q) in self._compile_cache or q in prepass:
                 continue
-            node = simplify(parse_query(q))
+            node = simplify(parse_query(q, variant=self.analyzer))
             prepass[q] = node
             for l in iter_all_leaves(node):
                 if isinstance(l, EXPANDABLE):
@@ -955,7 +998,7 @@ class SearchEngine:
             if cached is None:
                 node = prepass.get(q)
                 if node is None:
-                    node = simplify(parse_query(q))
+                    node = simplify(parse_query(q, variant=self.analyzer))
                 tree = None
                 if is_nested(node):
                     range_terms = self._expand_ranges(
@@ -1010,9 +1053,10 @@ class SearchEngine:
         else:
             seg = _null_nonphrase_positions(
                 seg, {p for c in compiled for p in _phrase_pairs(c["specs"])})
-        norms_dirs = self.catalog.table("doc_norms").snapshot().data_dirs
+        norms_dirs = self._tbl_snapshot("doc_norms").data_dirs
         tt = self._tombstones_table()
-        tomb_dirs = tt.snapshot().data_dirs if tt is not None else []
+        tomb_dirs = (self._tbl_snapshot("tombstones").data_dirs
+                     if tt is not None else [])
         kernel = _make_multi_slice_kernel(compiled, df_map, stats, limit,
                                           norms_dirs, fields, tomb_dirs)
         hits = seg.mapInPandas(kernel, schema=MULTI_HITS_SCHEMA)
@@ -1084,7 +1128,7 @@ class SearchEngine:
             if (repo, q) in self._compile_cache or q in seen:
                 continue
             seen.add(q)
-            for l in iter_all_leaves(parse_query(q)):
+            for l in iter_all_leaves(parse_query(q, variant=self.analyzer)):
                 if isinstance(l, EXPANDABLE):
                     pending_ranges.append(l)
                 elif isinstance(l, Term):
@@ -1118,7 +1162,7 @@ class SearchEngine:
             elif isinstance(l, Phrase):
                 needed.update(l.terms)
         flat = flat_postings_view(self.spark, self.catalog, terms=sorted(needed))
-        lens = self.catalog.table("field_lens").read(self.spark)
+        lens = self._tbl("field_lens")
         stats = self._field_stats()
         frames = []
         # ---- single terms, batched into one scan
@@ -1128,7 +1172,7 @@ class SearchEngine:
             leaf_map = self.spark.createDataFrame(
                 pairs, "field string, term string, leaf_id int, boost double")
             cand = flat.join(F.broadcast(leaf_map), ["field", "term"])
-            td = self.catalog.table("term_dict").read(self.spark)
+            td = self._tbl("term_dict")
             cand = cand.join(F.broadcast(td), ["field", "term"])
             if "dl" not in cand.columns:  # older layouts carry dl in field_lens
                 cand = cand.join(lens, ["field", "doc_id"])
@@ -1179,7 +1223,7 @@ class SearchEngine:
         DuckDB oracle mirrors it with list_transform/list_min).
         """
         n, avgdl = stats.get(ph.field, (0.0, 1.0))
-        td = self.catalog.table("term_dict").read(self.spark)
+        td = self._tbl("term_dict")
         dfs = {r["term"]: r["df"] for r in
                td.where((F.col("field") == ph.field)
                         & F.col("term").isin(list(set(ph.terms)))).collect()}
@@ -1361,7 +1405,7 @@ class SearchEngine:
         the collection docID-range filter."""
         tt = self._tombstones_table()
         if tt is not None:
-            agg = agg.join(tt.read(self.spark).select("doc_id"), "doc_id", "left_anti")
+            agg = agg.join(self._tbl("tombstones").select("doc_id"), "doc_id", "left_anti")
         if repo is not None:
             ranges = self.repo_doc_ranges(repo)
             if not ranges:
@@ -1476,9 +1520,10 @@ class SearchEngine:
         return seg
 
     def _sidecar_dirs(self):
-        norms_dirs = self.catalog.table("doc_norms").snapshot().data_dirs
+        norms_dirs = self._tbl_snapshot("doc_norms").data_dirs
         tt = self._tombstones_table()
-        tomb_dirs = tt.snapshot().data_dirs if tt is not None else []
+        tomb_dirs = (self._tbl_snapshot("tombstones").data_dirs
+                     if tt is not None else [])
         return norms_dirs, tomb_dirs
 
     #: driver fast-path ceiling: queries whose term dictionary predicts fewer

@@ -89,10 +89,11 @@ def _lex(q: str):
 
 
 class _Parser:
-    def __init__(self, q: str, default_field: str):
+    def __init__(self, q: str, default_field: str, variant: str = "standard"):
         self.toks = _lex(q)
         self.i = 0
         self.default_field = default_field
+        self.variant = variant  # index analyzer variant (tokenizer module)
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -227,7 +228,7 @@ class _Parser:
                         boost: float = 1.0) -> Node | None:
         """Analyze a single query token; >1 sub-term => positional phrase
         (Lucene's analyzer-splits-token behavior)."""
-        analyzed = tokenize_text(raw)
+        analyzed = tokenize_text(raw, variant=self.variant)
         if not analyzed:
             return None  # pure-stopword term matches nothing
         if len(analyzed) == 1:
@@ -238,7 +239,7 @@ class _Parser:
 
     def _phrase(self, field: str, body: str, boost: float = 1.0,
                 slop: int = 0) -> Node | None:
-        analyzed = tokenize_text(_unescape(body))
+        analyzed = tokenize_text(_unescape(body), variant=self.variant)
         if not analyzed:
             return None
         if len(analyzed) == 1:
@@ -253,7 +254,8 @@ import functools
 
 
 @functools.lru_cache(maxsize=1024)  # parsed-query LRU, same size as the
-def parse_query(q: str, default_field: str = DEFAULT_FIELD) -> Node:
+def parse_query(q: str, default_field: str = DEFAULT_FIELD,
+                variant: str = "standard") -> Node:
     # reference's _queryCache (LuceneIndexBean.java:104); plan nodes are
     # frozen dataclasses so sharing the cached tree is safe
     if q is None or not q.strip():
@@ -262,7 +264,7 @@ def parse_query(q: str, default_field: str = DEFAULT_FIELD) -> Node:
     # before any field/term handling — mirror that here
     if q.strip() == "*:*":
         return MatchAll()
-    node = _Parser(q, default_field).parse()
+    node = _Parser(q, default_field, variant).parse()
     # A query whose terms all analyzed away (e.g. pure stopwords) parses to an
     # empty Bool — Lucene returns 0 hits for this, it does not error.
     return node

@@ -309,3 +309,41 @@ class Catalog:
         p = os.path.join(self.root, name)
         if os.path.exists(p):
             shutil.rmtree(p)
+
+    # ---- index-level snapshot tags (Iceberg table-tag analogue) ----------
+    def table_names(self) -> list[str]:
+        """Names of tables that have at least one committed snapshot."""
+        out = []
+        for d in sorted(os.listdir(self.root)):
+            if d == "tags":
+                continue
+            if os.path.exists(os.path.join(self.root, d, "meta", "CURRENT")):
+                out.append(d)
+        return out
+
+    def tag(self, name: str, pins: dict[str, int] | None = None) -> dict[str, int]:
+        """Record a named cross-table snapshot: {table -> snapshot_id} for
+        every committed table (or the explicit ``pins``).  Tables created
+        AFTER the tag (e.g. tombstones) are simply absent — a tag-pinned
+        reader treats absence as "did not exist yet".  This is the engine's
+        time-travel anchor (Iceberg tags pin one table; an index is several
+        tables that must travel together)."""
+        if pins is None:
+            pins = {t: self.table(t).current_snapshot_id()
+                    for t in self.table_names()}
+        tags_dir = os.path.join(self.root, "tags")
+        os.makedirs(tags_dir, exist_ok=True)
+        path = os.path.join(tags_dir, f"{name}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(pins, f, indent=1)
+        os.replace(tmp, path)
+        return pins
+
+    def tag_pins(self, name: str) -> dict[str, int] | None:
+        """The {table -> snapshot_id} map of a tag, or None if absent."""
+        path = os.path.join(self.root, "tags", f"{name}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return {k: int(v) for k, v in json.load(f).items()}

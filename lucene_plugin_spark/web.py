@@ -126,6 +126,52 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                             q.get("sortField", "path"),
                             int(q.get("limit", 10)),
                             q.get("ascending", "true") == "true"))
+                elif u.path == "/lucene/search-rescore":
+                    with lock:
+                        hits = facade.search_rescore(
+                            q.get("collection", ""), q.get("query", ""),
+                            q.get("rescoreQuery", ""),
+                            int(q.get("window", 50)),
+                            float(q.get("weight", 2.0)),
+                            int(q.get("limit", 10)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
+                elif u.path == "/lucene/search-constant-score":
+                    with lock:
+                        hits = facade.search_constant_score(
+                            q.get("collection", ""), q.get("query", ""),
+                            float(q.get("boost", 1.0)),
+                            int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
+                elif u.path == "/lucene/search-function-score":
+                    with lock:
+                        hits = facade.search_function_score(
+                            q.get("collection", ""), q.get("query", ""),
+                            float(q.get("weight", 0.1)),
+                            int(q.get("limit", 10)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
+                elif u.path == "/lucene/search-tfidf":
+                    terms = [t for t in q.get("terms", "").split(",") if t]
+                    with lock:
+                        hits = facade.search_tfidf(
+                            q.get("collection", ""), terms,
+                            int(q.get("limit", 10)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
+                elif u.path == "/lucene/search-span-first":
+                    with lock:
+                        hits = facade.search_span_first(
+                            q.get("collection", ""), q.get("term", ""),
+                            int(q.get("end", 5)), int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
                 else:
                     self._reply(404, {"error": f"no route {u.path}"})
             except Exception as e:  # LuceneException analogue -> 400

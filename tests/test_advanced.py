@@ -1,0 +1,266 @@
+"""Round-3 surfaces: analyzer variants (ASCII folding + S-stemming),
+cross-table snapshot tags (time travel), and the advanced scoring family
+(rescore / constant-score / function-score / ClassicSimilarity / SpanFirst /
+federated merge) — engine vs hand-built oracles on the synthetic code corpus.
+
+Lucene analogues per function are documented in query/advanced.py; the
+reference reaches them through the IndexSearcher its facade wraps
+(LuceneIndexBean.java:727-735).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_plugin_spark.analysis.tokenizer import (fold_ascii_text,
+                                                    stem_s_word,
+                                                    tokenize_text)
+from lucene_plugin_spark.corpus import generate_rows
+from lucene_plugin_spark.index.builder import IndexBuilder
+from lucene_plugin_spark.index.mutations import IndexMutator
+from lucene_plugin_spark.oracle import OracleEngine
+from lucene_plugin_spark.query import advanced, bm25
+from lucene_plugin_spark.query.executor import SearchEngine
+from lucene_plugin_spark.storage.catalog import Catalog
+
+N_DOCS = 200
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(rows).select(
+        "repo", "path", "commit", "lang", "content")
+
+
+def _got(df):
+    return [(r["doc_id"], r["path"], round(r["score"], 9)) for r in df.collect()]
+
+
+# --------------------------------------------------------------------------
+# analyzer variants
+# --------------------------------------------------------------------------
+
+def test_stem_s_word_rules():
+    assert stem_s_word("queries") == "query"
+    assert stem_s_word("tables") == "table"
+    assert stem_s_word("dogs") == "dog"
+    assert stem_s_word("pass") == "pass"      # -ss guarded
+    assert stem_s_word("corpus") == "corpus"  # -us guarded
+    assert stem_s_word("goes") == "goes"      # -oes guarded
+    assert stem_s_word("is") == "is"          # len guard
+
+
+def test_fold_and_stem_tokenize():
+    toks = [t for t, _ in tokenize_text("Caché naïve Queries søk",
+                                        variant="fold_stem")]
+    assert toks == ["cache", "naive", "query", "sok"]
+    # standard variant: accents split tokens, plurals survive
+    toks_std = [t for t, _ in tokenize_text("Caché Queries")]
+    assert toks_std == ["cach", "queries"]
+    assert fold_ascii_text("œæß") == "oeaess"
+
+
+@pytest.fixture(scope="module")
+def stem_built(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh-stem"))
+    rows = generate_rows(N_DOCS, seed=11)
+    # salt the corpus with accent/plural forms so the variant is observable
+    for i, r in enumerate(rows):
+        if i % 3 == 0:
+            r["content"] += " caché naïve queries tables"
+    catalog = Catalog(wh)
+    IndexBuilder(spark, catalog, docs_per_slice=64,
+                 analyzer="fold_stem").build(_src(spark, rows))
+    return catalog, rows
+
+
+def test_fold_stem_engine_matches_oracle(spark, stem_built):
+    catalog, rows = stem_built
+    eng = SearchEngine(spark, catalog)
+    assert eng.analyzer == "fold_stem"  # round-tripped via snapshot props
+    oracle = OracleEngine.from_rows(rows, analyzer="fold_stem")
+    for q in ["query", "queries", "cache table", '"cache naive"']:
+        got = _got(eng.search(None, q, limit=50))
+        want = [(d, p, round(s, 9)) for d, p, s in oracle.search(None, q, 50)]
+        assert got, q
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        assert np.allclose([g[2] for g in got], [w[2] for w in want]), q
+    # the stemmed index conflates query/queries: both spellings hit the
+    # salted docs identically
+    a = _got(eng.search(None, "query", limit=50))
+    b = _got(eng.search(None, "queries", limit=50))
+    assert a == b
+
+
+def test_analyzer_change_invalidates_resume(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh-fp"))
+    rows = generate_rows(40, seed=3)
+    catalog = Catalog(wh)
+    IndexBuilder(spark, catalog, docs_per_slice=64).build(_src(spark, rows))
+    sid0 = catalog.table("segments").current_snapshot_id()
+    # same docs snapshot, different analyzer -> stages must NOT be skipped
+    IndexBuilder(spark, catalog, docs_per_slice=64,
+                 analyzer="fold_stem").build_from_docs()
+    assert catalog.table("segments").current_snapshot_id() != sid0
+    assert SearchEngine(spark, catalog).analyzer == "fold_stem"
+
+
+# --------------------------------------------------------------------------
+# snapshot tags / time travel
+# --------------------------------------------------------------------------
+
+def test_tag_time_travel(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh-tag"))
+    rows = generate_rows(120, seed=9)
+    catalog = Catalog(wh)
+    builder = IndexBuilder(spark, catalog, docs_per_slice=64)
+    builder.build(_src(spark, rows))
+    pins = catalog.tag("v1")
+    assert "segments" in pins and "tombstones" not in pins
+
+    mut = IndexMutator(spark, catalog, builder)
+    upd = [dict(rows[0], content="totally replaced corpus zyx"),
+           dict(rows[1], content="zyx zyx fresh")]
+    mut.upsert(_src(spark, upd))
+    assert mut.delete(rows[2]["repo"], rows[2]["path"])
+
+    oracle_v1 = OracleEngine.from_rows(rows)
+    pinned = SearchEngine.at_tag(spark, catalog, "v1")
+    for q in ["index", "get user", '"user name"']:
+        got = _got(pinned.search(None, q, limit=100))
+        want = [(d, p, round(s, 9)) for d, p, s in oracle_v1.search(None, q, 100)]
+        assert [g[:2] for g in got] == [w[:2] for w in want], q
+        assert np.allclose([g[2] for g in got], [w[2] for w in want]), q
+    # zyx exists only after the tag: pinned reader must not see it
+    assert pinned.search(None, "zyx", limit=10).count() == 0
+    live = SearchEngine(spark, catalog)
+    assert live.search(None, "zyx", limit=10).count() == 2
+    with pytest.raises(Exception):
+        SearchEngine.at_tag(spark, catalog, "nope")
+
+
+# --------------------------------------------------------------------------
+# advanced scoring family
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh-adv"))
+    rows = generate_rows(N_DOCS, seed=7)
+    catalog = Catalog(wh)
+    IndexBuilder(spark, catalog, docs_per_slice=64).build(_src(spark, rows))
+    return catalog, rows, OracleEngine.from_rows(rows)
+
+
+def test_rescore(spark, built):
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    q, rq, window, weight, k = "index query cache", '"get user"', 30, 2.0, 10
+    got = _got(advanced.rescore(eng, None, q, rq, window, weight, k))
+    base = oracle.search(None, q, limit=window)
+    sec = {d: s for d, _, s in oracle.search(None, rq, limit=10 ** 6)}
+    comb = sorted(((s + weight * sec.get(d, 0.0), d, p) for d, p, s in base),
+                  key=lambda x: (-x[0], x[1]))[:k]
+    want = [(d, p, round(s, 9)) for s, d, p in comb]
+    assert got and [g[:2] for g in got] == [w[:2] for w in want]
+    assert np.allclose([g[2] for g in got], [w[2] for w in want])
+
+
+def test_constant_score(spark, built):
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    got = _got(advanced.constant_score(eng, None, "index AND query",
+                                       boost=3.5, limit=15))
+    match = sorted(d for d, _, _ in oracle.search(None, "index AND query",
+                                                  limit=10 ** 6))[:15]
+    assert [g[0] for g in got] == match
+    assert all(g[2] == 3.5 for g in got)
+
+
+def test_function_score(spark, built):
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    weight, k = 0.25, 10
+    got = _got(advanced.function_score(eng, None, "index query",
+                                       weight=weight, limit=k))
+    full = oracle.search(None, "index query", limit=10 ** 6)
+    dl = {d.doc_id: len(d.tokens.get("text", [])) for d in oracle.docs.values()}
+    comb = sorted(((s * (1.0 + weight * math.log(1.0 + dl[d])), d, p)
+                   for d, p, s in full), key=lambda x: (-x[0], x[1]))[:k]
+    want = [(d, p, round(s, 9)) for s, d, p in comb]
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    assert np.allclose([g[2] for g in got], [w[2] for w in want])
+
+
+def test_tfidf_classic(spark, built):
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    terms, k = ["index", "query", "cache"], 12
+    got = _got(advanced.tfidf_search(eng, None, terms, limit=k))
+    n = float(len(oracle.docs))
+    scores = {}
+    for d in oracle.docs.values():
+        toks = [t for t, _ in d.tokens.get("text", [])]
+        dl = len(toks)
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf:
+                df = oracle._df("text", t)
+                idf = 1.0 + math.log(n / (df + 1.0))
+                s += math.sqrt(tf) * idf * idf / math.sqrt(dl)
+        if s:
+            scores[d.doc_id] = (s, d.path)
+    want = sorted(((s, d, p) for d, (s, p) in scores.items()),
+                  key=lambda x: (-x[0], x[1]))[:k]
+    assert [g[0] for g in got] == [d for _, d, _ in want]
+    assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
+
+
+def test_span_first(spark, built):
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    term, end, k = "index", 5, 50
+    got = _got(advanced.span_first(eng, None, term, end, limit=k))
+    n, avgdl = oracle._field_stats("text")
+    dfv = oracle._df("text", term)
+    scores = {}
+    for d in oracle.docs.values():
+        toks = d.tokens.get("text", [])
+        tf_first = sum(1 for t, p in toks if t == term and p < end)
+        if tf_first:
+            scores[d.doc_id] = (float(bm25.score(
+                np.array([float(tf_first)]), np.array([float(len(toks))]),
+                float(dfv), n, avgdl)[0]), d.path)
+    want = sorted(((s, d, p) for d, (s, p) in scores.items()),
+                  key=lambda x: (-x[0], x[1]))[:k]
+    assert got and [g[0] for g in got] == [d for _, d, _ in want]
+    assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
+    # every hit must genuinely have an early occurrence; a doc whose only
+    # occurrences are late must not match
+    late = {d.doc_id for d in oracle.docs.values()
+            if any(t == term for t, _ in d.tokens.get("text", []))
+            and not any(t == term and p < end
+                        for t, p in d.tokens.get("text", []))}
+    assert late.isdisjoint({g[0] for g in got})
+
+
+def test_federated_merge(spark, built, stem_built):
+    catalog, rows, oracle = built
+    catalog2, rows2 = stem_built
+    e1 = SearchEngine(spark, catalog)
+    e2 = SearchEngine(spark, catalog2)
+    k = 12
+    out = advanced.federated_search([("a", e1), ("b", e2)], None,
+                                    "index query", limit=k).collect()
+    assert len(out) == k
+    merged = []
+    for name, eng, orc in (("a", e1, oracle),
+                           ("b", e2, OracleEngine.from_rows(
+                               rows2, analyzer="fold_stem"))):
+        merged += [(name, d, p, round(s, 9))
+                   for d, p, s in orc.search(None, "index query", limit=k)]
+    want = sorted(merged, key=lambda x: (-x[3], x[0], x[1]))[:k]
+    got = [(r["index"], r["doc_id"], r["path"], round(r["score"], 9))
+           for r in out]
+    assert [g[:2] for g in got] == [w[:2] for w in want]
