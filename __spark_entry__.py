@@ -328,6 +328,60 @@ _BM25 = ("ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) * "
          "tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))")
 
 
+#: pseudo-source construction shared (by construction, not by import) with
+#: _CODE_CTE below — license header by doc_id%4, a line-comment, a def line,
+#: a body line, and an alternating tail comment/pass line
+def _code_text_col():
+    hdr = (F.when(F.col("doc_id") % 4 == 0,
+                  F.lit("// Permission is hereby granted, free of charge\n"))
+           .when(F.col("doc_id") % 4 == 1,
+                 F.lit("# Licensed under the Apache License, Version 2.0\n"))
+           .when(F.col("doc_id") % 4 == 2,
+                 F.lit("-- GNU General Public License\n"))
+           .otherwise(F.lit("")))
+    return F.concat(
+        hdr,
+        F.lit("# note "), F.substring("text", 1, 24), F.lit("\n"),
+        F.format_string("def fn_%d():\n", F.col("doc_id")),
+        F.lit("    return \""), F.substring("text", 25, 64), F.lit("\"\n"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("  // tail comment"))
+        .otherwise(F.lit("    pass")))
+
+
+_CODE_CTE = """
+code AS (SELECT doc_id,
+  (CASE WHEN doc_id % 4 = 0 THEN '// Permission is hereby granted, free of charge' || chr(10)
+        WHEN doc_id % 4 = 1 THEN '# Licensed under the Apache License, Version 2.0' || chr(10)
+        WHEN doc_id % 4 = 2 THEN '-- GNU General Public License' || chr(10)
+        ELSE '' END)
+  || '# note ' || substr(text, 1, 24) || chr(10)
+  || 'def fn_' || doc_id || '():' || chr(10)
+  || '    return "' || substr(text, 25, 64) || '"' || chr(10)
+  || (CASE WHEN doc_id % 2 = 0 THEN '  // tail comment' ELSE '    pass' END)
+  AS content FROM documents)
+"""
+
+#: identifier corpus: three identifiers built from the doc's first words —
+#: camelCase (getXxx), snake_case (w2_w3), and parseXxxYyy
+_IDENT_EXPR_SPARK = """
+concat(
+  'get', upper(substr(element_at(split(text, ' '), 1), 1, 1)),
+         substr(element_at(split(text, ' '), 1), 2), ' ',
+  element_at(split(text, ' '), 2), '_', element_at(split(text, ' '), 3), ' ',
+  'parse', upper(substr(element_at(split(text, ' '), 4), 1, 1)),
+           substr(element_at(split(text, ' '), 4), 2),
+           upper(substr(element_at(split(text, ' '), 5), 1, 1)),
+           substr(element_at(split(text, ' '), 5), 2))
+"""
+
+_IDENT_EXPR_DUCK = """
+'get' || upper(substr(toks[1], 1, 1)) || substr(toks[1], 2) || ' '
+|| toks[2] || '_' || toks[3] || ' '
+|| 'parse' || upper(substr(toks[4], 1, 1)) || substr(toks[4], 2)
+|| upper(substr(toks[5], 1, 1)) || substr(toks[5], 2)
+"""
+
+
 def _stem_tok_cte(p: str = "") -> str:
     """Tokenization CTEs for the fold_stem salted corpus (``_stem_engine``):
     lower -> ASCII fold -> split -> stop filter (PRE-stem, Lucene filter
@@ -1336,6 +1390,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_func_score=ft_func_score, ft_tfidf=ft_tfidf,
              ft_span_first=ft_span_first, ft_asof=ft_asof, ft_stem=ft_stem,
              ft_fold=ft_fold, ft_federated=ft_federated)
+
+    # ---- round-3 ninth block: source-code curation (ops/code.py) over a
+    # deterministically constructed pseudo-source corpus (the input_hint's
+    # content column is source code; documents.text is prose, so each entry
+    # builds the same code-shaped text on BOTH sides), plus sparse TF-IDF
+    # document similarity (ops/similarity.py tfidf_pairs) ----
+    def code_license(spark, sf):
+        from lucene_plugin_spark.ops.code import detect_license
+        d = _documents(spark, sf).withColumn("content", _code_text_col())
+        return detect_license(d).orderBy("doc_id")
+
+    def code_comments(spark, sf):
+        from lucene_plugin_spark.ops.code import comment_stats
+        d = _documents(spark, sf).withColumn("content", _code_text_col())
+        return comment_stats(d).orderBy("doc_id")
+
+    def code_identifiers(spark, sf):
+        from lucene_plugin_spark.ops.code import identifier_stats
+        d = _documents(spark, sf).withColumn("content", F.expr(_IDENT_EXPR_SPARK))
+        return identifier_stats(d, top_k=20)
+
+    def text_tfidf_sim(spark, sf):
+        from lucene_plugin_spark.ops.similarity import tfidf_pairs
+        return tfidf_pairs(_documents(spark, sf), "doc_id", "text",
+                           max_df=50, min_sim=0.2, top_k=1_000_000)
+
+    q.update(code_license=code_license, code_comments=code_comments,
+             code_identifiers=code_identifiers, text_tfidf_sim=text_tfidf_sim)
     return _rotate_for_gate(q)
 
 
@@ -2672,6 +2754,71 @@ b AS (
 SELECT idx AS index, doc_id, score FROM (
   SELECT * FROM a UNION ALL SELECT * FROM b)
 ORDER BY score DESC, idx, doc_id LIMIT 10
+"""
+
+    # ---- round-3 ninth block: code curation + sparse TF-IDF similarity ----
+
+    o["code_license"] = f"""
+WITH {_CODE_CTE},
+low AS (SELECT doc_id, lower(content) AS t FROM code)
+SELECT doc_id,
+  CASE WHEN t LIKE '%permission is hereby granted, free of charge%' THEN 'mit'
+       WHEN t LIKE '%licensed under the apache license, version 2.0%' THEN 'apache-2.0'
+       WHEN t LIKE '%gnu general public license%' THEN 'gpl-3.0'
+       WHEN t LIKE '%redistribution and use in source and binary forms%' THEN 'bsd-3-clause'
+       ELSE 'unknown' END AS license
+FROM low ORDER BY doc_id
+"""
+
+    o["code_comments"] = f"""
+WITH {_CODE_CTE},
+ln AS (SELECT doc_id, string_split(content, chr(10)) AS lines FROM code),
+agg AS (SELECT doc_id,
+  len(lines)::bigint AS n_lines,
+  len(list_filter(lines, l -> regexp_matches(l,
+      '^[ \t]*(//|#|\*|--|;;)')))::bigint AS n_comment_lines,
+  array_to_string(list_filter(lines, l -> NOT regexp_matches(l,
+      '^[ \t]*(//|#|\*|--|;;)') AND trim(l) <> ''), chr(10)) AS code
+  FROM ln)
+SELECT doc_id, n_lines, n_comment_lines,
+       round(n_comment_lines / n_lines::double, 6) AS comment_ratio,
+       sha256(code) AS code_sha256
+FROM agg ORDER BY doc_id
+"""
+
+    # identifier sub-token frequencies: camel seams split with the SAME two
+    # regex passes as the index analyzer, then lower + non-alnum split
+    o["code_identifiers"] = f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ident AS (SELECT {_IDENT_EXPR_DUCK} AS itext FROM base),
+seamed AS (SELECT regexp_replace(regexp_replace(itext,
+    '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+    '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g') AS itext FROM ident),
+tok AS (SELECT u.t AS term FROM seamed,
+  UNNEST(list_filter(string_split_regex(lower(itext), '[^a-z0-9]+'),
+                     x -> x <> '')) u(t))
+SELECT term, count(*)::bigint AS n FROM tok
+GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+    # sparse TF-IDF cosine pairs (feature space pruned to df <= 50; idf =
+    # ln(N/df); min_sim bounds the result, no k-cut)
+    o["text_tfidf_sim"] = """
+WITH toks AS (SELECT doc_id AS id, u.t AS term
+  FROM documents, UNNEST(list_filter(string_split_regex(lower(text),
+       '[^a-zA-Z0-9]+'), x -> x <> '')) u(t)),
+tf AS (SELECT id, term, count(*)::double tf FROM toks GROUP BY 1, 2),
+nn AS (SELECT count(*)::double n FROM documents),
+dfc AS (SELECT term, count(*) df FROM tf GROUP BY 1 HAVING count(*) <= 50),
+w AS (SELECT id, term, tf * ln(nn.n / df) AS w
+      FROM tf JOIN dfc USING (term) CROSS JOIN nn),
+nrm AS (SELECT id, sqrt(sum(w * w)) nrm FROM w GROUP BY 1),
+dots AS (SELECT a.id id_a, b.id id_b, sum(a.w * b.w) dot
+         FROM w a JOIN w b USING (term) WHERE a.id < b.id GROUP BY 1, 2)
+SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS sim
+FROM dots JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.2
+ORDER BY sim DESC, id_a, id_b
 """
 
     return o

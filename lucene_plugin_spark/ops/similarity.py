@@ -26,6 +26,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from lucene_plugin_spark.ops.dedup import TOKEN_SPLIT_RE
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -270,3 +272,54 @@ def embedding_near_dup_pairs(corpus: DataFrame, id_col: str, vec_col: str,
                     (_dot(F.col("va"), F.col("vb"))
                      / (F.col("na") * F.col("nb"))).alias("cosine"))
             .where(F.col("cosine") >= F.lit(threshold)))
+
+
+# --------------------------------------------------------------------------
+# sparse TF-IDF document similarity (no embeddings needed)
+# --------------------------------------------------------------------------
+
+def tfidf_pairs(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", max_df: int = 50,
+                min_sim: float = 0.2, top_k: int = 50) -> DataFrame:
+    """(id_a, id_b, sim) — cosine similarity over TF-IDF weighted bags of
+    words, for pairs sharing at least one retained term; top-``top_k`` by
+    (sim desc, id_a, id_b), id_a < id_b.
+
+    Feature pruning: terms with df > ``max_df`` are dropped BEFORE the pair
+    join — the standard sparse-similarity trick (hot terms contribute little
+    idf weight but dominate the join fan-out; at 100 TB an unpruned join on
+    'the' is quadratic in corpus size, pruned it is bounded by
+    df² per retained term).  idf = ln(N / df) over the retained vocabulary;
+    norms are computed over retained terms only, so the measure is exact
+    FOR THE PRUNED FEATURE SPACE (documented contract, same in the oracle).
+
+    Shuffles: tf groupBy, df groupBy (vocab-sized), the term equi-join, and
+    the pair groupBy — all key-partitioned, no cartesian anywhere.
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(F.filter(
+                         F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+                         lambda t: t != F.lit(""))).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count("*").cast("double").alias("tf"))
+    n_docs = float(df.count())
+    dfc = (tf.groupBy("term").agg(F.count("*").alias("df"))
+           .where(F.col("df") <= max_df))
+    w = (tf.join(dfc, "term")
+         .select("id", "term",
+                 (F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))).alias("w")))
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("id").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("id").alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (a.join(b, "term")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (dots.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+                    .alias("sim"))
+            .where(F.col("sim") >= min_sim)
+            .orderBy(F.desc("sim"), F.asc("id_a"), F.asc("id_b"))
+            .limit(top_k))
