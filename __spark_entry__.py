@@ -194,6 +194,25 @@ def _stem_engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEngin
     return _STEM_ENGINES[sf_dir]
 
 
+_ISORT_ENGINES: dict[str, tuple[Catalog, SearchEngine]] = {}
+
+
+def _isort_engine(spark: SparkSession, sf_dir: str) -> tuple[Catalog, SearchEngine]:
+    """Index built with index_sort=["lang"] (IndexWriterConfig.setIndexSort
+    analogue): docIDs assigned in (lang, repo, path) order, so an ascending
+    lang-sorted search takes the early-terminated fast path
+    (query/executor.py search_sorted)."""
+    if sf_dir not in _ISORT_ENGINES:
+        wh = os.path.join("/tmp/lps_entry_isort",
+                          sf_dir.strip("/").replace("/", "_"))
+        catalog = Catalog(wh)
+        if not catalog.table("segments").exists():
+            IndexBuilder(spark, catalog, docs_per_slice=200,
+                         index_sort=["lang"]).build(_docs_source(spark, sf_dir))
+        _ISORT_ENGINES[sf_dir] = (catalog, SearchEngine(spark, catalog).warm())
+    return _ISORT_ENGINES[sf_dir]
+
+
 _STREAM_ENGINES: dict[str, tuple[Catalog, SearchEngine]] = {}
 
 
@@ -1416,8 +1435,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tfidf_pairs(_documents(spark, sf), "doc_id", "text",
                            max_df=50, min_sim=0.2, top_k=1_000_000)
 
+    def ft_index_sort(spark, sf):
+        # sorted-index fast path: docID order IS (lang, repo, path) order,
+        # so the k-cut is an int TakeOrderedAndProject, never a field sort
+        _, eng = _isort_engine(spark, sf)
+        out = eng.search_sorted(None, "join table", "lang", limit=25)
+        return out.select(
+            F.col("path").cast("int").cast("bigint").alias("doc_id"),
+            F.col("sort_key").alias("lang"))
+
     q.update(code_license=code_license, code_comments=code_comments,
-             code_identifiers=code_identifiers, text_tfidf_sim=text_tfidf_sim)
+             code_identifiers=code_identifiers, text_tfidf_sim=text_tfidf_sim,
+             ft_index_sort=ft_index_sort)
     return _rotate_for_gate(q)
 
 
@@ -2819,6 +2848,16 @@ SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS sim
 FROM dots JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b
 WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.2
 ORDER BY sim DESC, id_a, id_b
+"""
+
+    # sorted-index search: ranking = the sorted index's docID order
+    # (lang, source, path) — path is the zero-padded original doc_id
+    o["ft_index_sort"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('join', 'table'))
+SELECT m.doc_id, d.lang
+FROM m JOIN documents d USING (doc_id)
+ORDER BY d.lang, d.source, m.doc_id LIMIT 25
 """
 
     return o

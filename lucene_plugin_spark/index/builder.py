@@ -98,7 +98,8 @@ class IndexBuilder:
 
     def __init__(self, spark: SparkSession, catalog: Catalog,
                  docs_per_slice: int = 250_000, block_size: int = BLOCK_SIZE,
-                 doc_buckets: int = 8, analyzer: str = "standard"):
+                 doc_buckets: int = 8, analyzer: str = "standard",
+                 index_sort: list[str] | None = None):
         self.spark = spark
         self.catalog = catalog
         self.docs_per_slice = docs_per_slice
@@ -107,6 +108,14 @@ class IndexBuilder:
         #: analysis-chain variant (tokenizer.ANALYZER_VARIANTS); persisted on
         #: the segments snapshot so SearchEngine analyzes queries identically
         self.analyzer = analyzer
+        #: index-time sort (IndexWriterConfig.setIndexSort analogue): docIDs
+        #: are assigned in (index_sort..., repo, path) order, so docID order
+        #: IS sort order and a sorted top-k can early-terminate (Lucene's
+        #: TopFieldCollector early termination on sorted segments).  Columns
+        #: must exist on the source frame.  Persisted on the segments
+        #: snapshot; (repo, path) stays the tie-break so ids remain
+        #: deterministic and mutations keep their key semantics.
+        self.index_sort = list(index_sort) if index_sort else None
         self.stage_times: dict[str, float] = {}
 
     # ------------------------------------------------------------------ docs
@@ -164,8 +173,9 @@ class IndexBuilder:
                 n_docs = 0
             n_parts = max(int(np.ceil(max(n_docs, 1) / self.docs_per_slice)),
                           self.spark.sparkContext.defaultParallelism, 1)
-        sorted_df = (docs.repartitionByRange(n_parts, "repo", "path")
-                     .sortWithinPartitions("repo", "path")
+        sort_cols = (self.index_sort or []) + ["repo", "path"]
+        sorted_df = (docs.repartitionByRange(n_parts, *sort_cols)
+                     .sortWithinPartitions(*sort_cols)
                      .withColumn("_mid", F.monotonically_increasing_id())
                      .persist())
         self._id_cache = sorted_df
@@ -297,6 +307,8 @@ class IndexBuilder:
         docs = docs_t.read(self.spark, docs_snap)
         fp = (f"docs-{docs_snap}" if self.analyzer == "standard"
               else f"docs-{docs_snap}-{self.analyzer}")
+        if self.index_sort:
+            fp += "-sort:" + ",".join(self.index_sort)
         self.stage_times = {}
         _t0 = _time.perf_counter()
 
@@ -383,7 +395,8 @@ class IndexBuilder:
             self.catalog.table("segments").overwrite(
                 seg, partition_by=["dslice"],
                 properties={"stage": "segments", "fingerprint": fp,
-                            "analyzer": self.analyzer},
+                            "analyzer": self.analyzer,
+                            "index_sort": self.index_sort},
                 lineage={"doc_slices": "dslice = doc_id // %d" % self.docs_per_slice,
                          "input": {"table": "docs_meta", "fingerprint": fp}})
         self._release_id_cache()

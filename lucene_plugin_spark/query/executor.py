@@ -173,10 +173,15 @@ class SearchEngine:
         # snapshot properties (builder.py) so query analysis always matches
         # what was indexed — Lucene's shared-Analyzer wiring
         try:
-            self.analyzer = (catalog.table("segments").snapshot(snapshot_id)
-                             .properties.get("analyzer", "standard"))
+            props = (catalog.table("segments").snapshot(snapshot_id)
+                     .properties)
         except Exception:
-            self.analyzer = "standard"
+            props = {}
+        self.analyzer = props.get("analyzer", "standard")
+        #: index-time sort columns (builder.index_sort) — docID order is
+        #: (index_sort, repo, path) order, enabling early-terminated sorted
+        #: search while the index is unmutated
+        self.index_sort: list[str] | None = props.get("index_sort") or None
         self._stats = None
         self._repo_ranges = None
         self._seg_cached: DataFrame | None = None
@@ -872,6 +877,28 @@ class SearchEngine:
             raise ValueError(f"sort_field {sort_field!r} not a stored "
                              f"docs_meta column {meta.columns}")
         node = parse_query(query, variant=self.analyzer)
+        if (ascending and self.index_sort
+                and self.index_sort[0] == sort_field
+                and len(self.catalog.table("docs_meta").history()) == 1):
+            # SORTED-INDEX FAST PATH (Lucene TopFieldCollector early
+            # termination on a sorted index): docIDs were assigned in
+            # (sort_field, repo, path) order and no mutation has appended
+            # out-of-order docs, so the first k matching docIDs ARE the
+            # sorted top-k.  The match set still comes from the ordinary
+            # engine, but no field values are fetched or compared for it —
+            # the k-cut is an int docID TakeOrderedAndProject and the meta
+            # probe is broadcast-k (the unsorted path joins + string-sorts
+            # the FULL match set).  The further 100 TB step is kernel-level
+            # slice pruning: slices are docID ranges, so scanning them in
+            # order can stop once k matches surface.
+            hits = self.search_node(node, repo, limit=1 << 20, mode=mode)
+            topk = (hits.select("doc_id")
+                    .orderBy(F.asc("doc_id")).limit(limit))
+            key = F.col(sort_field).cast("string").alias("sort_key")
+            return (meta.select("doc_id", "path", key)
+                    .join(F.broadcast(topk), "doc_id")
+                    .orderBy(F.asc("doc_id"))
+                    .select("doc_id", "path", "sort_key"))
         if mode != "kernel":
             hits = self._search_dataframe(node, repo, limit=1 << 31)
         else:

@@ -264,3 +264,65 @@ def test_federated_merge(spark, built, stem_built):
     got = [(r["index"], r["doc_id"], r["path"], round(r["score"], 9))
            for r in out]
     assert [g[:2] for g in got] == [w[:2] for w in want]
+
+
+# --------------------------------------------------------------------------
+# index-time sort + early-terminated sorted search
+# --------------------------------------------------------------------------
+
+def test_index_sort_early_termination(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh-isort"))
+    rows = generate_rows(150, seed=13)
+    catalog = Catalog(wh)
+    IndexBuilder(spark, catalog, docs_per_slice=64,
+                 index_sort=["lang"]).build(_src(spark, rows))
+    eng = SearchEngine(spark, catalog)
+    assert eng.index_sort == ["lang"]
+    got = [(r["path"], r["sort_key"]) for r in
+           eng.search_sorted(None, "index", "lang", limit=12).collect()]
+    # oracle: matches of 'index' ranked (lang, repo, path) — the docID order
+    # of the sorted index
+    oracle = OracleEngine.from_rows(rows)
+    matched = {p for _, p, _ in oracle.search(None, "index", limit=10 ** 6)}
+    by_lang = {r["path"]: r["lang"] for r in rows}
+    by_repo = {r["path"]: r["repo"] for r in rows}
+    want = sorted(((by_lang[p], by_repo[p], p) for p in matched))[:12]
+    assert got == [(p, l) for l, _, p in want]
+    # the unsorted-engine result must agree (same semantics, slower plan)
+    wh2 = str(tmp_path_factory.mktemp("wh-nosort"))
+    cat2 = Catalog(wh2)
+    IndexBuilder(spark, cat2, docs_per_slice=64).build(_src(spark, rows))
+    eng2 = SearchEngine(spark, cat2)
+    got2 = [(r["path"], r["sort_key"]) for r in
+            eng2.search_sorted(None, "index", "lang", limit=12).collect()]
+    # both rank by (lang, tie on own docID); docIDs differ, so compare the
+    # multiset of (lang) prefixes and the membership, then the sorted-engine
+    # exact order above is the canonical check
+    assert sorted(got2) == sorted((p, l) for l, _, p in want) or \
+        [l for _, l in got2] == [l for l, _, _ in want]
+
+
+def test_index_sort_mutation_disables_fast_path(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh-isort2"))
+    rows = generate_rows(80, seed=17)
+    catalog = Catalog(wh)
+    builder = IndexBuilder(spark, catalog, docs_per_slice=64,
+                           index_sort=["lang"])
+    builder.build(_src(spark, rows))
+    mut = IndexMutator(spark, catalog, builder)
+    upd = [dict(rows[0], content=rows[0]["content"] + " index index")]
+    mut.upsert(_src(spark, upd))
+    eng = SearchEngine(spark, catalog)
+    # appended docs broke global docID order: the engine must fall back to
+    # the exact field sort and still return correct results
+    got = [(r["path"], r["sort_key"]) for r in
+           eng.search_sorted(None, "index", "lang", limit=10).collect()]
+    live = [dict(r) for r in rows]
+    live[0] = upd[0]
+    oracle = OracleEngine.from_rows(live)
+    matched = {p for _, p, _ in oracle.search(None, "index", limit=10 ** 6)}
+    by_lang = {r["path"]: r["lang"] for r in live}
+    assert got and {p for p, _ in got} <= matched
+    # lang sequence must be the true sorted prefix (tie order within a lang
+    # depends on internal docIDs, which the upsert renumbered)
+    assert [l for _, l in got] == sorted(by_lang[p] for p in matched)[:10]
