@@ -1444,9 +1444,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("path").cast("int").cast("bigint").alias("doc_id"),
             F.col("sort_key").alias("lang"))
 
+    def stream_dedup(spark, sf):
+        # REAL Structured Streaming exact dedup (streaming/windows.py
+        # stream_exact_dedup -> dropDuplicatesWithinWatermark): the corpus
+        # plus a replayed 10% arrives as a JSON stream; survivors = one row
+        # per distinct content hash.  Output is the (n_input, n_survivors)
+        # summary — deterministic regardless of which duplicate instance
+        # survives or how availableNow slices micro-batches.
+        import shutil
+        import tempfile
+
+        from lucene_plugin_spark.streaming.windows import stream_exact_dedup
+        d = _documents(spark, sf).select(
+            F.sha2("text", 256).alias("text_sha"),
+            # fixed event time: dedup state bounding is exercised by the
+            # watermark column's presence; determinism needs no wall clock
+            F.lit("2020-01-01 00:00:00").cast("timestamp").alias("ts"))
+        dups = d.limit(0).unionByName(
+            _documents(spark, sf).where(F.col("doc_id") % 10 == 0).select(
+                F.sha2("text", 256).alias("text_sha"),
+                F.lit("2020-01-01 00:10:00").cast("timestamp").alias("ts")))
+        tmp = tempfile.mkdtemp(prefix="lps_sdedup_")
+        try:
+            src = os.path.join(tmp, "in")
+            d.unionByName(dups).coalesce(2).write.mode("overwrite").json(src)
+            stream = spark.readStream.schema("text_sha string, ts timestamp") \
+                .json(src)
+            out = stream_exact_dedup(stream, key_cols=["text_sha"], ts_col="ts",
+                                     watermark="1 hour")
+            qy = (out.writeStream.format("memory").queryName("sdedup")
+                  .outputMode("append")
+                  .trigger(availableNow=True).start())
+            qy.awaitTermination(600)
+            n_in = d.count() + dups.count()
+            n_out = spark.table("sdedup").count()
+            return spark.createDataFrame(
+                [(int(n_in), int(n_out))], "n_input bigint, n_survivors bigint")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     q.update(code_license=code_license, code_comments=code_comments,
              code_identifiers=code_identifiers, text_tfidf_sim=text_tfidf_sim,
-             ft_index_sort=ft_index_sort)
+             ft_index_sort=ft_index_sort, stream_dedup=stream_dedup)
     return _rotate_for_gate(q)
 
 
@@ -2858,6 +2897,15 @@ m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('join', 'table'))
 SELECT m.doc_id, d.lang
 FROM m JOIN documents d USING (doc_id)
 ORDER BY d.lang, d.source, m.doc_id LIMIT 25
+"""
+
+    # streaming dedup summary: input = corpus + replayed 10%; survivors =
+    # distinct content hashes (the corpus's own exact-dup texts also fold)
+    o["stream_dedup"] = """
+SELECT ((SELECT count(*) FROM documents)
+        + (SELECT count(*) FROM documents WHERE doc_id % 10 = 0))::bigint
+         AS n_input,
+       (SELECT count(DISTINCT text) FROM documents)::bigint AS n_survivors
 """
 
     return o
