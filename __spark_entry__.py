@@ -1546,6 +1546,11 @@ def _rotate_for_gate(q: dict) -> dict:
         # snapshot time travel, federated merge
         "ft_rescore", "ft_const_score", "ft_func_score", "ft_tfidf",
         "ft_span_first", "ft_asof", "ft_stem", "ft_fold", "ft_federated",
+        # new in r3 (ninth block, positions 51+ — past this round's 50-slot
+        # window, first in line for r4): code curation, sparse TF-IDF
+        # similarity, sorted-index search, streaming dedup
+        "code_license", "code_comments", "code_identifiers",
+        "text_tfidf_sim", "ft_index_sort", "stream_dedup",
     ]
     head = [k for k in never_checked if k in q]
     mid = [k for k in q if k not in head and k not in _GATE_TAIL]

@@ -35,6 +35,7 @@ def main() -> None:
     from lucene_plugin_spark.index.builder import IndexBuilder
     from lucene_plugin_spark.ops import dedup as D
     from lucene_plugin_spark.ops import similarity as S
+    from lucene_plugin_spark.query import advanced as A
     from lucene_plugin_spark.query.executor import SearchEngine
     from lucene_plugin_spark.storage.catalog import Catalog
 
@@ -89,6 +90,17 @@ def main() -> None:
             None, ["join hash", "merge table"], tie=0.3, limit=10).collect()),
         ("q_nested", lambda: engine.search(
             None, "(join hash) AND merge", limit=10).collect()),
+        ("q_rescore", lambda: A.rescore(
+            engine, None, "join AND hash", '"table hash"',
+            window=1_000_000, weight=2.0, limit=10).collect()),
+        ("q_const_score", lambda: A.constant_score(
+            engine, None, "join AND hash", boost=3.5, limit=255).collect()),
+        ("q_func_score", lambda: A.function_score(
+            engine, None, "join AND hash", weight=0.25, limit=10).collect()),
+        ("q_tfidf", lambda: A.tfidf_search(
+            engine, None, ["spark", "join", "table"], limit=10).collect()),
+        ("q_span_first", lambda: A.span_first(
+            engine, None, "spark", end=5, limit=255).collect()),
     ]
     for name, fn in queries:
         timed(name, fn)
