@@ -1483,9 +1483,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def ft_multi_phrase(spark, sf):
+        # MultiPhraseQuery analogue: "(table|query) hash" — scored OR over
+        # the per-slot cross product (semantics note in query/advanced.py)
+        from lucene_plugin_spark.query.advanced import multi_phrase
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(multi_phrase(
+            eng, None, [["table", "query"], ["hash"]], limit=10))
+
     q.update(code_license=code_license, code_comments=code_comments,
              code_identifiers=code_identifiers, text_tfidf_sim=text_tfidf_sim,
-             ft_index_sort=ft_index_sort, stream_dedup=stream_dedup)
+             ft_index_sort=ft_index_sort, stream_dedup=stream_dedup,
+             ft_multi_phrase=ft_multi_phrase)
     return _rotate_for_gate(q)
 
 
@@ -1550,7 +1559,7 @@ def _rotate_for_gate(q: dict) -> dict:
         # window, first in line for r4): code curation, sparse TF-IDF
         # similarity, sorted-index search, streaming dedup
         "code_license", "code_comments", "code_identifiers",
-        "text_tfidf_sim", "ft_index_sort", "stream_dedup",
+        "text_tfidf_sim", "ft_index_sort", "stream_dedup", "ft_multi_phrase",
     ]
     head = [k for k in never_checked if k in q]
     mid = [k for k in q if k not in head and k not in _GATE_TAIL]
@@ -2911,6 +2920,35 @@ SELECT ((SELECT count(*) FROM documents)
         + (SELECT count(*) FROM documents WHERE doc_id % 10 = 0))::bigint
          AS n_input,
        (SELECT count(DISTINCT text) FROM documents)::bigint AS n_survivors
+"""
+
+    # multi-phrase "(table|query) hash": per-variant phrase BM25, summed
+    # over matching variants (the documented cross-product rewrite)
+    o["ft_multi_phrase"] = f"""
+WITH {_TOK},
+pa0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+pb0 AS (SELECT doc_id, pos FROM tok WHERE term = 'query'),
+p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+pha AS (SELECT pa0.doc_id, count(*)::double ptf
+        FROM pa0 JOIN p1 ON pa0.doc_id = p1.doc_id AND p1.pos = pa0.pos + 1
+        GROUP BY pa0.doc_id),
+phb AS (SELECT pb0.doc_id, count(*)::double ptf
+        FROM pb0 JOIN p1 ON pb0.doc_id = p1.doc_id AND p1.pos = pb0.pos + 1
+        GROUP BY pb0.doc_id),
+idfa AS (SELECT sum(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS i
+         FROM dfx CROSS JOIN st WHERE dfx.term IN ('table', 'hash')),
+idfb AS (SELECT sum(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS i
+         FROM dfx CROSS JOIN st WHERE dfx.term IN ('query', 'hash')),
+sa AS (SELECT pha.doc_id,
+              idfa.i * pha.ptf * 2.2 / (pha.ptf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+       FROM pha JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfa),
+sb AS (SELECT phb.doc_id,
+              idfb.i * phb.ptf * 2.2 / (phb.ptf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+       FROM phb JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfb),
+u AS (SELECT * FROM sa UNION ALL SELECT * FROM sb),
+scores AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
     return o

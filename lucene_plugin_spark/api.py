@@ -454,6 +454,20 @@ class LuceneFacade:
         return self._entries(span_first(
             eng, sanitize_collection(collection), term, end, limit=limit))
 
+    def search_multi_phrase(self, collection: str, slots: list[list[str]],
+                            slop: int = 0,
+                            limit: int = 255) -> list[LuceneEntry]:
+        """``MultiPhraseQuery`` analogue: a phrase whose positions admit
+        several terms (cross-product rewrite; query/advanced.py)."""
+        from lucene_plugin_spark.query.advanced import multi_phrase
+        self._check(collection, "collection")
+        eng = self._live_engine()
+        if eng is None or not slots:
+            return []
+        return self._entries(multi_phrase(
+            eng, sanitize_collection(collection), slots, slop=slop,
+            limit=limit))
+
     # ---------------------------------------------------------------- async
     def _submit(self, fn, callback, *args) -> concurrent.futures.Future:
         if self._mailbox is None:

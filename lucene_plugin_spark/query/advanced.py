@@ -170,6 +170,37 @@ def span_first(engine, repo: str | None, term: str, end: int,
             .select("doc_id", "path", "score"))
 
 
+def multi_phrase(engine, repo: str | None, slots: list[list[str]],
+                 field: str = "text", slop: int = 0,
+                 limit: int = 255) -> DataFrame:
+    """``MultiPhraseQuery`` analogue: a phrase where each position admits
+    several terms — ``[["table", "query"], ["hash"]]`` matches
+    ``"table hash"`` OR ``"query hash"``.
+
+    Semantics (documented deviation, like the slop docstrings): the query
+    rewrites to a scored OR over the cross product of per-slot choices —
+    a doc's score is the SUM of each matching variant's phrase BM25.
+    Lucene instead blends statistics inside one scorer (idf summed over all
+    slot terms, tf over matching paths); the rewrite keeps every variant's
+    scoring exact and SQL-expressible for the oracle.  The cross product is
+    the intended usage bound (synonym slots are 2-3 wide; Lucene's own
+    query parser builds MultiPhrase from synonym graphs the same way).
+
+    Scale shape: each variant is an ordinary phrase leaf on the compiled
+    kernel path — the decoded positions of a term shared by several
+    variants transfer once (per-slice block cache), so the added cost is
+    per-variant numpy intersection, not per-variant IO."""
+    from itertools import product
+
+    from lucene_plugin_spark.query.plan import Bool, Phrase
+    variants = []
+    for combo in product(*[[t.lower() for t in s] for s in slots]):
+        variants.append(Phrase(field=field, terms=tuple(combo),
+                               offsets=tuple(range(len(combo))),
+                               slop=int(slop)))
+    return engine.search_node(Bool(should=tuple(variants)), repo, limit)
+
+
 def federated_search(engines: list[tuple[str, object]], repo: str | None,
                      query: str, limit: int = 10) -> DataFrame:
     """Fan a query out across several independent indexes and merge one

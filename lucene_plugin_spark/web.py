@@ -164,6 +164,16 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                     self._reply(200, [{"id": h.id, "score": h.score,
                                        "externalId": h.external_id}
                                       for h in hits])
+                elif u.path == "/lucene/search-multi-phrase":
+                    slots = [s.split("|") for s in
+                             q.get("slots", "").split(",") if s]
+                    with lock:
+                        hits = facade.search_multi_phrase(
+                            q.get("collection", ""), slots,
+                            int(q.get("slop", 0)), int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
                 elif u.path == "/lucene/search-span-first":
                     with lock:
                         hits = facade.search_span_first(

@@ -326,3 +326,18 @@ def test_index_sort_mutation_disables_fast_path(spark, tmp_path_factory):
     # lang sequence must be the true sorted prefix (tie order within a lang
     # depends on internal docIDs, which the upsert renumbered)
     assert [l for _, l in got] == sorted(by_lang[p] for p in matched)[:10]
+
+
+def test_multi_phrase(spark, built):
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    got = _got(advanced.multi_phrase(
+        eng, None, [["get", "parse"], ["user"]], limit=20))
+    a = {d: s for d, _, s in oracle.search(None, '"get user"', limit=10 ** 6)}
+    b = {d: s for d, _, s in oracle.search(None, '"parse user"', limit=10 ** 6)}
+    comb = {d: a.get(d, 0.0) + b.get(d, 0.0) for d in set(a) | set(b)}
+    paths = {d.doc_id: d.path for d in oracle.docs.values()}
+    want = sorted(((s, d, paths[d]) for d, s in comb.items()),
+                  key=lambda x: (-x[0], x[1]))[:20]
+    assert got and [g[0] for g in got] == [d for _, d, _ in want]
+    assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
