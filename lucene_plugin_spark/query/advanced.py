@@ -23,12 +23,50 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+import numpy as np
+
 from lucene_plugin_spark.index.builder import flat_postings_view
 from lucene_plugin_spark.query.parser import parse_query
 
 #: "everything" limit for paths that legitimately need the full match set
 #: (Lucene's field/function collectors also visit every hit)
 _ALL = (1 << 31) - 1  # Integer.MAX_VALUE: .limit() takes a Java int
+
+
+
+
+def _driver_live_mask(engine, ids: np.ndarray, slices, repo) -> np.ndarray:
+    """liveDocs + collection-range mask for a driver-path id vector (the
+    same tombstone/range logic as SearchEngine._search_driver)."""
+    from lucene_plugin_spark.query.executor import _read_tombstones
+    mask = np.ones(ids.shape, dtype=bool)
+    _, tomb_dirs = engine._sidecar_dirs()
+    if tomb_dirs:
+        parts = [_read_tombstones(tomb_dirs, d) for d in slices]
+        dead = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        if dead.size:
+            pos = np.searchsorted(dead, ids)
+            pos[pos == dead.size] = 0
+            mask &= dead[pos] != ids
+    if repo is not None:
+        rmask = np.zeros(ids.shape, dtype=bool)
+        for lo, hi in engine.repo_doc_ranges(repo):
+            rmask |= (ids >= lo) & (ids <= hi)
+        mask &= rmask
+    return mask
+
+
+def _driver_topk_df(engine, ids: np.ndarray, scores: np.ndarray, limit: int):
+    """(score desc, doc_id asc) top-k -> DataFrame(doc_id, path, score) via
+    the warmed path map (zero jobs)."""
+    order = np.lexsort((ids, -scores))[:limit]
+    pm = engine._path_map
+    import pandas as pd
+    res = pd.DataFrame({"doc_id": ids[order],
+                        "path": [pm.get(int(d)) for d in ids[order]],
+                        "score": scores[order]})
+    return engine.spark.createDataFrame(
+        res, "doc_id long, path string, score double")
 
 
 def rescore(engine, repo: str | None, query: str, rescore_query: str,
@@ -109,6 +147,38 @@ def tfidf_search(engine, repo: str | None, terms: list[str],
     the term predicate pushed to the term-sorted parquet row groups, stats
     broadcast, arithmetic in whole-stage codegen."""
     ts = sorted({t.lower() for t in terms})
+    pairs = [(field, t) for t in ts]
+    dfm = engine._df_for_pairs(pairs)
+    n_docs0, _a = engine._field_stats().get(field, (0.0, 1.0))
+    if (engine._path_map is not None
+            and sum(dfm.values()) <= engine.driver_exec_max_postings):
+        # driver fast path: postings through the resident block cache (the
+        # same cache plain term queries ride), ClassicSimilarity in numpy
+        idx, slices = engine._blocks_for(pairs)
+        norms_dirs, _td = engine._sidecar_dirs()
+        norm_lookup = engine._norm_lookup_for(tuple(slices), (field,),
+                                              norms_dirs)
+        id_parts, s_parts = [], []
+        for t in ts:
+            ids, tfs, _ = idx.decoded(field, t, False)
+            if not ids.size:
+                continue
+            nd, dls = norm_lookup[field]
+            dl = dls[np.searchsorted(nd, ids)]
+            idf_t = 1.0 + np.log(n_docs0 / (dfm.get((field, t), 0.0) + 1.0))
+            id_parts.append(ids)
+            s_parts.append(np.sqrt(tfs.astype(np.float64)) * idf_t * idf_t
+                           / np.sqrt(dl.astype(np.float64)))
+        if not id_parts:
+            return engine.spark.createDataFrame(
+                [], "doc_id long, path string, score double")
+        all_ids = np.concatenate(id_parts)
+        all_s = np.concatenate(s_parts)
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        agg = np.zeros(uids.shape, dtype=np.float64)
+        np.add.at(agg, inv, all_s)
+        live = _driver_live_mask(engine, uids, slices, repo)
+        return _driver_topk_df(engine, uids[live], agg[live], limit)
     flat = (flat_postings_view(engine.spark, engine.catalog, terms=ts)
             .where(F.col("field") == field))
     td = (engine._tbl("term_dict")
@@ -146,6 +216,35 @@ def span_first(engine, repo: str | None, term: str, end: int,
     """
     from lucene_plugin_spark.query import bm25
     t = term.lower()
+    dfv0 = engine._df_for_pairs([(field, t)]).get((field, t), 0.0)
+    if (engine._path_map is not None
+            and dfv0 <= engine.driver_exec_max_postings):
+        # driver fast path: one term's cached blocks, positions included
+        stats = engine._field_stats()
+        n_docs0, avgdl0 = stats.get(field, (0.0, 1.0))
+        if n_docs0 == 0.0 or not dfv0:
+            return engine.spark.createDataFrame(
+                [], "doc_id long, path string, score double")
+        idx, slices = engine._blocks_for([(field, t)],
+                                         pos_pairs={(field, t)})
+        ids, tfs, pos = idx.decoded(field, t, True)
+        if not ids.size or pos is None:
+            return engine.spark.createDataFrame(
+                [], "doc_id long, path string, score double")
+        ends = np.cumsum(tfs.astype(np.int64))
+        starts = ends - tfs
+        tf_first = np.add.reduceat((pos < int(end)).astype(np.int64), starts)
+        # reduceat on an empty trailing segment repeats — tfs>0 always here
+        keep = tf_first > 0
+        ids_k, tff = ids[keep], tf_first[keep]
+        norms_dirs, _td = engine._sidecar_dirs()
+        nd, dls = engine._norm_lookup_for(tuple(slices), (field,),
+                                          norms_dirs)[field]
+        dl = dls[np.searchsorted(nd, ids_k)]
+        sc = bm25.score(tff.astype(np.float64), dl.astype(np.float64),
+                        float(dfv0), n_docs0, avgdl0)
+        live = _driver_live_mask(engine, ids_k, slices, repo)
+        return _driver_topk_df(engine, ids_k[live], sc[live], limit)
     flat = (flat_postings_view(engine.spark, engine.catalog, terms=[t])
             .where((F.col("field") == field) & (F.col("term") == t)))
     stats = engine._field_stats()

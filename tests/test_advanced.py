@@ -215,6 +215,11 @@ def test_tfidf_classic(spark, built):
                   key=lambda x: (-x[0], x[1]))[:k]
     assert [g[0] for g in got] == [d for _, d, _ in want]
     assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
+    # warmed engine rides the driver block-cache fast path — identical result
+    got_fast = _got(advanced.tfidf_search(
+        SearchEngine(spark, catalog).warm(), None, terms, limit=k))
+    assert [(g[0], g[1]) for g in got_fast] == [(g[0], g[1]) for g in got]
+    assert np.allclose([g[2] for g in got_fast], [g[2] for g in got])
 
 
 def test_span_first(spark, built):
@@ -243,6 +248,11 @@ def test_span_first(spark, built):
             and not any(t == term and p < end
                         for t, p in d.tokens.get("text", []))}
     assert late.isdisjoint({g[0] for g in got})
+    # warmed engine rides the driver block-cache fast path — identical result
+    got_fast = _got(advanced.span_first(
+        SearchEngine(spark, catalog).warm(), None, term, end, limit=k))
+    assert [(g[0], g[1]) for g in got_fast] == [(g[0], g[1]) for g in got]
+    assert np.allclose([g[2] for g in got_fast], [g[2] for g in got])
 
 
 def test_federated_merge(spark, built, stem_built):
