@@ -1493,10 +1493,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_as_orig_ids(multi_phrase(
             eng, None, [["table", "query"], ["hash"]], limit=10))
 
+    def ft_percolate(spark, sf):
+        # reverse search (lucene-monitor / percolator): 5 registered queries
+        # of different kinds matched against the document stream — broadcast
+        # registry, per-batch vectorized evaluation, zero shuffle
+        from lucene_plugin_spark.query.percolate import percolate
+        regs = [("p_term", "spark"), ("p_and", "join AND hash"),
+                ("p_phrase", '"table hash"'), ("p_not", "spark -join"),
+                ("p_range", "[sc TO sz]")]
+        out = percolate(spark, regs, _documents(spark, sf),
+                        id_col="doc_id", text_col="text")
+        return out.orderBy("doc_id", "query_id")
+
     q.update(code_license=code_license, code_comments=code_comments,
              code_identifiers=code_identifiers, text_tfidf_sim=text_tfidf_sim,
              ft_index_sort=ft_index_sort, stream_dedup=stream_dedup,
-             ft_multi_phrase=ft_multi_phrase)
+             ft_multi_phrase=ft_multi_phrase, ft_percolate=ft_percolate)
     return _rotate_for_gate(q)
 
 
@@ -1562,6 +1574,7 @@ def _rotate_for_gate(q: dict) -> dict:
         # similarity, sorted-index search, streaming dedup
         "code_license", "code_comments", "code_identifiers",
         "text_tfidf_sim", "ft_index_sort", "stream_dedup", "ft_multi_phrase",
+        "ft_percolate",
     ]
     head = [k for k in never_checked if k in q]
     mid = [k for k in q if k not in head and k not in _GATE_TAIL]
@@ -2955,6 +2968,31 @@ scores AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
 SELECT s.doc_id, round(s.score, 6) AS score
 FROM scores s JOIN documents d USING (doc_id)
 ORDER BY s.score DESC, d.source, s.doc_id LIMIT 10
+"""
+
+    # percolator: which registered queries match each doc (match sets only)
+    o["ft_percolate"] = f"""
+WITH {_TOK},
+t_spark AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+t_join AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'join'),
+t_hash AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'hash'),
+ph AS (SELECT DISTINCT p0.doc_id
+       FROM (SELECT doc_id, pos FROM tok WHERE term = 'table') p0
+       JOIN (SELECT doc_id, pos FROM tok WHERE term = 'hash') p1
+         ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1),
+rng AS (SELECT DISTINCT doc_id FROM tok WHERE term >= 'sc' AND term <= 'sz')
+SELECT doc_id, query_id FROM (
+  SELECT doc_id, 'p_term' AS query_id FROM t_spark
+  UNION ALL
+  SELECT doc_id, 'p_and' FROM t_join WHERE doc_id IN (SELECT doc_id FROM t_hash)
+  UNION ALL
+  SELECT doc_id, 'p_phrase' FROM ph
+  UNION ALL
+  SELECT doc_id, 'p_not' FROM t_spark
+  WHERE doc_id NOT IN (SELECT doc_id FROM t_join)
+  UNION ALL
+  SELECT doc_id, 'p_range' FROM rng)
+ORDER BY doc_id, query_id
 """
 
     return o
