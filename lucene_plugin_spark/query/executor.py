@@ -879,22 +879,57 @@ class SearchEngine:
         node = parse_query(query, variant=self.analyzer)
         if (ascending and self.index_sort
                 and self.index_sort[0] == sort_field
+                and not isinstance(node, MatchAll)  # *:* has no compile path
                 and len(self.catalog.table("docs_meta").history()) == 1):
-            # SORTED-INDEX FAST PATH (Lucene TopFieldCollector early
-            # termination on a sorted index): docIDs were assigned in
-            # (sort_field, repo, path) order and no mutation has appended
-            # out-of-order docs, so the first k matching docIDs ARE the
-            # sorted top-k.  The match set still comes from the ordinary
-            # engine, but no field values are fetched or compared for it —
-            # the k-cut is an int docID TakeOrderedAndProject and the meta
-            # probe is broadcast-k (the unsorted path joins + string-sorts
-            # the FULL match set).  The further 100 TB step is kernel-level
-            # slice pruning: slices are docID ranges, so scanning them in
-            # order can stop once k matches surface.
-            hits = self.search_node(node, repo, limit=1 << 20, mode=mode)
-            topk = (hits.select("doc_id")
-                    .orderBy(F.asc("doc_id")).limit(limit))
+            # SORTED-INDEX EARLY TERMINATION (Lucene TopFieldCollector on
+            # a sorted index): docIDs were assigned in (sort_field, repo,
+            # path) order and no mutation has appended out-of-order docs,
+            # so the first k matching docIDs ARE the sorted top-k.  The
+            # scan terminates early for real: matches are probed over a
+            # DOUBLING docID prefix [0, B) — doc_ranges prune dslice
+            # partitions AND block ranges in the segments scan
+            # (_filtered_segments), so each attempt reads only the slices
+            # it needs; the loop stops the moment k matches surface.  At
+            # 10^12 docs a selective sort prefix answers from the first
+            # few slices instead of scanning the corpus.  Driver fast path
+            # (small-df queries) skips the loop — its blocks are already
+            # resident and range-filtered locally.
+            cq = self._compile_query(node, repo)
+            if cq is None:
+                return self.spark.createDataFrame(
+                    [], "doc_id long, path string, sort_key string")
             key = F.col(sort_field).cast("string").alias("sort_key")
+            if (self._path_map is not None
+                    and cq["est_postings"] <= self.driver_exec_max_postings):
+                res = self._search_driver(cq, 1 << 20)
+                ids = np.sort(res["doc_id"].to_numpy())[:limit]
+                topk = self.spark.createDataFrame(
+                    [(int(i),) for i in ids], "doc_id long")
+            else:
+                max_doc = cq["doc_ranges"] is not None and max(
+                    hi for _, hi in cq["doc_ranges"]) or None
+                if max_doc is None:
+                    row = (self._tbl("docs_meta")
+                           .agg(F.max("doc_id").alias("m")).collect())
+                    max_doc = int(row[0]["m"]) if row and row[0]["m"] is not None else 0
+                bound = max(limit * 64, 1024)
+                got: list = []
+                while True:
+                    rng = [(0, bound - 1)]
+                    if cq["doc_ranges"] is not None:
+                        rng = [(lo, min(hi, bound - 1))
+                               for lo, hi in cq["doc_ranges"] if lo < bound]
+                    if rng:
+                        cq2 = dict(cq)
+                        cq2["doc_ranges"] = rng
+                        got = (self._search_kernel_compiled(cq2, 1 << 20)
+                               .select("doc_id").orderBy(F.asc("doc_id"))
+                               .limit(limit).collect())
+                    if len(got) >= limit or bound > max_doc:
+                        break
+                    bound *= 8
+                topk = self.spark.createDataFrame(
+                    [(int(r["doc_id"]),) for r in got], "doc_id long")
             return (meta.select("doc_id", "path", key)
                     .join(F.broadcast(topk), "doc_id")
                     .orderBy(F.asc("doc_id"))

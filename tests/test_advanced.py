@@ -351,3 +351,27 @@ def test_multi_phrase(spark, built):
                   key=lambda x: (-x[0], x[1]))[:20]
     assert got and [g[0] for g in got] == [d for _, d, _ in want]
     assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
+
+
+def test_index_sort_progressive_bound(spark, tmp_path_factory):
+    # a term matching ONLY the last-sorted docs forces the doubling loop
+    # past its initial docID bound; results must still be the exact sorted
+    # top-k (distributed branch: engine not warmed)
+    wh = str(tmp_path_factory.mktemp("wh-isort3"))
+    rows = generate_rows(3000, seed=23, tokens_per_doc=(10, 20))
+    # plant the marker in docs that sort LAST (lang 'zz' > all real langs)
+    marked = []
+    for i, r in enumerate(rows):
+        if i >= 2990:
+            r = dict(r, lang="zz", content=r["content"] + " zzrareterm")
+        marked.append(r)
+    catalog = Catalog(wh)
+    IndexBuilder(spark, catalog, docs_per_slice=64,
+                 index_sort=["lang"]).build(_src(spark, marked))
+    eng = SearchEngine(spark, catalog)
+    got = [(r["path"], r["sort_key"]) for r in
+           eng.search_sorted(None, "zzrareterm", "lang", limit=5).collect()]
+    want_paths = sorted((r["repo"], r["path"]) for r in marked
+                        if "zzrareterm" in r["content"])[:5]
+    assert [p for p, _ in got] == [p for _, p in want_paths]
+    assert all(l == "zz" for _, l in got)
