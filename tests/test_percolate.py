@@ -49,3 +49,27 @@ def test_percolate_matches_oracle(spark, corpus):
     assert got == want
     # sanity: every registered query matched something on this corpus
     assert {q for _, q in got} == {q for q, _ in QUERIES}
+
+
+def test_percolate_streaming(spark, corpus, tmp_path_factory):
+    # the percolator is a stateless mapInPandas — it composes with
+    # Structured Streaming unchanged (the alerting deployment shape)
+    import json
+    import os
+    rows, df = corpus
+    tmp = str(tmp_path_factory.mktemp("perc-stream"))
+    src = os.path.join(tmp, "in")
+    df.coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    out = percolate(spark, [("q_term", "index"), ("q_and", "parse AND token")],
+                    stream)
+    qy = (out.writeStream.format("memory").queryName("perc")
+          .outputMode("append").trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    got = {(r["doc_id"], r["query_id"])
+           for r in spark.table("perc").collect()}
+    batch = {(r["doc_id"], r["query_id"])
+             for r in percolate(spark, [("q_term", "index"),
+                                        ("q_and", "parse AND token")],
+                                df).collect()}
+    assert got == batch and got
