@@ -1260,8 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            {"train": 0.8, "valid": 0.1, "test": 0.1},
                            "doc_id", seed=13)
         return (out.groupBy("split", "lang")
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.sum("n_chars").alias("sum_chars"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                     F.sum("n_chars").cast("bigint").alias("sum_chars"))
                 .orderBy("split", "lang"))
 
     def sample_quota(spark, sf):
@@ -2593,7 +2593,7 @@ s AS (SELECT lang, n_chars,
                   WHEN bk < 900000 THEN 'train'
                   ELSE 'valid' END AS split
       FROM b)
-SELECT split, lang, count(*) AS n, sum(n_chars) AS sum_chars
+SELECT split, lang, count(*)::bigint AS n, sum(n_chars)::bigint AS sum_chars
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -2837,21 +2837,23 @@ FROM scores ORDER BY score DESC, doc_id
     o["ft_federated"] = f"""
 WITH {_TOK},
 a AS (
-  SELECT 'a' AS idx, tf.doc_id, round(sum({_BM25}), 6) AS score
+  SELECT 'a' AS idx, tf.doc_id, sum({_BM25}) AS score
   FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
   WHERE tf.term = 'table'
   GROUP BY tf.doc_id
   ORDER BY score DESC, tf.doc_id LIMIT 10),
 {_stem_tok_cte("s")},
 b AS (
-  SELECT 'b' AS idx, stf.doc_id, round(sum(
+  SELECT 'b' AS idx, stf.doc_id, sum(
     ln(1.0 + (sst.n - sdfx.df + 0.5) / (sdfx.df + 0.5)) *
-    stf.tf * 2.2 / (stf.tf + 1.2 * (0.25 + 0.75 * sdl.dl / sst.avgdl))), 6) AS score
+    stf.tf * 2.2 / (stf.tf + 1.2 * (0.25 + 0.75 * sdl.dl / sst.avgdl))) AS score
   FROM stf JOIN sdfx USING (term) JOIN sdl USING (doc_id) CROSS JOIN sst
   WHERE stf.term = 'table'
   GROUP BY stf.doc_id
   ORDER BY score DESC, stf.doc_id LIMIT 10)
-SELECT idx AS index, doc_id, score FROM (
+-- cuts and the merged ORDER BY use UNROUNDED scores (the engine rounds only
+-- in the entry's final projection); rounding here mirrors that exactly
+SELECT idx AS index, doc_id, round(score, 6) AS score FROM (
   SELECT * FROM a UNION ALL SELECT * FROM b)
 ORDER BY score DESC, idx, doc_id LIMIT 10
 """

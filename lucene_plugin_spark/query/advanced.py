@@ -74,26 +74,43 @@ def rescore(engine, repo: str | None, query: str, rescore_query: str,
     """Two-phase ranking (Lucene ``QueryRescorer`` / ES ``rescore``):
     rank by ``query``; the top ``window`` docs are re-scored as
     ``base + weight * secondary`` where ``secondary`` is the doc's score
-    under ``rescore_query`` (0 when it doesn't match); docs OUTSIDE the
-    window keep their base ranking and can never re-enter the top-k —
-    exactly Lucene's window semantics.
+    under ``rescore_query`` (0 when it doesn't match) and re-sorted among
+    themselves; docs OUTSIDE the window keep their base scores and base
+    order AFTER the rescored block (they can never re-enter it) — exactly
+    Lucene ``QueryRescorer.rescore`` when ``limit > window``.  ``weight``
+    must be >= 0: the window-only cut assumes rescoring never demotes a
+    window doc below the tail, which a negative weight would break.
 
     Scale shape: the window is k-row and broadcast; the secondary query runs
     once through the ordinary engine (its own pruned top-k machinery).  Use
     a selective secondary (phrase / strict AND — the standard proximity
     rescore) so its match set, not the corpus, bounds the extra cost.
     """
-    base = engine.search(repo, query, limit=window)
+    if weight < 0:
+        raise ValueError(f"rescore weight must be >= 0, got {weight}")
+    from pyspark.sql import Window
+    base = engine.search(repo, query, limit=max(window, limit))
     rnode = parse_query(rescore_query, variant=engine.analyzer)
     sec = (engine.search_node(rnode, repo, limit=_ALL)
            .select("doc_id", F.col("score").alias("_sec")))
-    return (base.join(sec, "doc_id", "left")
-            .select("doc_id", "path",
-                    (F.col("score")
-                     + F.lit(float(weight))
-                     * F.coalesce(F.col("_sec"), F.lit(0.0))).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(limit))
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    combined = (F.col("score") + F.lit(float(weight))
+                * F.coalesce(F.col("_sec"), F.lit(0.0)))
+    scored = (base.withColumn("_rank", rank)
+              .join(sec, "doc_id", "left")
+              .select("doc_id", "path", "_rank",
+                      F.when(F.col("_rank") <= window, combined)
+                      .otherwise(F.col("score")).alias("score")))
+    # rescored block first (combined desc, docID asc), base tail after it in
+    # unchanged base order; one k-row window sort, never corpus-sized
+    in_tail = (F.col("_rank") > window).cast("int")
+    sort2 = F.when(F.col("_rank") <= window, -F.col("score")) \
+             .otherwise(F.col("_rank").cast("double"))
+    return (scored
+            .orderBy(F.asc(in_tail), F.asc(sort2), F.asc("doc_id"))
+            .limit(limit)
+            .select("doc_id", "path", "score"))
 
 
 def constant_score(engine, repo: str | None, query: str, boost: float = 1.0,

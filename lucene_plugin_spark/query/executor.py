@@ -901,7 +901,11 @@ class SearchEngine:
             key = F.col(sort_field).cast("string").alias("sort_key")
             if (self._path_map is not None
                     and cq["est_postings"] <= self.driver_exec_max_postings):
-                res = self._search_driver(cq, 1 << 20)
+                # untruncated limit: a score-bounded cut (e.g. 1 << 20)
+                # would silently take the lowest docIDs OF A SCORE-SELECTED
+                # SUBSET when the match set exceeds it; driver match sets
+                # are already bounded by driver_exec_max_postings
+                res = self._search_driver(cq, 1 << 31)
                 ids = np.sort(res["doc_id"].to_numpy())[:limit]
                 topk = self.spark.createDataFrame(
                     [(int(i),) for i in ids], "doc_id long")
@@ -922,7 +926,10 @@ class SearchEngine:
                     if rng:
                         cq2 = dict(cq)
                         cq2["doc_ranges"] = rng
-                        got = (self._search_kernel_compiled(cq2, 1 << 20)
+                        # untruncated for the same reason as the driver
+                        # branch: the probe needs the FIRST k matching
+                        # docIDs in [0, bound), not k of a score-top subset
+                        got = (self._search_kernel_compiled(cq2, 1 << 31)
                                .select("doc_id").orderBy(F.asc("doc_id"))
                                .limit(limit).collect())
                     if len(got) >= limit or bound > max_doc:

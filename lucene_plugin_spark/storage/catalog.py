@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -55,6 +56,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 class SnapshotError(RuntimeError):
     pass
+
+
+_TAG_NAME_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def _check_tag_name(name: str) -> None:
+    """Tag names become filesystem paths (tags/<name>.json); reject anything
+    that could escape the tags directory ('/', '..', empty, control chars)."""
+    if not _TAG_NAME_RE.fullmatch(name or "") or ".." in name:
+        raise ValueError(f"invalid tag name {name!r}: must match "
+                         "[A-Za-z0-9._-]+ without '..'")
 
 
 def entry_path(e) -> str:
@@ -328,6 +340,7 @@ class Catalog:
         reader treats absence as "did not exist yet".  This is the engine's
         time-travel anchor (Iceberg tags pin one table; an index is several
         tables that must travel together)."""
+        _check_tag_name(name)
         if pins is None:
             pins = {t: self.table(t).current_snapshot_id()
                     for t in self.table_names()}
@@ -342,6 +355,7 @@ class Catalog:
 
     def tag_pins(self, name: str) -> dict[str, int] | None:
         """The {table -> snapshot_id} map of a tag, or None if absent."""
+        _check_tag_name(name)
         path = os.path.join(self.root, "tags", f"{name}.json")
         if not os.path.exists(path):
             return None

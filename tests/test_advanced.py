@@ -166,6 +166,41 @@ def test_rescore(spark, built):
     assert np.allclose([g[2] for g in got], [w[2] for w in want])
 
 
+def test_rescore_limit_beyond_window(spark, built):
+    # Lucene QueryRescorer with topN < k: only the top-``window`` docs are
+    # re-scored and re-sorted among themselves; docs beyond the window keep
+    # their BASE scores and base order AFTER the rescored block
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    q, rq, window, weight, k = "index query cache", '"get user"', 5, 2.0, 12
+    got = _got(advanced.rescore(eng, None, q, rq, window, weight, k))
+    base = oracle.search(None, q, limit=k)
+    sec = {d: s for d, _, s in oracle.search(None, rq, limit=10 ** 6)}
+    head = sorted(((s + weight * sec.get(d, 0.0), d, p)
+                   for d, p, s in base[:window]), key=lambda x: (-x[0], x[1]))
+    want = ([(d, p, round(s, 9)) for s, d, p in head]
+            + [(d, p, round(s, 9)) for d, p, s in base[window:]])[:k]
+    assert len(got) == len(want) and [g[:2] for g in got] == [w[:2] for w in want]
+    assert np.allclose([g[2] for g in got], [w[2] for w in want])
+
+
+def test_rescore_negative_weight_rejected(spark, built):
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    with pytest.raises(ValueError, match="weight"):
+        advanced.rescore(eng, None, "index", '"get user"', weight=-1.0)
+
+
+def test_tag_name_validation(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh-tagval"))
+    catalog = Catalog(wh)
+    for bad in ["../escape", "a/b", "", "..", "x\x00y"]:
+        with pytest.raises(ValueError):
+            catalog.tag(bad)
+        with pytest.raises(ValueError):
+            catalog.tag_pins(bad)
+
+
 def test_constant_score(spark, built):
     catalog, rows, oracle = built
     eng = SearchEngine(spark, catalog)

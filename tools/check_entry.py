@@ -21,9 +21,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    """Type-SENSITIVE normalization (r4): the driver hashes raw values, so a
+    Decimal on one side vs an int/float on the other (an uncast aggregate —
+    the r3 sample_split failure mode) must fail here too.  Decimals compare
+    scale-insensitively against Decimals only; floats round to 6."""
     import decimal
     if isinstance(v, decimal.Decimal):
-        v = float(v)
+        return ("dec", str(v.normalize()))
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
