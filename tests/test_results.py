@@ -110,6 +110,38 @@ def test_spellcheck_matches_brute(spark, built):
     assert sorted(got) == sorted(want)
 
 
+def test_spellcheck_three_strategies_agree(spark, built):
+    # driver gram-dict path (small vocab), distributed spell_grams sidecar
+    # path (equi-join with literal gram IN (...) pushed into the scan), and
+    # the full-vocabulary band scan must produce IDENTICAL output for
+    # max_dist <= 2 — short terms ('' bucket), long terms (pigeonhole
+    # guarantee), 1-char queries (no grams at all)
+    eng = _engine(spark, built)
+    queries = ["indx", "qery", "cach", "connecction", "authentiaction",
+               "configuratoin", "ab", "x", "repositry", "tokenzier",
+               "implemenation", "zzzzzz"]
+    for per_term, dist in ((1, 2), (3, 2), (2, 1)):
+        rows = lambda df: sorted(  # noqa: E731
+            (r["qterm"], r["suggestion"], r["dist"], r["cf"])
+            for r in df.collect())
+        driver = rows(eng.spellcheck(queries, max_dist=dist,
+                                     per_term=per_term))
+        gram = rows(eng._spellcheck_gram_join(queries, "text", dist,
+                                              per_term))
+        band = rows(eng._spellcheck_bandscan(queries, "text", dist,
+                                             per_term))
+        assert driver == band, (per_term, dist)
+        assert gram == band, (per_term, dist)
+    # small vocab resolved driver-side; the sidecar was still exercised and
+    # is stamped with the term_dict snapshot it saw
+    assert eng._spell_local_index("text") is not None
+    catalog = built[0]
+    sg = catalog.table("spell_grams")
+    assert sg.exists()
+    assert (sg.snapshot().properties["source_term_dict"]
+            == catalog.table("term_dict").current_snapshot_id())
+
+
 def test_spellcheck_per_term_k(spark, built):
     eng = _engine(spark, built)
     out = eng.spellcheck(["indx"], per_term=3).collect()
