@@ -1486,8 +1486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(tmp, ignore_errors=True)
 
     def ft_multi_phrase(spark, sf):
-        # MultiPhraseQuery analogue: "(table|query) hash" — scored OR over
-        # the per-slot cross product (semantics note in query/advanced.py)
+        # MultiPhraseQuery "(table|query) hash" — r4: exact Lucene blended
+        # semantics (ONE scorer: tf over slot-UNIONED positions, idf summed
+        # over the flattened termArrays; query/advanced.py multi_phrase)
         from lucene_plugin_spark.query.advanced import multi_phrase
         _, eng = _engine(spark, sf)
         return _hits_as_orig_ids(multi_phrase(
@@ -2983,31 +2984,23 @@ SELECT ((SELECT count(*) FROM documents)
        (SELECT count(DISTINCT text) FROM documents)::bigint AS n_survivors
 """
 
-    # multi-phrase "(table|query) hash": per-variant phrase BM25, summed
-    # over matching variants (the documented cross-product rewrite)
+    # multi-phrase "(table|query) hash" — blended Lucene MultiPhraseWeight
+    # semantics (r4): tf counts anchors over the slot-UNIONED positions
+    # (one token per position -> unions are disjoint, so the adjacency join
+    # over the union IS the union tf); idf sums over the flattened
+    # termArrays; ONE BM25 tf-normalization
     o["ft_multi_phrase"] = f"""
 WITH {_TOK},
-pa0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
-pb0 AS (SELECT doc_id, pos FROM tok WHERE term = 'query'),
+u0 AS (SELECT doc_id, pos FROM tok WHERE term IN ('query', 'table')),
 p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
-pha AS (SELECT pa0.doc_id, count(*)::double ptf
-        FROM pa0 JOIN p1 ON pa0.doc_id = p1.doc_id AND p1.pos = pa0.pos + 1
-        GROUP BY pa0.doc_id),
-phb AS (SELECT pb0.doc_id, count(*)::double ptf
-        FROM pb0 JOIN p1 ON pb0.doc_id = p1.doc_id AND p1.pos = pb0.pos + 1
-        GROUP BY pb0.doc_id),
-idfa AS (SELECT sum(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS i
-         FROM dfx CROSS JOIN st WHERE dfx.term IN ('table', 'hash')),
-idfb AS (SELECT sum(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS i
-         FROM dfx CROSS JOIN st WHERE dfx.term IN ('query', 'hash')),
-sa AS (SELECT pha.doc_id,
-              idfa.i * pha.ptf * 2.2 / (pha.ptf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
-       FROM pha JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfa),
-sb AS (SELECT phb.doc_id,
-              idfb.i * phb.ptf * 2.2 / (phb.ptf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
-       FROM phb JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfb),
-u AS (SELECT * FROM sa UNION ALL SELECT * FROM sb),
-scores AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+tfu AS (SELECT u0.doc_id, count(*)::double tf
+        FROM u0 JOIN p1 ON u0.doc_id = p1.doc_id AND p1.pos = u0.pos + 1
+        GROUP BY u0.doc_id),
+idfs AS (SELECT sum(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS i
+         FROM dfx CROSS JOIN st WHERE dfx.term IN ('table', 'query', 'hash')),
+scores AS (SELECT tfu.doc_id,
+        idfs.i * tfu.tf * 2.2 / (tfu.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+        FROM tfu JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs)
 SELECT s.doc_id, round(s.score, 6) AS score
 FROM scores s JOIN documents d USING (doc_id)
 ORDER BY s.score DESC, d.source, s.doc_id LIMIT 10

@@ -288,33 +288,102 @@ def span_first(engine, repo: str | None, term: str, end: int,
 
 def multi_phrase(engine, repo: str | None, slots: list[list[str]],
                  field: str = "text", slop: int = 0,
-                 limit: int = 255) -> DataFrame:
+                 limit: int = 255, blended: bool = True) -> DataFrame:
     """``MultiPhraseQuery`` analogue: a phrase where each position admits
     several terms — ``[["table", "query"], ["hash"]]`` matches
     ``"table hash"`` OR ``"query hash"``.
 
-    Semantics (documented deviation, like the slop docstrings): the query
-    rewrites to a scored OR over the cross product of per-slot choices —
-    a doc's score is the SUM of each matching variant's phrase BM25.
-    Lucene instead blends statistics inside one scorer (idf summed over all
-    slot terms, tf over matching paths); the rewrite keeps every variant's
-    scoring exact and SQL-expressible for the oracle.  The cross product is
-    the intended usage bound (synonym slots are 2-3 wide; Lucene's own
-    query parser builds MultiPhrase from synonym graphs the same way).
+    ``blended=True`` (default, round-4): exact Lucene ``MultiPhraseWeight``
+    semantics — ONE scorer over slot-UNIONED position lists.
+    ``tf(doc)`` counts anchor positions where every slot matches one of its
+    alternatives (with slop, the engine's anchor-displacement weighting
+    over the unioned arrays); ``idf`` sums over the flattened termArrays —
+    every alternative of every slot (Lucene MultiPhraseQuery.getTermArrays
+    flattening).  Under a one-term-per-position analyzer the slot unions
+    are disjoint, so the union tf equals the sum of per-variant phrase tfs
+    — which keeps the measure SQL-expressible for the DuckDB oracle.
 
-    Scale shape: each variant is an ordinary phrase leaf on the compiled
-    kernel path — the decoded positions of a term shared by several
-    variants transfer once (per-slice block cache), so the added cost is
-    per-variant numpy intersection, not per-variant IO."""
-    from itertools import product
+    ``blended=False``: the round-3 rewrite — a scored OR over the cross
+    product of per-slot choices; a doc's score is the SUM of each matching
+    variant's OWN phrase BM25 (each variant keeps its own idf; documented
+    deviation, kept for comparison and for the compiled-kernel path).
 
-    from lucene_plugin_spark.query.plan import Bool, Phrase
-    variants = []
-    for combo in product(*[[t.lower() for t in s] for s in slots]):
-        variants.append(Phrase(field=field, terms=tuple(combo),
-                               offsets=tuple(range(len(combo))),
-                               slop=int(slop)))
-    return engine.search_node(Bool(should=tuple(variants)), repo, limit)
+    Scale shape (blended): the flat-postings view is term-filtered BEFORE
+    block decode (predicate pushed to the term-sorted parquet row groups),
+    per-slot unions are doc_id-keyed aggs over ≤|alternatives| arrays, the
+    alignment runs in whole-stage codegen via higher-order array functions
+    (no Python), and only the top-k joins the path map."""
+    from lucene_plugin_spark.query import bm25
+
+    slots_l = [[t.lower() for t in s] for s in slots]
+    if not blended:
+        from itertools import product
+
+        from lucene_plugin_spark.query.plan import Bool, Phrase
+        variants = []
+        for combo in product(*slots_l):
+            variants.append(Phrase(field=field, terms=tuple(combo),
+                                   offsets=tuple(range(len(combo))),
+                                   slop=int(slop)))
+        return engine.search_node(Bool(should=tuple(variants)), repo, limit)
+
+    empty = "doc_id long, path string, score double"
+    stats = engine._field_stats()
+    n, avgdl = stats.get(field, (0.0, 1.0))
+    all_terms = sorted({t for s in slots_l for t in s})
+    dfm = engine._df_for_pairs([(field, t) for t in all_terms])
+    # flattened-termArrays idf: every alternative of every slot contributes
+    # (absent terms have df 0 -> contribute 0, matching an empty posting)
+    idf_sum = float(sum(bm25.idf(dfm.get((field, t), 0.0), n)
+                        for s in slots_l for t in s
+                        if dfm.get((field, t), 0.0) > 0.0))
+    if n == 0.0 or idf_sum == 0.0:
+        return engine.spark.createDataFrame([], empty)
+    flat = (flat_postings_view(engine.spark, engine.catalog, terms=all_terms)
+            .where(F.col("field") == field))
+    j = None
+    for k, alts in enumerate(slots_l):
+        # slot union: one token per position -> alternatives' position
+        # arrays are disjoint per doc; flatten(collect_list) IS the union
+        part = (flat.where(F.col("term").isin(sorted(set(alts))))
+                .groupBy("doc_id")
+                .agg(F.flatten(F.collect_list("positions")).alias(f"p{k}")))
+        j = part if j is None else j.join(part, "doc_id")
+    nslots = len(slots_l)
+    ex = j.select("doc_id", F.explode("p0").alias("x"),
+                  *[F.col(f"p{k}") for k in range(1, nslots)])
+    if slop:
+        def _absdiff(dd):
+            return lambda v: F.abs(v - (F.col("x") + F.lit(dd)))
+
+        disp = F.lit(0.0)
+        for k in range(1, nslots):
+            disp = disp + F.array_min(F.transform(
+                F.col(f"p{k}"), _absdiff(k))).cast("double")
+        keep = (ex.withColumn("_disp", disp)
+                .where(F.col("_disp") <= float(slop)))
+        tf = keep.groupBy("doc_id").agg(
+            F.sum(1.0 / (1.0 + F.col("_disp"))).alias("tf"))
+    else:
+        keep = ex
+        for k in range(1, nslots):
+            keep = keep.where(F.array_contains(F.col(f"p{k}"),
+                                               F.col("x") + F.lit(k)))
+        tf = keep.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("double").alias("tf"))
+    lens = (engine._tbl("field_lens").where(F.col("field") == field)
+            .select("doc_id", "dl"))
+    tfn = (F.col("tf") * (bm25.K1 + 1.0)
+           / (F.col("tf") + bm25.K1 * (1.0 - bm25.B
+                                       + bm25.B * F.col("dl") / F.lit(avgdl))))
+    agg = (tf.join(lens, "doc_id")
+           .select("doc_id", (F.lit(idf_sum) * tfn).alias("score")))
+    agg = engine._finalize_df_hits(agg, repo)
+    meta = engine._meta_path_df()
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+    return (meta.join(F.broadcast(topk), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "path", "score"))
 
 
 def federated_search(engines: list[tuple[str, object]], repo: str | None,

@@ -373,11 +373,12 @@ def test_index_sort_mutation_disables_fast_path(spark, tmp_path_factory):
     assert [l for _, l in got] == sorted(by_lang[p] for p in matched)[:10]
 
 
-def test_multi_phrase(spark, built):
+def test_multi_phrase_cross_product(spark, built):
+    # blended=False: the scored-OR rewrite — each variant keeps its own idf
     catalog, rows, oracle = built
     eng = SearchEngine(spark, catalog)
     got = _got(advanced.multi_phrase(
-        eng, None, [["get", "parse"], ["user"]], limit=20))
+        eng, None, [["get", "parse"], ["user"]], limit=20, blended=False))
     a = {d: s for d, _, s in oracle.search(None, '"get user"', limit=10 ** 6)}
     b = {d: s for d, _, s in oracle.search(None, '"parse user"', limit=10 ** 6)}
     comb = {d: a.get(d, 0.0) + b.get(d, 0.0) for d in set(a) | set(b)}
@@ -386,6 +387,41 @@ def test_multi_phrase(spark, built):
                   key=lambda x: (-x[0], x[1]))[:20]
     assert got and [g[0] for g in got] == [d for _, d, _ in want]
     assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
+
+
+def test_multi_phrase_blended_lucene_semantics(spark, built):
+    # blended=True (default): Lucene MultiPhraseWeight — ONE scorer, tf over
+    # slot-UNIONED positions, idf summed over the flattened termArrays
+    from lucene_plugin_spark.query import bm25 as B
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    slots = [["get", "parse"], ["user"]]
+    got = _got(advanced.multi_phrase(eng, None, slots, limit=20))
+    n, avgdl = oracle._field_stats("text")
+    idf_sum = sum(B.idf(float(oracle._df("text", t)), n)
+                  for s in slots for t in s if oracle._df("text", t) > 0)
+    comb = {}
+    for d in oracle.docs.values():
+        toks = d.tokens.get("text", [])
+        pos: dict[str, set[int]] = {}
+        for t, p in toks:
+            pos.setdefault(t, set()).add(p)
+        u0 = pos.get("get", set()) | pos.get("parse", set())
+        u1 = pos.get("user", set())
+        tf = sum(1 for x in u0 if x + 1 in u1)
+        if tf:
+            dl = len(toks)
+            comb[d.doc_id] = (idf_sum * tf * (B.K1 + 1)
+                              / (tf + B.K1 * (1 - B.B + B.B * dl / avgdl)))
+    paths = {d.doc_id: d.path for d in oracle.docs.values()}
+    want = sorted(((s, d, paths[d]) for d, s in comb.items()),
+                  key=lambda x: (-x[0], x[1]))[:20]
+    assert got and [g[0] for g in got] == [d for _, d, _ in want]
+    assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
+    # the two scorers genuinely differ (else the rewrite would be blended)
+    cross = _got(advanced.multi_phrase(eng, None, slots, limit=20,
+                                       blended=False))
+    assert [g[2] for g in got] != [c[2] for c in cross]
 
 
 def test_index_sort_progressive_bound(spark, tmp_path_factory):
