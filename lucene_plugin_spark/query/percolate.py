@@ -136,6 +136,42 @@ def _match_rows(node: Node, ctx) -> np.ndarray:
     raise TypeError(f"unsupported percolator node {type(node).__name__}")
 
 
+def _can_match(node: Node, vocab: set, field: str) -> bool:
+    """Registry prefilter (lucene-monitor's query-index idea, reduced to a
+    per-batch vocabulary test): False ONLY when ``node`` provably matches
+    nothing whose terms come from ``vocab`` — a Term/Phrase needs its
+    term(s) present, a Bool needs every MUST/FILTER child viable plus
+    enough viable SHOULD children for its effective
+    minimumNumberShouldMatch.  Conservative everywhere else (expandable
+    leaves return True; MUST_NOT can only shrink a match set).  At
+    10^5-10^6 registered queries this skips the vectorized evaluation for
+    the vast majority whose required terms are absent from the batch."""
+    if isinstance(node, MatchAll):
+        return True
+    if isinstance(node, Term):
+        return node.field == field and node.term in vocab
+    if isinstance(node, SynSet):
+        return node.field == field and any(t in vocab for t in node.terms)
+    if isinstance(node, EXPANDABLE):
+        return True  # needs exp_mask over the vocab; evaluate for real
+    if isinstance(node, Phrase):
+        return node.field == field and all(t in vocab for t in node.terms)
+    if isinstance(node, DisMax):
+        return any(_can_match(c, vocab, field) for c in node.disjuncts)
+    if isinstance(node, Bool):
+        if not all(_can_match(c, vocab, field)
+                   for c in list(node.must) + list(node.filter)):
+            return False
+        req = list(node.must) + list(node.filter)
+        mm = max(node.min_should, 0 if req else (1 if node.should else 0))
+        if mm > 0:
+            viable = sum(1 for c in node.should if _can_match(c, vocab, field))
+            if viable < mm:
+                return False
+        return True
+    return True  # unknown node kinds evaluate for real
+
+
 def percolate(spark: SparkSession, queries: list[tuple[str, str]],
               docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text", field: str = "text",
@@ -145,6 +181,11 @@ def percolate(spark: SparkSession, queries: list[tuple[str, str]],
     ``queries``: [(query_id, classic query string), ...] — parsed once on
     the driver with the given analyzer ``variant`` and broadcast as plan
     nodes; documents are analyzed with the SAME variant inside the batch.
+    Before evaluating a query against a batch, the ``_can_match``
+    prefilter drops queries whose required terms are absent from the
+    batch vocabulary — the lucene-monitor registry-pruning analogue that
+    keeps per-batch cost proportional to the queries that COULD fire,
+    not the registry size.
     """
     nodes = [(qid, parse_query(q, variant=variant)) for qid, q in queries]
     bc = spark.sparkContext.broadcast(nodes)
@@ -153,12 +194,15 @@ def percolate(spark: SparkSession, queries: list[tuple[str, str]],
         for pdf in batches:
             toks = tokenize_series(pdf[text_col], variant=variant)
             vocab = pd.Series(toks["term"].unique())
+            vocab_set = set(vocab)
             ctx = {"toks": toks, "n_rows": len(pdf), "vocab": vocab,
                    "field": field,
                    "vocab_fields": pd.Series([field] * len(vocab))}
             ids = pdf[id_col].to_numpy()
             out_ids, out_qids = [], []
             for qid, node in bc.value:
+                if not _can_match(node, vocab_set, field):
+                    continue  # provably zero matches in this batch
                 rows = _match_rows(node, ctx)
                 out_ids.append(ids[rows])
                 out_qids.append(np.repeat(qid, rows.size))

@@ -73,3 +73,50 @@ def test_percolate_streaming(spark, corpus, tmp_path_factory):
                                         ("q_and", "parse AND token")],
                                 df).collect()}
     assert got == batch and got
+
+
+def test_prefilter_never_skips_a_matching_query(spark, corpus):
+    # _can_match may only return False when the query truly matches nothing
+    # in the batch — check the implication over every registered kind plus
+    # absent-term variants, against actual evaluation on the corpus
+    from lucene_plugin_spark.query.parser import parse_query
+    from lucene_plugin_spark.query.percolate import _can_match
+
+    rows, df = corpus
+    from lucene_plugin_spark.analysis.tokenizer import tokenize_text
+    vocab = set()
+    for r in rows:
+        vocab.update(t for t, _ in tokenize_text(r["content"]))
+    extra = [
+        ("a_term", "zzznothere"),
+        ("a_phrase", '"index zzznothere"'),
+        ("a_and", "index AND zzznothere"),
+        ("a_or_half", "index zzznothere"),
+        ("a_or_none", "qqqgone zzznothere"),
+        ("a_not_ok", "index -zzznothere"),
+    ]
+    matched = {q for _, q in
+               {(r["doc_id"], r["query_id"]) for r in
+                percolate(spark, QUERIES + extra, df).collect()}}
+    for qid, q in QUERIES + extra:
+        node = parse_query(q)
+        if not _can_match(node, vocab, "text"):
+            assert qid not in matched, (qid, q)
+    # and the pruning actually fires for the provably-dead registrations
+    dead = {"a_term", "a_phrase", "a_and", "a_or_none"}
+    for qid, q in extra:
+        if qid in dead:
+            assert not _can_match(parse_query(q), vocab, "text"), qid
+            assert qid not in matched, qid
+
+
+def test_prefilter_is_result_invariant(spark, corpus):
+    # results with a registry mixing live and dead queries equal the live
+    # registry's results exactly (prefilter = pure evaluation skip)
+    rows, df = corpus
+    dead = [("z1", "zzznothere"), ("z2", '"index zzznothere"')]
+    a = {(r["doc_id"], r["query_id"])
+         for r in percolate(spark, QUERIES, df).collect()}
+    b = {(r["doc_id"], r["query_id"])
+         for r in percolate(spark, QUERIES + dead, df).collect()}
+    assert a == b
