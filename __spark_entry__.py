@@ -617,6 +617,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _, eng = _engine(spark, sf)
         return eng.spellcheck(["sprak", "tabel", "quey"], max_dist=2)
 
+    def ft_spellcheck_gram(spark, sf):
+        # r4: force the DISTRIBUTED gram-sidecar strategy (the 100 TB
+        # vocabulary path — spell_grams equi-join, literal gram IN (...)
+        # pushed into the pruned scan); auto takes the driver path on this
+        # small corpus, so this entry driver-gates the big-vocab plan
+        _, eng = _engine(spark, sf)
+        return eng.spellcheck(["sprak", "tabel", "quey"], max_dist=2,
+                              strategy="gram")
+
     def ft_facets(spark, sf):  # facet counts over an untruncated match set
         from lucene_plugin_spark.query.results import facet_counts
         _, eng = _engine(spark, sf)
@@ -643,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(ft_paging=ft_paging, ft_count=ft_count, ft_highlight=ft_highlight,
              ft_suggest=ft_suggest, ft_spellcheck=ft_spellcheck,
+             ft_spellcheck_gram=ft_spellcheck_gram,
              ft_facets=ft_facets, ft_group_topk=ft_group_topk)
 
     def ft_span_near(spark, sf):  # SpanNearQuery analogue, unordered slop=3
@@ -1590,6 +1600,9 @@ _GATE_TAIL = [
     "ev_asof_join", "ev_range_join", "ev_kmv_distinct",
     "sim_cosine_topk", "sim_ivf_topk", "sim_ivf_kmeans", "sim_rplsh_topk",
     "dedup_embedding",
+    # r1/r2-green, ops/textstats untouched in r4 with nine r3-green
+    # siblings in the tail (text_quality/lang_id/gopher/entropy/...)
+    "text_token_counts",
 ]
 
 
@@ -1602,8 +1615,10 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_percolate", "stream_percolate",
         # the one red r3 row — aggregates cast to bigint on both sides in r4
         "sample_split",
-        # r4 code/oracle churn: re-prove against current code
-        "ft_spellcheck", "ft_sort_field", "ft_rescore", "ft_federated",
+        # r4 code/oracle churn: re-prove against current code (plus the
+        # new forced-gram-strategy entry)
+        "ft_spellcheck", "ft_spellcheck_gram", "ft_sort_field",
+        "ft_rescore", "ft_federated",
         # 36 of the 50 entries last driver-checked in r1/r2, oldest proofs
         # first within each machinery group: the full classic-query surface
         # over the shared executor, mutations, dedup, tpch, text stats
@@ -1616,7 +1631,7 @@ def _rotate_for_gate(q: dict) -> dict:
         "mut_delete_search", "mut_docs_sha", "mut_compact_search",
         "dedup_exact", "dedup_ngram_pairs", "dedup_minhash", "dedup_simhash",
         "dedup_simhash_pairs", "dedup_clusters",
-        "tpch_q1_pricing", "tpch_q3_topk", "text_token_counts",
+        "tpch_q1_pricing", "tpch_q3_topk",
     ]
     head = [k for k in head_priority if k in q]
     mid = [k for k in q if k not in head and k not in _GATE_TAIL]
@@ -1864,6 +1879,9 @@ rnk AS (SELECT *, row_number() OVER
         FROM cand)
 SELECT qterm, suggestion, dist, cf FROM rnk WHERE rn = 1 ORDER BY qterm
 """
+
+    # the forced gram-sidecar strategy must produce the identical answer
+    o["ft_spellcheck_gram"] = o["ft_spellcheck"]
 
     o["ft_facets"] = f"""
 WITH {_TOK},

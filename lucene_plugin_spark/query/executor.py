@@ -1094,37 +1094,57 @@ class SearchEngine:
             pdf, "qterm string, suggestion string, dist long, cf long")
 
     def spellcheck(self, terms: list[str], field: str = "text",
-                   max_dist: int = 2, per_term: int = 1) -> DataFrame:
+                   max_dist: int = 2, per_term: int = 1,
+                   strategy: str = "auto") -> DataFrame:
         """Spelling correction (lucene-suggest DirectSpellChecker analogue):
         for each query term, the best index term(s) within ``max_dist``
         Levenshtein edits, ranked by (distance asc, cf desc, term asc).
 
         Three candidate-generation strategies, chosen by vocabulary size
-        (the DirectSpellChecker FST-neighbourhood idea mapped to Spark):
+        under ``strategy="auto"`` (the DirectSpellChecker FST-neighbourhood
+        idea mapped to Spark); ``strategy="driver"|"gram"|"band"`` forces
+        one (identical output, pytest- and oracle-gated):
 
-        - vocabulary <= ``spell_driver_max_rows``: fully driver-side — a
-          resident gram->terms postings dict plus local Levenshtein, zero
-          Spark jobs (the same resident-dictionary fast path term queries
-          use);
-        - larger vocabularies: equi-join on (field, character 2-gram)
-          against the persisted ``spell_grams`` sidecar (see
-          ``_spell_grams_df``) — the query's gram set is a driver-side
+        - ``driver`` (auto: vocabulary <= ``spell_driver_max_rows``): fully
+          driver-side — a resident gram->terms postings dict plus local
+          Levenshtein, zero Spark jobs (the same resident-dictionary fast
+          path term queries use);
+        - ``gram`` (auto: larger vocabularies): equi-join on (field,
+          character 2-gram) against the persisted ``spell_grams`` sidecar
+          (see ``_spell_grams_df``) — the query's gram set is a driver-side
           literal, so ``gram IN (...)`` pushes into the parquet scan and
           prunes to the row groups holding those grams; candidate cost is
           bounded by the grams' posting sizes, never the vocabulary;
-        - ``max_dist > 2`` (pigeonhole bound void) or tag-pinned readers
-          (pins may predate the sidecar): length-banded broadcast scan of
-          the dictionary — exact for any distance, O(vocabulary).
+        - ``band`` (auto: ``max_dist > 2`` — pigeonhole bound void — or
+          tag-pinned readers whose pins may predate the sidecar):
+          length-banded broadcast scan of the dictionary — exact for any
+          distance, O(vocabulary).
 
-        All three produce identical output (pytest-gated); the gram paths
-        are lossless for ``max_dist <= 2`` by the q-gram count filter, with
-        terms shorter than ``SPELL_LONG_MIN`` covered by the '' bucket.
+        All three produce identical output; the gram paths are lossless
+        for ``max_dist <= 2`` by the q-gram count filter, with terms
+        shorter than ``SPELL_LONG_MIN`` covered by the '' bucket.
 
         Returns DataFrame(qterm, suggestion, dist, cf).
         """
         if not terms:
             return self.spark.createDataFrame(
                 [], "qterm string, suggestion string, dist long, cf long")
+        if strategy == "band":
+            return self._spellcheck_bandscan(terms, field, max_dist, per_term)
+        if strategy == "gram":
+            if max_dist > 2:
+                raise ValueError("gram blocking is lossless only for "
+                                 f"max_dist <= 2, got {max_dist}")
+            return self._spellcheck_gram_join(terms, field, max_dist,
+                                              per_term)
+        if strategy == "driver":
+            idx = self._spell_local_index(field)
+            if idx is None or max_dist > 2:
+                raise ValueError("driver spellcheck needs a resident "
+                                 "dictionary and max_dist <= 2")
+            return self._spellcheck_driver(idx, terms, max_dist, per_term)
+        if strategy != "auto":
+            raise ValueError(f"unknown spellcheck strategy {strategy!r}")
         if max_dist > 2:
             return self._spellcheck_bandscan(terms, field, max_dist, per_term)
         idx = self._spell_local_index(field)

@@ -125,13 +125,24 @@ def test_spellcheck_three_strategies_agree(spark, built):
             (r["qterm"], r["suggestion"], r["dist"], r["cf"])
             for r in df.collect())
         driver = rows(eng.spellcheck(queries, max_dist=dist,
-                                     per_term=per_term))
-        gram = rows(eng._spellcheck_gram_join(queries, "text", dist,
-                                              per_term))
-        band = rows(eng._spellcheck_bandscan(queries, "text", dist,
-                                             per_term))
+                                     per_term=per_term, strategy="driver"))
+        gram = rows(eng.spellcheck(queries, max_dist=dist,
+                                   per_term=per_term, strategy="gram"))
+        band = rows(eng.spellcheck(queries, max_dist=dist,
+                                   per_term=per_term, strategy="band"))
+        auto = rows(eng.spellcheck(queries, max_dist=dist,
+                                   per_term=per_term))
         assert driver == band, (per_term, dist)
         assert gram == band, (per_term, dist)
+        assert auto == band, (per_term, dist)
+    # strategy validation: gram/driver blocking is lossless only to dist 2
+    import pytest
+    with pytest.raises(ValueError):
+        eng.spellcheck(["indx"], max_dist=3, strategy="gram")
+    with pytest.raises(ValueError):
+        eng.spellcheck(["indx"], max_dist=3, strategy="driver")
+    with pytest.raises(ValueError):
+        eng.spellcheck(["indx"], strategy="fst")
     # small vocab resolved driver-side; the sidecar was still exercised and
     # is stamped with the term_dict snapshot it saw
     assert eng._spell_local_index("text") is not None
