@@ -98,12 +98,18 @@ class IndexBuilder:
 
     def __init__(self, spark: SparkSession, catalog: Catalog,
                  docs_per_slice: int = 250_000, block_size: int = BLOCK_SIZE,
-                 doc_buckets: int = 8, analyzer: str = "standard",
+                 doc_buckets: int | None = None, analyzer: str = "standard",
                  index_sort: list[str] | None = None):
         self.spark = spark
         self.catalog = catalog
         self.docs_per_slice = docs_per_slice
         self.block_size = block_size
+        #: (repo, kb) layout width of the docs table.  None (default) =
+        #: adaptive: ingest sizes it to ~BUCKET_TARGET_DOCS docs per bucket,
+        #: so tiny corpora don't pay a 100 TB layout's per-partition commit
+        #: overhead and huge corpora keep mutations O(batch).  Once a docs
+        #: table exists its persisted ``doc_buckets`` property is the source
+        #: of truth — mutations must hash exactly like the layout on disk.
         self.doc_buckets = doc_buckets
         #: analysis-chain variant (tokenizer.ANALYZER_VARIANTS); persisted on
         #: the segments snapshot so SearchEngine analyzes queries identically
@@ -119,10 +125,30 @@ class IndexBuilder:
         self.stage_times: dict[str, float] = {}
 
     # ------------------------------------------------------------------ docs
+    #: adaptive layout target: one key bucket per ~this many docs (the
+    #: mutation rewrite unit, aligned with the docs_per_slice default)
+    BUCKET_TARGET_DOCS = 250_000
+    #: adaptive layout cap (10^12 docs -> 4096 buckets x repo partitioning
+    #: still bounds a bucket rewrite to ~repo_size/4096)
+    BUCKET_MAX = 4096
+
+    def _bucket_count(self) -> int | None:
+        """Effective (repo, kb) bucket count, or None if not yet decided.
+        Resolution order: persisted docs-table property (the on-disk layout
+        is the truth — mutations must hash exactly like it) > explicit
+        constructor value > None (ingest will pick adaptively)."""
+        t = self.catalog.table("docs")
+        if t.exists():
+            p = t.snapshot().properties.get("doc_buckets")
+            if p:
+                return int(p)
+        return self.doc_buckets
+
     def key_bucket(self, repo_col, path_col):
         """Deterministic key bucket for the docs table layout: mutations
         rewrite only the buckets their keys hash into (O(batch), not O(N))."""
-        return F.pmod(F.hash(repo_col, path_col), F.lit(self.doc_buckets)).cast("int")
+        n = self._bucket_count() or 8
+        return F.pmod(F.hash(repo_col, path_col), F.lit(n)).cast("int")
 
     def ingest_docs(self, source: DataFrame, fields_map_col: str | None = None) -> int:
         """Stage 1: persist the source corpus + sha256 invariant column.
@@ -133,6 +159,14 @@ class IndexBuilder:
         the touched buckets via ``Table.replace_partitions``.  The write is
         hash-distributed on the partition key (one shuffle) so file count is
         O(partitions), not O(tasks x partitions)."""
+        buckets = self._bucket_count()
+        if buckets is None:
+            # adaptive layout: size to the corpus.  count() over columnar
+            # sources is footer-only (column-pruned to zero columns), so this
+            # does not re-read content even at 100 TB.
+            n = source.count()
+            buckets = max(1, min(self.BUCKET_MAX,
+                                 -(-n // self.BUCKET_TARGET_DOCS)))
         cols = [F.col(c) for c in ("repo", "path", "commit", "lang", "content")]
         if fields_map_col:
             cols.append(F.col(fields_map_col).alias("fields"))
@@ -140,11 +174,12 @@ class IndexBuilder:
             cols.append(F.lit(None).cast("map<string,string>").alias("fields"))
         docs = (source.select(*cols)
                 .withColumn("content_sha256", F.sha2(F.col("content"), 256))
-                .withColumn("kb", self.key_bucket(F.col("repo"), F.col("path"))))
+                .withColumn("kb", F.pmod(F.hash("repo", "path"),
+                                         F.lit(int(buckets))).cast("int")))
         snap = self.catalog.table("docs").overwrite(
             docs.repartition(F.col("repo"), F.col("kb")),
             partition_by=["repo", "kb"],
-            properties={"stage": "docs", "doc_buckets": self.doc_buckets})
+            properties={"stage": "docs", "doc_buckets": int(buckets)})
         return snap.snapshot_id
 
     # ------------------------------------------------------------- docs_meta

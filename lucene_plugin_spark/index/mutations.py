@@ -116,7 +116,7 @@ class IndexMutator:
         docs_t.replace_partitions(
             live, ["repo", "kb"], pairs,
             properties={"stage": "docs",
-                        "doc_buckets": self.builder.doc_buckets},
+                        "doc_buckets": self.builder._bucket_count() or 8},
             lineage={"replaced_buckets": [list(p) for p in pairs]})
 
     def _apply_aggregate_deltas(self, dead: DataFrame | None,
