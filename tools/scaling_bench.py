@@ -189,6 +189,35 @@ def merge_sweeps(runs: list[dict]) -> dict:
     return out
 
 
+def paired_pair_metrics(runs_n: list[dict], runs_4n: list[dict]) -> dict:
+    """Same-epoch pair efficiencies: sweep i at level N ran back-to-back
+    with sweep i at level 4N, so the per-index ratio cancels the host's
+    epoch drift.  Efficiency is a ratio — dividing per-level BESTS that
+    came from different epochs biases it (improving one level's absolute
+    best can LOWER the pair), so the median of same-epoch ratios is the
+    primary scaling evidence; the best-merge ladder stays the source of
+    absolute numbers."""
+    import statistics
+    n = min(len(runs_n), len(runs_4n))
+    out = {"pair": f'{runs_n[0]["cpus"]}->{runs_4n[0]["cpus"]}', "epochs": n}
+    for name, key, invert in (("build", "build_sec", False),
+                              ("batch", "batch_sec", False),
+                              ("stream", "stream_qps", True)):
+        effs = []
+        for i in range(n):
+            a, b = runs_n[i], runs_4n[i]
+            if key not in a or key not in b:
+                continue
+            speedup = (b[key] / a[key]) if invert else (a[key] / b[key])
+            effs.append(speedup / 4.0)
+        if effs:
+            out[f"{name}_eff_median"] = round(statistics.median(effs), 3)
+            out[f"{name}_eff_min"] = round(min(effs), 3)
+            out[f"{name}_eff_max"] = round(max(effs), 3)
+            out[f"{name}_effs"] = [round(e, 3) for e in effs]
+    return out
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     sweeps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -228,6 +257,9 @@ def main() -> None:
     pairs = [pair_metrics(results[1], results[4]),
              pair_metrics(results[2], results[8]),
              pair_metrics(results[8], results[32])]
+    paired = [paired_pair_metrics(raw[1], raw[4]),
+              paired_pair_metrics(raw[2], raw[8]),
+              paired_pair_metrics(raw[8], raw[32])]
     out = {
         "methodology": "identical job+input per level; fresh JVM per level; "
                        "CPU-pinned with taskset (a level is a bounded CPU "
@@ -245,6 +277,7 @@ def main() -> None:
         "sweeps": {c: rs for c, rs in raw.items()},
         "levels": results,
         "pairs": pairs,
+        "paired_pairs": paired,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
@@ -271,6 +304,28 @@ def main() -> None:
                   f"{r['batch_qps']} | {r.get('stream_qps', '-')} |")
     md += ["",
            "## N -> 4N scaling efficiency (north rule target >= 0.8)",
+           "",
+           "Primary evidence: SAME-EPOCH pairs — sweep i at level N ran",
+           "back-to-back with sweep i at level 4N, so each ratio cancels the",
+           "host's +-20-40% epoch drift; the table reports the median (and",
+           "min-max spread) of those per-epoch efficiencies.  Ratios of",
+           "cross-epoch bests are biased for a ratio metric (a faster",
+           "absolute best at the SMALL level lowers the pair) and are kept",
+           "below only for reference.",
+           "",
+           "| pair | epochs | build eff median (min-max) | batch-query eff median (min-max) | stream eff median (min-max) |",
+           "|---|---|---|---|---|"]
+    for pm in paired:
+        cells = [pm["pair"], str(pm["epochs"])]
+        for name in ("build", "batch", "stream"):
+            if f"{name}_eff_median" in pm:
+                cells.append(f"**{pm[f'{name}_eff_median']}** "
+                             f"({pm[f'{name}_eff_min']}-{pm[f'{name}_eff_max']})")
+            else:
+                cells.append("-")
+        md.append("| " + " | ".join(cells) + " |")
+    md += ["",
+           "### Cross-epoch best-merge ratios (reference only)",
            "",
            "| pair | build speedup | build efficiency | batch-query speedup | query efficiency | stream speedup | stream efficiency |",
            "|---|---|---|---|---|---|---|"]
@@ -327,17 +382,22 @@ def main() -> None:
            "  admission-batches the term_dict prefetch (one job per stream),",
            "  compiles batch i+1 while batch i executes, and keeps 2 jobs in",
            "  flight so straggler tails backfill with the next batch's head.",
-           "- **best-per-metric caveat**: pair ratios divide per-level BESTS",
-           "  that may come from different epochs of this drifting host —",
-           "  improving an absolute number at a small level can LOWER a",
-           "  ratio.  Same-epoch pairs from each sweep are in scaling.json;",
-           "  the round-3 targeted 2<->8 mini-sweeps (3 interleaved reps,",
-           "  same epoch per rep) read batch 0.83/0.83/0.85 and stream",
-           "  0.85/0.87/0.89 WITHIN-epoch — the ratio is real, not a",
-           "  cross-epoch artifact.  Either way the story is the same:",
+           "- **why same-epoch is primary**: pair ratios that divide",
+           "  per-level BESTS may pair epochs — improving an absolute",
+           "  number at the SMALL level then LOWERS the ratio even when",
+           "  nothing about scaling changed.  The per-epoch ratio stream",
+           "  (raw sweeps in scaling.json, medians in the table above) is",
+           "  the drift-free estimator.  Either way the story is the same:",
            "  near-linear build at 2->8, bandwidth-walled 8->32, query",
            "  pairs bounded by the same wall.",
            ""]
+    # Hand-written evidence sections (standalone-cluster pair, drift
+    # adjudications, ...) live in BASELINE_sections.md so regeneration
+    # from the sweep pool never clobbers them.
+    extra_path = os.path.join(REPO, "BENCH", "BASELINE_sections.md")
+    if os.path.exists(extra_path):
+        with open(extra_path) as f:
+            md += [f.read().rstrip(), ""]
     sp_path = os.path.join(REPO, "BENCH", "size_scaling.json")
     if os.path.exists(sp_path):
         with open(sp_path) as f:
