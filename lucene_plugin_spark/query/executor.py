@@ -2386,9 +2386,45 @@ def _phrase_match(decoded, terms, offsets, slop: int = 0):
         i = np.minimum(np.searchsorted(b, a), b.size - 1)
         return a[b[i] == a]
 
+    # doc-level prefilter: a position key can only survive if its doc holds
+    # EVERY term, so intersect the (df-sized) docID streams first and gather
+    # each term's position slices for just those docs — on a hot+hot phrase
+    # this shrinks the (doc,pos) key arrays to the common-doc mass before
+    # the expensive per-position probes (Lucene's conjunction-then-positions
+    # two-phase iterator)
+    uniq_terms = list(dict.fromkeys(terms))
+    doc_common = None
+    for t in sorted(uniq_terms, key=lambda t: decoded[t][0].size):
+        doc_common = (decoded[t][0] if doc_common is None
+                      else isect_sorted(doc_common, decoded[t][0]))
+        if doc_common.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    def restrict(ids_t, tfs_t, pos_t):
+        if 2 * doc_common.size >= ids_t.size:
+            # <2x shrink: the ragged position gather costs more than the
+            # key-probe savings (degenerate hot+hot phrases keep ~all docs)
+            return ids_t, tfs_t, pos_t
+        i = np.minimum(np.searchsorted(doc_common, ids_t),
+                       doc_common.size - 1)
+        sel = doc_common[i] == ids_t
+        t_sel = tfs_t[sel]
+        n = int(t_sel.sum())
+        if n == 0:
+            return ids_t[sel], t_sel, pos_t[:0]
+        starts = np.cumsum(tfs_t) - tfs_t
+        out_ends = np.cumsum(t_sel)
+        idxs = (np.repeat(starts[sel] - (out_ends - t_sel), t_sel)
+                + np.arange(n))
+        return ids_t[sel], t_sel, pos_t[idxs]
+
+    cache: dict = {}
     keys = None
     for oi in order:
-        ids_t, tfs_t, pos_t = decoded[terms[oi]]
+        t = terms[oi]
+        if t not in cache:
+            cache[t] = restrict(*decoded[t])
+        ids_t, tfs_t, pos_t = cache[t]
         kt = (np.repeat(ids_t, tfs_t) * M + pos_t
               - (np.int64(offsets[oi]) - base_off))
         keys = kt if keys is None else isect_sorted(keys, kt)
@@ -2739,6 +2775,57 @@ def _score_slice(sl, norms_pdf, specs, df_map,
 
     # ---- combine: sum scores over leaves (or dismax over leaf groups);
     # enforce must/must_not/filter/min_should
+    sized = [ids for _, ids, _ in scored_frames if ids.size]
+    if not sized:
+        return _empty_hits()
+    lo_id = min(int(ids[0]) for ids in sized)
+    id_span = max(int(ids[-1]) for ids in sized) - lo_id + 1
+    if dismax_tie is None and id_span <= 16_000_000:
+        # dense docID-indexed combine: each leaf's ids are unique within the
+        # leaf, so plain fancy-index adds replace the union sort +
+        # np.add.at scatter-reduce + per-set np.isin probes.  Per-doc
+        # addition order is leaf order — identical float64 sums to the
+        # sparse path below.
+        acc = np.zeros(id_span, np.float64)
+        matched = np.zeros(id_span, dtype=bool)
+        for _, ids, sc in scored_frames:
+            if ids.size:
+                off = ids - lo_id
+                acc[off] += sc
+                matched[off] = True
+        keep_mask = matched
+        for ms in must_sets:
+            m = np.zeros(id_span, dtype=bool)
+            inb = ms[(ms >= lo_id) & (ms < lo_id + id_span)]
+            m[inb - lo_id] = True
+            keep_mask &= m
+        for fs in filter_sets:
+            m = np.zeros(id_span, dtype=bool)
+            inb = fs[(fs >= lo_id) & (fs < lo_id + id_span)]
+            m[inb - lo_id] = True
+            keep_mask &= m
+        for ns in not_sets:
+            inb = ns[(ns >= lo_id) & (ns < lo_id + id_span)]
+            keep_mask[inb - lo_id] = False
+        if min_should > 1:
+            cnt = np.zeros(id_span, np.int16)
+            for ss in should_sets:
+                inb = ss[(ss >= lo_id) & (ss < lo_id + id_span)]
+                cnt[inb - lo_id] += 1
+            keep_mask &= cnt >= min_should
+        cand = np.flatnonzero(keep_mask)
+        if not cand.size:
+            return _empty_hits()
+        sc = acc[cand]
+        dids = cand + lo_id
+        if cand.size > k:
+            part = np.argpartition(-sc, k - 1)[:k]
+            thr = sc[part].min()
+            keep2 = np.flatnonzero(sc >= thr)
+            order = keep2[np.lexsort((dids[keep2], -sc[keep2]))][:k]
+        else:
+            order = np.lexsort((dids, -sc))
+        return pd.DataFrame({"doc_id": dids[order], "score": sc[order]})
     all_ids = np.concatenate([ids for _, ids, _ in scored_frames])
     all_scores = np.concatenate([sc for _, ids, sc in scored_frames])
     if all_ids.size == 0:
@@ -2872,6 +2959,73 @@ def _score_slice_wand(sl, norms_pdf, specs,
         stats_out["tf_blocks_total"] = sum(len(t["tf_raw"]) for t in terms)
         stats_out["tf_blocks_decoded"] = 0
 
+    # ---- dense-accumulator exhaustive scoring (Lucene's per-segment score
+    # array): one docID-indexed float64 accumulator, one vectorized BM25
+    # pass per term, scatter-added with plain fancy indexing (docIDs are
+    # unique within a term's postings).  O(postings + id_span) with NO union
+    # sort, NO np.add.at scatter-reduce and NO bound-ordered traversal —
+    # used when block upper bounds cannot discriminate (homogeneous idfs:
+    # several hot terms, the profiled p50 shape) or when traversal detects
+    # mid-flight that they don't.  Scores equal the traversal path
+    # bit-for-bit: same per-term float64 expression, same per-doc addition
+    # order (query term order), same (score desc, doc_id asc) tie-break.
+    sized = [t for t in terms if t["ids"].size]
+    if not sized:
+        return _empty_hits()
+    lo_id = min(int(t["ids"][0]) for t in sized)
+    id_span = max(int(t["ids"][-1]) for t in sized) - lo_id + 1
+    dense_ok = id_span <= 16_000_000  # 128 MB float64 accumulator ceiling
+
+    def _dense() -> pd.DataFrame:
+        acc = np.zeros(id_span, np.float64)
+        matched = np.zeros(id_span, dtype=bool)
+        for t in terms:
+            ids = t["ids"]
+            if not ids.size:
+                continue
+            ent = t["ent"]
+            if ent.get("_tf") is None:
+                ent["_tf"] = codec.varint_decode(
+                    b"".join(t["tf_raw"])).astype(np.int64)
+                if stats_out is not None:
+                    stats_out["tf_blocks_decoded"] += len(t["tf_raw"])
+            tfs = ent["_tf"]
+            if doc_ranges is not None or (dead is not None and dead.size):
+                keep = _in_ranges(ids, doc_ranges, dead)
+                ids, tfs = ids[keep], tfs[keep]
+                if not ids.size:
+                    continue
+            nd, dls = norm_lookup[t["field"]]
+            dl = dls[np.searchsorted(nd, ids)]
+            sc = bm25.score(tfs.astype(np.float64), dl, t["df"],
+                            t["n_docs"], t["avgdl"])
+            off = ids - lo_id
+            acc[off] += sc
+            matched[off] = True
+        cand = np.flatnonzero(matched)
+        if not cand.size:
+            return _empty_hits()
+        sc = acc[cand]
+        dids = cand + lo_id
+        if cand.size > k:
+            part = np.argpartition(-sc, k - 1)[:k]
+            thr = sc[part].min()
+            keep2 = np.flatnonzero(sc >= thr)
+            order = keep2[np.lexsort((dids[keep2], -sc[keep2]))][:k]
+        else:
+            order = np.lexsort((dids, -sc))
+        return pd.DataFrame({"doc_id": dids[order], "score": sc[order]})
+
+    idfs = [t["idf"] for t in terms]
+    all_decoded = all(t["ent"].get("_tf") is not None for t in terms)
+    if dense_ok and (all_decoded or max(idfs) < 2.0 * min(idfs)):
+        # dense wins outright in two regimes: (a) warm cache — every tf
+        # stream is already decoded, so pruning saves nothing and the union
+        # build (unique+lexsort over Σdf ids) is pure overhead; (b) flat
+        # bounds — no rare term towers over the others, so theta can never
+        # skip meaningful mass
+        return _dense()
+
     # per-doc upper bounds
     all_ids = np.concatenate([t["ids"] for t in terms])
     all_ub = np.concatenate([
@@ -2942,7 +3096,10 @@ def _score_slice_wand(sl, norms_pdf, specs,
         rounds += 1
         if rounds > 4:
             # bounds are not discriminating (flat-ub workload): one exact
-            # vectorized pass over everything left beats more traversal
+            # vectorized dense pass over everything beats more traversal
+            # (already-scored docs recompute to identical float64 values)
+            if dense_ok:
+                return _dense()
             chunk = n
         j = min(i + chunk, n)
         chunk *= 2
