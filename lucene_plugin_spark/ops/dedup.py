@@ -108,7 +108,10 @@ def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     cand_ids = (pairs.select(F.col("id_a").alias("id"))
                 .unionByName(pairs.select(F.col("id_b").alias("id")))
                 .distinct())
-    sh_c = sh.join(cand_ids, "id", "left_semi")
+    # candidate-scoped shingles feed three consumers (sizes + both sides of
+    # the intersection join); cache the SMALL post-semi-join frame so the
+    # corpus-wide shingle pass behind ``sh`` runs exactly once
+    sh_c = sh.join(cand_ids, "id", "left_semi").cache()
     sizes = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (pairs
              .join(sh_c.select(F.col("id").alias("id_a"), "shingle"), "id_a")
@@ -133,7 +136,19 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     One md5 per shingle, then a cheap affine mix per hash function
     (h_j = (a_j*md5 + b_j) mod p) — K minhashes cost ONE digest instead of
     K, and the family is portable to the SQL oracle.  ``sh`` accepts a
-    prebuilt (id, shingle) frame so callers can share one shingle pass."""
+    prebuilt (id, shingle) frame so callers can share one shingle pass.
+
+    Formulation note: a "zero-shuffle" variant that computes the whole
+    signature as array higher-order functions (shingle array → md5 array →
+    array_min per affine mix) was built and benchmarked in round 4 and
+    REJECTED: nested HOF lambdas are evaluated interpreted (outside
+    whole-stage codegen), measuring 13x slower than this explode+groupBy at
+    sf0.1 (25 s vs 1.9 s), and produced nondeterministic signatures (banded
+    pair counts varied run to run — buffer-reuse hazards in nested lambda
+    evaluation).  The groupBy(id) here is a map-side-combined partial agg of
+    K longs per doc — the shuffle carries one K-long row per document, not
+    the exploded shingles, and its exchange is deduped by ReuseExchange
+    across every downstream consumer."""
     from lucene_plugin_spark.ops.hashing import minhash_mix
     if sh is None:
         sh = shingles(df, id_col, text_col, n)
@@ -157,20 +172,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     r = num_hashes // bands
     sh = shingles(df, id_col, text_col, n)
-    if verify_threshold is not None:
-        # the verify stage re-reads the shingles for candidate docs; cache
-        # the shared pass.  Candidates-only mode has ONE consumer — caching
-        # would pay materialization for nothing (r2 bench regression).
-        sh = sh.cache()
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, sh=sh)
-    band_rows = []
-    for b in range(bands):
-        key = F.concat_ws("_", F.lit(b),
-                          *[F.col("sig")[i].cast("string") for i in range(b * r, (b + 1) * r)])
-        band_rows.append(sig.select("id", F.lit(b).alias("band"), key.alias("bkey")))
-    bandsdf = band_rows[0]
-    for x in band_rows[1:]:
-        bandsdf = bandsdf.unionByName(x)
+    # ONE generator projection emits all band keys (a per-branch union would
+    # re-evaluate the whole signature map pass once per band AND per join
+    # side — with no exchange in the lineage there is nothing for Spark's
+    # ReuseExchange to dedupe).  posexplode references ``sig`` once, so the
+    # expensive expression tree runs exactly once per row; the band self-join
+    # then shuffles only the skinny (id, band, bkey) rows, and its two
+    # identical exchange subplans collapse into one via ReuseExchange.
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(
+            "_", b.cast("string"),
+            F.array_join(F.transform(F.slice("sig", b * r + 1, r),
+                                     lambda v: v.cast("string")), "_")))
+    bandsdf = sig.select("id", F.posexplode(keys).alias("band", "bkey"))
     a = bandsdf.select(F.col("id").alias("id_a"), "band", "bkey")
     b2 = bandsdf.select(F.col("id").alias("id_b"), "band", "bkey")
     cand = (a.join(b2, ["band", "bkey"])
@@ -178,6 +194,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b").distinct())
     if verify_threshold is None:
         return cand
+    # cand is tiny (candidate pairs) but feeds four joins in the verifier —
+    # cache it so the band self-join runs once, not per consumer.  The
+    # verify stage re-reads shingles, but only for candidate docs
+    # (jaccard_for_pairs semi-joins then caches the post-filter frame), so
+    # the corpus-wide ``sh`` pass is never cached here (r2 bench showed
+    # materializing it costs more than recomputing the map pass).
+    cand = cand.cache()
     ver = jaccard_for_pairs(sh, cand)
     return ver.where(F.col("jaccard") >= verify_threshold)
 
