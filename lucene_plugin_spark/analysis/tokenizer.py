@@ -26,6 +26,9 @@ saturates cores, which shows up directly as lost scaling efficiency.
 
 from __future__ import annotations
 
+import re
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -258,8 +261,59 @@ def tokenize_series(texts: pd.Series, variant: str = "standard") -> pd.DataFrame
     return pd.DataFrame({"row": row, "term": terms.reset_index(drop=True), "pos": pos})
 
 
+_CAMEL_1_RE = re.compile(_CAMEL_1[0])
+_CAMEL_2_RE = re.compile(_CAMEL_2[0])
+_MID_PROTECT_RE = tuple((re.compile(p), r) for p, r in _MID_PROTECT)
+_SPLIT_RE_PY = re.compile(_SPLIT_RE)
+
+
+def _tokenize_text_scalar(text: str, variant: str) -> list[tuple[str, int]]:
+    """Pure-Python scalar twin of :func:`tokenize_codes` for ASCII strings.
+
+    The Arrow chain's per-call pandas/Arrow wrapping costs ~2.4 ms — nothing
+    for a corpus batch, but it IS the query parser's per-leaf cost, and that
+    is serial driver time a batch of queries pays per leaf (the Amdahl term
+    in the N->4N batch-query scaling pair).  This path re-implements the
+    exact same chain with `re` in ~20 us.  ASCII-gated by the caller: the
+    only step whose semantics could drift cross-engine is lowercasing of
+    non-ASCII codepoints (str.lower vs utf8_lower), so non-ASCII input falls
+    back to the Arrow path.  Identity is pytest-gated property-style against
+    the Arrow chain (test_analysis.py) on corpus text, every query-set
+    shape, and random strings."""
+    s = _CAMEL_1_RE.sub(_CAMEL_1[1], text)
+    s = _CAMEL_2_RE.sub(_CAMEL_2[1], s)
+    s = s.lower()
+    # fold pass skipped: FOLD_PAIRS are all non-ASCII, absent by the gate
+    if "'" in s or "." in s or "," in s:
+        for rx, rep in _MID_PROTECT_RE:
+            s = rx.sub(rep, s)
+            s = rx.sub(rep, s)
+    toks = [t for t in _SPLIT_RE_PY.split(s) if t]
+    out: list[tuple[str, int]] = []
+    for pos, t in enumerate(toks):
+        t = (t.replace("\x01", "'").replace("\x02", ".")
+             .replace("\x03", ","))
+        if t in ENGLISH_STOP_WORDS:
+            continue  # position increment preserved: pos keeps its ordinal
+        if variant == "fold_stem":
+            t = stem_s_word(t)
+        out.append((t, pos))
+    return out
+
+
+@lru_cache(maxsize=4096)
+def _tokenize_cached(text: str, variant: str) -> tuple[tuple[str, int], ...]:
+    """Short ASCII strings only (query leaves repeat across a stream —
+    the analyzer analogue of the reference's parsed-query LRU)."""
+    return tuple(_tokenize_text_scalar(text, variant))
+
+
 def tokenize_text(text: str, variant: str = "standard") -> list[tuple[str, int]]:
     """Single-string convenience (driver-side / oracle): [(term, pos), ...]."""
+    if isinstance(text, str) and text.isascii():
+        if len(text) <= 256:
+            return list(_tokenize_cached(text, variant))
+        return _tokenize_text_scalar(text, variant)
     df = tokenize_series(pd.Series([text]), variant=variant)
     return list(zip(df["term"].tolist(), df["pos"].tolist()))
 

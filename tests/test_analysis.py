@@ -37,3 +37,68 @@ def test_series_rows_and_empties():
 def test_all_empty_batch():
     df = tokenize_series(pd.Series(["", None, "the a of"]))
     assert len(df) == 0
+
+
+# ---------------------------------------------------------------------------
+# Scalar fast path vs Arrow chain: exact identity (the fast path carries the
+# query parser and the oracle, so any drift would break rank identity)
+# ---------------------------------------------------------------------------
+
+def _arrow_tokens(text, variant="standard"):
+    df = tokenize_series(pd.Series([text]), variant=variant)
+    return list(zip(df["term"].tolist(), df["pos"].tolist()))
+
+
+TRICKY = [
+    "", " ", "the a of", "getUserName", "get_user_name", "HTTPServer",
+    "XMLHttpRequest2", "parseHTTPResponse", "don't", "dogs'", "a'b'c",
+    "o''clock", "3.14", "1,024", "1.2.3", "1,2,3", "v1.2,3", "'leading",
+    "trailing'", ".dot", "dot.", "42", "x86_64", "__init__", "a1B2c3D4",
+    "foo.bar(baz, qux)", "Mary had a little lamb", "over the lazy dog",
+    "snake_caseAndCamelTOGETHERNow", "ALLCAPS", "aB", "Ab", "a b  c",
+    "tab\tnewline\nmix", "semi;colon:and-dash", "quotes\"inside\"here",
+    "num3.14ber", "end.", "a.b.c.d.e", "it's don't can't won't",
+    "dogs cats foxes queries classes buses", "user's getUserName's",
+]
+
+
+def test_scalar_fast_path_matches_arrow_tricky():
+    for s in TRICKY:
+        for variant in ("standard", "fold_stem"):
+            assert tokenize_text(s, variant=variant) == \
+                _arrow_tokens(s, variant=variant), (s, variant)
+
+
+def test_scalar_fast_path_matches_arrow_corpus():
+    from lucene_plugin_spark.corpus import QUERY_SET, generate_rows
+    texts = [r["content"] for r in generate_rows(80, seed=7)]
+    texts += [q for _, q in QUERY_SET]
+    for s in texts:
+        for variant in ("standard", "fold_stem"):
+            assert tokenize_text(s, variant=variant) == \
+                _arrow_tokens(s, variant=variant), (s[:60], variant)
+
+
+def test_scalar_fast_path_matches_arrow_random():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(
+        list("abcXYZ019 _'.,-\t\n()\"") + ["the", "Get", "HTTP", "s"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(alphabet, max_size=40).map("".join))
+    def check(s):
+        assert tokenize_text(s) == _arrow_tokens(s)
+        assert tokenize_text(s, variant="fold_stem") == \
+            _arrow_tokens(s, variant="fold_stem")
+
+    check()
+
+
+def test_non_ascii_falls_back_and_agrees():
+    for s in ["café au lait", "naïve résumé", "ünïcode Ähnlich",
+              "ß sharp", "œuvre", "mixedCafé.getÜser"]:
+        for variant in ("standard", "fold_stem"):
+            assert tokenize_text(s, variant=variant) == \
+                _arrow_tokens(s, variant=variant), (s, variant)
