@@ -189,6 +189,20 @@ def merge_sweeps(runs: list[dict]) -> dict:
     return out
 
 
+def _git_head() -> str:
+    """Stamp for grouping epochs by ENGINE revision: the git tree hash of
+    the package (docs/tooling commits don't change it, so epoch groups
+    survive evidence-only commits)."""
+    try:
+        import subprocess as sp
+        out = sp.run(["git", "-C", REPO, "rev-parse",
+                      "HEAD:lucene_plugin_spark"],
+                     capture_output=True, text=True).stdout.strip()
+        return out[:12] if out else "?"
+    except OSError:
+        return "?"
+
+
 def paired_pair_metrics(runs_n: list[dict], runs_4n: list[dict]) -> dict:
     """Same-epoch pair efficiencies: sweep i at level N ran back-to-back
     with sweep i at level 4N, so the per-index ratio cancels the host's
@@ -247,9 +261,11 @@ def main() -> None:
                                   and "stream_qps" in r)
         except (json.JSONDecodeError, OSError):
             pass
+    head = _git_head()
     for s in range(sweeps):
         for c in (1, 2, 4, 8, 32):
             r = run_at(c)
+            r["code"] = head
             raw[c].append(r)
             print(f"sweep {s} level {c}: {json.dumps(r)}", flush=True)
     results = {c: merge_sweeps(rs) for c, rs in raw.items()}
@@ -260,6 +276,16 @@ def main() -> None:
     paired = [paired_pair_metrics(raw[1], raw[4]),
               paired_pair_metrics(raw[2], raw[8]),
               paired_pair_metrics(raw[8], raw[32])]
+    # the pool accumulates across code revisions (absolute bests only ever
+    # improve, so the best-merge ladder is safe to mix) — but same-epoch
+    # RATIOS measured on older code describe older code.  Compute a second
+    # set of pair medians over epochs stamped with the CURRENT revision.
+    cur = {c: [r for r in rs if r.get("code") == head]
+           for c, rs in raw.items()}
+    paired_cur = [paired_pair_metrics(cur[1], cur[4]),
+                  paired_pair_metrics(cur[2], cur[8]),
+                  paired_pair_metrics(cur[8], cur[32])] \
+        if all(len(v) >= 2 for v in cur.values()) else []
     out = {
         "methodology": "identical job+input per level; fresh JVM per level; "
                        "CPU-pinned with taskset (a level is a bounded CPU "
@@ -278,6 +304,7 @@ def main() -> None:
         "levels": results,
         "pairs": pairs,
         "paired_pairs": paired,
+        "paired_pairs_current_code": {"code": head, "pairs": paired_cur},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
@@ -324,6 +351,24 @@ def main() -> None:
             else:
                 cells.append("-")
         md.append("| " + " | ".join(cells) + " |")
+    if paired_cur:
+        md += ["",
+               f"Same-epoch pairs restricted to epochs measured on the "
+               f"CURRENT code revision ({head}) — the pool above mixes "
+               "epochs from earlier rounds' code, whose ratios describe "
+               "that code:",
+               "",
+               "| pair | epochs | build eff median (min-max) | batch-query eff median (min-max) | stream eff median (min-max) |",
+               "|---|---|---|---|---|"]
+        for pm in paired_cur:
+            cells = [pm["pair"], str(pm["epochs"])]
+            for name in ("build", "batch", "stream"):
+                if f"{name}_eff_median" in pm:
+                    cells.append(f"**{pm[f'{name}_eff_median']}** "
+                                 f"({pm[f'{name}_eff_min']}-{pm[f'{name}_eff_max']})")
+                else:
+                    cells.append("-")
+            md.append("| " + " | ".join(cells) + " |")
     md += ["",
            "### Cross-epoch best-merge ratios (reference only)",
            "",
