@@ -1383,6 +1383,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_as_orig_ids(span_first(
             eng, None, "spark", end=5, limit=1_000_000))
 
+    def ft_span_or(spark, sf):
+        # SpanOrQuery analogue: blended freq (sum of clause tfs) through ONE
+        # tf-norm with the summed clause idf — distinct from boolean OR's
+        # per-term scoring (round 4, completes the span family)
+        from lucene_plugin_spark.query.advanced import span_or
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(span_or(
+            eng, None, ["merge", "scan"], limit=10))
+
+    def ft_span_not(spark, sf):
+        # SpanNotQuery analogue: 'table' occurrences with no 'hash' within
+        # 2 positions either side; freq = surviving spans, idf = include df
+        from lucene_plugin_spark.query.advanced import span_not
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(span_not(
+            eng, None, "table", "hash", pre=2, post=2, limit=10))
+
+    def ft_explain(spark, sf):
+        # IndexSearcher.explain analogue: per-(doc, term) factor breakdown
+        # for the top-3 docs of 'join merge' — tf/df/idf/tf_norm/contribution
+        from lucene_plugin_spark.query.advanced import explain_scores
+        _, eng = _engine(spark, sf)
+        out = explain_scores(eng, None, ["join", "merge"], k=3)
+        return out.select(
+            F.col("path").cast("int").cast("bigint").alias("doc_id"),
+            "term", "tf", "df",
+            F.round("idf", 6).alias("idf"),
+            F.round("tf_norm", 6).alias("tf_norm"),
+            F.round("contribution", 6).alias("contribution"))
+
     def ft_asof(spark, sf):
         # time travel: the MUTATED index read at the pre-mutation tag must
         # answer from the ORIGINAL corpus (upserts/deletes invisible)
@@ -1419,7 +1449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(ft_rescore=ft_rescore, ft_const_score=ft_const_score,
              ft_func_score=ft_func_score, ft_tfidf=ft_tfidf,
-             ft_span_first=ft_span_first, ft_asof=ft_asof, ft_stem=ft_stem,
+             ft_span_first=ft_span_first, ft_span_or=ft_span_or,
+             ft_span_not=ft_span_not, ft_explain=ft_explain,
+             ft_asof=ft_asof, ft_stem=ft_stem,
              ft_fold=ft_fold, ft_federated=ft_federated)
 
     # ---- round-3 ninth block: source-code curation (ops/code.py) over a
@@ -2881,6 +2913,69 @@ scores AS (
   FROM ptf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN dfq)
 SELECT doc_id, round(score, 6) AS score
 FROM scores ORDER BY score DESC, doc_id
+"""
+
+    # span-or (SpanOrQuery analogue): blended freq = sum of clause tfs,
+    # ONE tf-norm, idf summed over the clause terms (span simWeight) —
+    # deliberately different from boolean OR's per-term scoring
+    o["ft_span_or"] = f"""
+WITH {_TOK},
+freq AS (SELECT doc_id, sum(tf) AS freq FROM tf
+         WHERE term IN ('merge', 'scan') GROUP BY doc_id),
+idfs AS (SELECT sum(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS idf_sum
+         FROM dfx CROSS JOIN st WHERE dfx.term IN ('merge', 'scan')),
+scores AS (
+  SELECT f.doc_id,
+         idfs.idf_sum * f.freq * 2.2
+           / (f.freq + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+  FROM freq f JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs)
+SELECT s.doc_id, round(s.score, 6) AS score
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.source, s.doc_id LIMIT 10
+"""
+
+    # span-not (SpanNotQuery analogue): 'table' positions with no 'hash'
+    # within +-2; freq = surviving positions, idf = include term's docFreq
+    o["ft_span_not"] = f"""
+WITH {_TOK},
+ip AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+ep AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+surv AS (SELECT ip.doc_id, count(*)::double AS tfs
+         FROM ip
+         WHERE NOT EXISTS (SELECT 1 FROM ep
+                           WHERE ep.doc_id = ip.doc_id
+                             AND ep.pos BETWEEN ip.pos - 2 AND ip.pos + 2)
+         GROUP BY ip.doc_id),
+dfq AS (SELECT df FROM dfx WHERE term = 'table'),
+scores AS (
+  SELECT s.doc_id,
+         ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+         * s.tfs * 2.2 / (s.tfs + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+  FROM surv s JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN dfq)
+SELECT s.doc_id, round(s.score, 6) AS score
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.source, s.doc_id LIMIT 10
+"""
+
+    # explain rows: per-(doc, term) BM25 factor breakdown for the top-3
+    # docs of the 'join merge' OR (doc cut replicates the engine tie-break)
+    o["ft_explain"] = f"""
+WITH {_TOK},
+scores AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'merge')
+  GROUP BY tf.doc_id),
+top3 AS (SELECT s.doc_id FROM scores s JOIN documents d USING (doc_id)
+         ORDER BY s.score DESC, d.source, s.doc_id LIMIT 3)
+SELECT tf.doc_id, tf.term, tf.tf AS tf, dfx.df AS df,
+       round(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)), 6) AS idf,
+       round(tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS tf_norm,
+       round({_BM25}, 6) AS contribution
+FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+WHERE tf.term IN ('join', 'merge')
+  AND tf.doc_id IN (SELECT doc_id FROM top3)
+ORDER BY tf.doc_id, tf.term
 """
 
     # time travel: the mutated index AT the pre-mutation tag answers from

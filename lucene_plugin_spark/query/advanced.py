@@ -10,6 +10,9 @@ Lucene analogues (reference reaches all of these through the same
 - :func:`function_score` -> ``FunctionScoreQuery`` (boost by doc value)
 - :func:`tfidf_search`   -> ``ClassicSimilarity`` ranking (Lucene <=5 default)
 - :func:`span_first`     -> ``SpanFirstQuery(SpanTermQuery(t), end)``
+- :func:`span_or`        -> ``SpanOrQuery(SpanTermQuery(t), ...)``
+- :func:`span_not`       -> ``SpanNotQuery(include, exclude, pre, post)``
+- :func:`explain_scores` -> ``IndexSearcher.explain(query, doc)`` rows
 - :func:`federated_search`-> ``MultiReader``-style fan-out, per-index stats
 
 Module-level functions over a :class:`SearchEngine` (the pattern of
@@ -284,6 +287,212 @@ def span_first(engine, repo: str | None, term: str, end: int,
     return (meta.join(F.broadcast(topk), "doc_id")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .select("doc_id", "path", "score"))
+
+
+def span_or(engine, repo: str | None, terms: list[str],
+            field: str = "text", limit: int = 255) -> DataFrame:
+    """``SpanOrQuery(SpanTermQuery(t), ...)``: a doc matches if ANY clause
+    term occurs; the span scorer counts MATCHING SPANS as freq — for term
+    spans that is ``Σ_t tf_t(d)`` — and runs ONE similarity built from ALL
+    clause terms (Lucene ``SpanWeight.buildSimWeight`` feeds every term's
+    statistics, so ``idf = Σ_t idf(t)``).  This is deliberately different
+    from boolean OR, which scores each term separately against its own idf
+    and sums the per-term scores: span-or blends the frequencies FIRST and
+    saturates them through a single tf-norm.
+
+    Scale shape: identical to the ordinary OR — driver fast path over the
+    resident block cache when postings fit, else the flat-postings view with
+    the term predicate pushed into the term-sorted parquet scan, one
+    map-side-combined groupBy(doc_id), arithmetic in whole-stage codegen.
+    """
+    from lucene_plugin_spark.query import bm25
+    empty = "doc_id long, path string, score double"
+    ts = sorted({t.lower() for t in terms})
+    pairs = [(field, t) for t in ts]
+    dfm = engine._df_for_pairs(pairs)
+    stats = engine._field_stats()
+    n_docs, avgdl = stats.get(field, (0.0, 1.0))
+    idf_sum = float(sum(bm25.idf(dfv, n_docs)
+                        for dfv in dfm.values() if dfv > 0.0))
+    if n_docs == 0.0 or idf_sum == 0.0:
+        return engine.spark.createDataFrame([], empty)
+    if (engine._path_map is not None
+            and sum(dfm.values()) <= engine.driver_exec_max_postings):
+        # driver fast path: per-term cached blocks, one freq accumulation
+        idx, slices = engine._blocks_for(pairs)
+        id_parts, tf_parts = [], []
+        for t in ts:
+            ids, tfs, _ = idx.decoded(field, t, False)
+            if ids.size:
+                id_parts.append(ids)
+                tf_parts.append(tfs.astype(np.float64))
+        if not id_parts:
+            return engine.spark.createDataFrame([], empty)
+        all_ids = np.concatenate(id_parts)
+        all_tf = np.concatenate(tf_parts)
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        freq = np.zeros(uids.shape, dtype=np.float64)
+        np.add.at(freq, inv, all_tf)
+        norms_dirs, _td = engine._sidecar_dirs()
+        nd, dls = engine._norm_lookup_for(tuple(slices), (field,),
+                                          norms_dirs)[field]
+        dl = dls[np.searchsorted(nd, uids)].astype(np.float64)
+        sc = idf_sum * bm25.tf_norm(freq, dl, avgdl)
+        live = _driver_live_mask(engine, uids, slices, repo)
+        return _driver_topk_df(engine, uids[live], sc[live], limit)
+    flat = (flat_postings_view(engine.spark, engine.catalog, terms=ts)
+            .where(F.col("field") == field))
+    freq = (flat.groupBy("doc_id")
+            .agg(F.sum(F.col("tf").cast("double")).alias("freq"),
+                 F.max("dl").alias("dl")))
+    tfn = (F.col("freq") * (bm25.K1 + 1.0)
+           / (F.col("freq") + bm25.K1 * (1.0 - bm25.B
+                                         + bm25.B * F.col("dl") / F.lit(avgdl))))
+    agg = freq.select("doc_id", (F.lit(idf_sum) * tfn).alias("score"))
+    agg = engine._finalize_df_hits(agg, repo)
+    meta = engine._meta_path_df()
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+    return (meta.join(F.broadcast(topk), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "path", "score"))
+
+
+def span_not(engine, repo: str | None, include: str, exclude: str,
+             pre: int = 0, post: int = 0, field: str = "text",
+             limit: int = 255) -> DataFrame:
+    """``SpanNotQuery(SpanTermQuery(include), SpanTermQuery(exclude), pre,
+    post)``: spans of ``include`` that have NO ``exclude`` occurrence within
+    ``pre`` positions before or ``post`` after.  For term spans an include
+    position ``p`` survives iff no exclude position ``q`` satisfies
+    ``p - pre <= q <= p + post`` (``pre = post = 0`` -> same-position
+    collision only, impossible for distinct single-token terms — callers
+    pass the exclusion window they mean).  freq = surviving-span count,
+    scored through BM25 with the INCLUDE term's ordinary docFreq (only
+    include spans are scored; the exclusion is a positional filter).
+
+    Scale shape: both posting lists arrive term-pruned from the segments
+    scan; the exclusion is a left join on doc_id (docs without the exclude
+    term skip the position filter entirely) and the per-position window
+    test runs as nested higher-order array functions in the JVM — no
+    shuffle beyond the doc_id join, no Python.
+    """
+    from lucene_plugin_spark.query import bm25
+    empty = "doc_id long, path string, score double"
+    inc, exc = include.lower(), exclude.lower()
+    dfv = engine._df_for_pairs([(field, inc)]).get((field, inc), 0.0)
+    stats = engine._field_stats()
+    n_docs, avgdl = stats.get(field, (0.0, 1.0))
+    if n_docs == 0.0 or not dfv:
+        return engine.spark.createDataFrame([], empty)
+    idf_inc = float(bm25.idf(float(dfv), n_docs))
+    dfm2 = engine._df_for_pairs([(field, inc), (field, exc)])
+    if (engine._path_map is not None
+            and sum(dfm2.values()) <= engine.driver_exec_max_postings):
+        # driver fast path: combined (docID, position) keys make the window
+        # test two searchsorted probes over the exclude stream
+        idx, slices = engine._blocks_for(
+            [(field, inc), (field, exc)],
+            pos_pairs={(field, inc), (field, exc)})
+        ids_i, tfs_i, pos_i = idx.decoded(field, inc, True)
+        if not ids_i.size or pos_i is None:
+            return engine.spark.createDataFrame([], empty)
+        ids_e, tfs_e, pos_e = idx.decoded(field, exc, True)
+        if ids_e.size and pos_e is not None and pos_e.size:
+            mx = int(max(pos_i.max() if pos_i.size else 0, pos_e.max()))
+            m = mx + max(int(pre), int(post)) + 2
+            ik = (np.repeat(ids_i, tfs_i).astype(np.int64) * m
+                  + pos_i.astype(np.int64))
+            ek = (np.repeat(ids_e, tfs_e).astype(np.int64) * m
+                  + pos_e.astype(np.int64))
+            ek.sort()
+            lo = np.searchsorted(ek, ik - int(pre), side="left")
+            hi = np.searchsorted(ek, ik + int(post), side="right")
+            survive = (lo == hi).astype(np.int64)
+        else:
+            survive = np.ones(int(tfs_i.sum()), dtype=np.int64)
+        ends = np.cumsum(tfs_i.astype(np.int64))
+        tf_surv = np.add.reduceat(survive, ends - tfs_i)
+        keep = tf_surv > 0
+        ids_k, tfk = ids_i[keep], tf_surv[keep].astype(np.float64)
+        if not ids_k.size:
+            return engine.spark.createDataFrame([], empty)
+        norms_dirs, _td = engine._sidecar_dirs()
+        nd, dls = engine._norm_lookup_for(tuple(slices), (field,),
+                                          norms_dirs)[field]
+        dl = dls[np.searchsorted(nd, ids_k)].astype(np.float64)
+        sc = idf_inc * bm25.tf_norm(tfk, dl, avgdl)
+        live = _driver_live_mask(engine, ids_k, slices, repo)
+        return _driver_topk_df(engine, ids_k[live], sc[live], limit)
+    flat = (flat_postings_view(engine.spark, engine.catalog,
+                               terms=sorted({inc, exc}))
+            .where(F.col("field") == field))
+    inc_df = (flat.where(F.col("term") == inc)
+              .select("doc_id", "dl", F.col("positions").alias("ip")))
+    exc_df = (flat.where(F.col("term") == exc)
+              .select("doc_id", F.col("positions").alias("ep")))
+    j = inc_df.join(exc_df, "doc_id", "left")
+    pre_l, post_l = F.lit(int(pre)), F.lit(int(post))
+    surv = F.when(F.col("ep").isNull(), F.size("ip")).otherwise(
+        F.size(F.filter("ip", lambda p: ~F.exists(
+            F.col("ep"), lambda q: (q >= p - pre_l) & (q <= p + post_l)))))
+    tfc = surv.cast("double")
+    tfn = (tfc * (bm25.K1 + 1.0)
+           / (tfc + bm25.K1 * (1.0 - bm25.B
+                               + bm25.B * F.col("dl") / F.lit(avgdl))))
+    agg = (j.where(surv > 0)
+           .select("doc_id", (F.lit(idf_inc) * tfn).alias("score")))
+    agg = engine._finalize_df_hits(agg, repo)
+    meta = engine._meta_path_df()
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+    return (meta.join(F.broadcast(topk), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "path", "score"))
+
+
+def explain_scores(engine, repo: str | None, terms: list[str],
+                   field: str = "text", k: int = 3) -> DataFrame:
+    """``IndexSearcher.explain(query, doc)`` analogue for a boolean-OR
+    query: the per-(doc, term) score breakdown — tf, docFreq, idf, the
+    length-normalized tf factor, and the term's score contribution — for
+    each of the query's top-``k`` documents.  Lucene renders this as a
+    nested Explanation tree; rows of (doc, term, factors) carry the same
+    information in relational form, and ``sum(contribution) group by doc``
+    reproduces the hit score exactly.
+
+    Scale shape: the top-k docs come from the ordinary pruned search; the
+    breakdown then touches only ``k × |terms|`` postings rows — the flat
+    view is term-filtered at the parquet scan and doc-filtered by a
+    broadcast of the k winners, so explain cost is independent of corpus
+    size (Lucene's explain also re-scores one doc at a time).
+    """
+    from lucene_plugin_spark.query import bm25
+    ts = sorted({t.lower() for t in terms})
+    stats = engine._field_stats()
+    n_docs, avgdl = stats.get(field, (0.0, 1.0))
+    if n_docs == 0.0:
+        return engine.spark.createDataFrame(
+            [], "doc_id long, path string, term string, tf double, "
+                "df double, idf double, tf_norm double, contribution double")
+    hits = engine.search(repo, " ".join(ts), limit=k)
+    topk = hits.select("doc_id", "path")
+    dfm = engine._df_for_pairs([(field, t) for t in ts])
+    td = engine.spark.createDataFrame(
+        [(t, float(dfm.get((field, t), 0.0)),
+          float(bm25.idf(dfm.get((field, t), 0.0), n_docs)))
+         for t in ts if dfm.get((field, t), 0.0) > 0.0],
+        "term string, df double, idf double")
+    flat = (flat_postings_view(engine.spark, engine.catalog, terms=ts)
+            .where(F.col("field") == field))
+    tfc = F.col("tf").cast("double")
+    tfn = (tfc * (bm25.K1 + 1.0)
+           / (tfc + bm25.K1 * (1.0 - bm25.B
+                               + bm25.B * F.col("dl") / F.lit(avgdl))))
+    return (flat.join(F.broadcast(topk), "doc_id")
+            .join(F.broadcast(td), "term")
+            .select("doc_id", "path", "term", tfc.alias("tf"), "df", "idf",
+                    tfn.alias("tf_norm"),
+                    (F.col("idf") * tfn).alias("contribution"))
+            .orderBy("doc_id", "term"))
 
 
 def multi_phrase(engine, repo: str | None, slots: list[list[str]],

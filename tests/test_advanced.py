@@ -290,6 +290,96 @@ def test_span_first(spark, built):
     assert np.allclose([g[2] for g in got_fast], [g[2] for g in got])
 
 
+def test_span_or(spark, built):
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    terms, k = ["index", "cache"], 50
+    got = _got(advanced.span_or(eng, None, terms, limit=k))
+    n, avgdl = oracle._field_stats("text")
+    idf_sum = sum(float(bm25.idf(float(oracle._df("text", t)), n))
+                  for t in terms if oracle._df("text", t))
+    scores = {}
+    for d in oracle.docs.values():
+        toks = d.tokens.get("text", [])
+        freq = sum(1 for t, _ in toks if t in terms)
+        if freq:
+            scores[d.doc_id] = (idf_sum * float(bm25.tf_norm(
+                np.array([float(freq)]), np.array([float(len(toks))]),
+                avgdl)[0]), d.path)
+    want = sorted(((s, d, p) for d, (s, p) in scores.items()),
+                  key=lambda x: (-x[0], x[1]))[:k]
+    assert got and [g[0] for g in got] == [d for _, d, _ in want]
+    assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
+    # warmed engine rides the driver block-cache fast path — identical result
+    got_fast = _got(advanced.span_or(
+        SearchEngine(spark, catalog).warm(), None, terms, limit=k))
+    assert [(g[0], g[1]) for g in got_fast] == [(g[0], g[1]) for g in got]
+    assert np.allclose([g[2] for g in got_fast], [g[2] for g in got])
+
+
+def test_span_not(spark, built):
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    inc, exc, pre, post, k = "index", "query", 1, 2, 50
+    got = _got(advanced.span_not(eng, None, inc, exc,
+                                 pre=pre, post=post, limit=k))
+    n, avgdl = oracle._field_stats("text")
+    dfv = float(oracle._df("text", inc))
+    scores = {}
+    excluded_some = False
+    for d in oracle.docs.values():
+        toks = d.tokens.get("text", [])
+        ipos = [p for t, p in toks if t == inc]
+        epos = [p for t, p in toks if t == exc]
+        surv = [p for p in ipos
+                if not any(p - pre <= q <= p + post for q in epos)]
+        if len(surv) < len(ipos):
+            excluded_some = True
+        if surv:
+            scores[d.doc_id] = (float(bm25.score(
+                np.array([float(len(surv))]), np.array([float(len(toks))]),
+                dfv, n, avgdl)[0]), d.path)
+    want = sorted(((s, d, p) for d, (s, p) in scores.items()),
+                  key=lambda x: (-x[0], x[1]))[:k]
+    assert excluded_some  # the window must actually bite on this corpus
+    assert got and [g[0] for g in got] == [d for _, d, _ in want]
+    assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
+    # warmed engine rides the driver block-cache fast path — identical result
+    got_fast = _got(advanced.span_not(
+        SearchEngine(spark, catalog).warm(), None, inc, exc,
+        pre=pre, post=post, limit=k))
+    assert [(g[0], g[1]) for g in got_fast] == [(g[0], g[1]) for g in got]
+    assert np.allclose([g[2] for g in got_fast], [g[2] for g in got])
+
+
+def test_explain_scores(spark, built):
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    terms, k = ["index", "cache"], 5
+    out = advanced.explain_scores(eng, None, terms, k=k).collect()
+    assert out
+    n, avgdl = oracle._field_stats("text")
+    toks_by_id = {d.doc_id: [t for t, _ in d.tokens.get("text", [])]
+                  for d in oracle.docs.values()}
+    # per-row factors match the oracle's statistics exactly
+    by_doc: dict[int, float] = {}
+    for r in out:
+        dfv = float(oracle._df("text", r["term"]))
+        assert r["df"] == dfv
+        assert math.isclose(r["idf"], float(bm25.idf(dfv, n)), rel_tol=1e-12)
+        toks = toks_by_id[r["doc_id"]]
+        assert r["tf"] == float(sum(1 for t in toks if t == r["term"]))
+        assert math.isclose(
+            r["contribution"], r["idf"] * r["tf_norm"], rel_tol=1e-12)
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0.0) + r["contribution"]
+    # contributions sum back to the hit scores of the ordinary search
+    hits = {r["doc_id"]: r["score"]
+            for r in eng.search(None, " ".join(terms), limit=k).collect()}
+    assert set(by_doc) == set(hits)
+    for d, s in by_doc.items():
+        assert math.isclose(s, hits[d], rel_tol=1e-9)
+
+
 def test_federated_merge(spark, built, stem_built):
     catalog, rows, oracle = built
     catalog2, rows2 = stem_built
