@@ -626,6 +626,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return eng.spellcheck(["sprak", "tabel", "quey"], max_dist=2,
                               strategy="gram")
 
+    def ft_fuzzy_gram(spark, sf):
+        # r4: force fuzzy-leaf expansion through the spell_grams sidecar
+        # (gram-blocked candidate scan — the FuzzyQuery-over-FST analogue
+        # and the 100 TB-vocabulary plan; auto keeps the resident-dictionary
+        # mask on this small corpus).  Same query + oracle as ft_fuzzy:
+        # the strategies are required to be output-identical.
+        _, eng = _engine(spark, sf)
+        eng.fuzzy_expand = "gram"
+        return _hits_as_orig_ids(eng.search(None, "spark~1", limit=1_000_000))
+
     def ft_facets(spark, sf):  # facet counts over an untruncated match set
         from lucene_plugin_spark.query.results import facet_counts
         _, eng = _engine(spark, sf)
@@ -653,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(ft_paging=ft_paging, ft_count=ft_count, ft_highlight=ft_highlight,
              ft_suggest=ft_suggest, ft_spellcheck=ft_spellcheck,
              ft_spellcheck_gram=ft_spellcheck_gram,
+             ft_fuzzy_gram=ft_fuzzy_gram,
              ft_facets=ft_facets, ft_group_topk=ft_group_topk)
 
     def ft_span_near(spark, sf):  # SpanNearQuery analogue, unordered slop=3
@@ -1914,6 +1925,7 @@ SELECT qterm, suggestion, dist, cf FROM rnk WHERE rn = 1 ORDER BY qterm
 
     # the forced gram-sidecar strategy must produce the identical answer
     o["ft_spellcheck_gram"] = o["ft_spellcheck"]
+    o["ft_fuzzy_gram"] = o["ft_fuzzy"]
 
     o["ft_facets"] = f"""
 WITH {_TOK},

@@ -400,10 +400,25 @@ class SearchEngine:
     def _expand_ranges(self, leaves: list[Node]) -> dict[Node, list[str]]:
         """Expandable leaf (Range/Wildcard/Fuzzy) -> matching terms via
         term_dict (Q7 et al.: constant-score rewrite like Lucene's
-        MultiTermQuery CONSTANT_SCORE; predicates in query/expand.py)."""
+        MultiTermQuery CONSTANT_SCORE; predicates in query/expand.py).
+
+        Fuzzy leaves with ``max_edits <= 2`` route through the
+        ``spell_grams`` sidecar when no resident dictionary exists
+        (:meth:`_expand_fuzzy_gram`) — candidate cost bounded by the query
+        grams' posting sizes, never the vocabulary."""
         out: dict[Node, list[str]] = {}
         td = None
-        for r in [l for l in leaves if isinstance(l, EXPANDABLE)]:
+        exp_leaves = [l for l in leaves if isinstance(l, EXPANDABLE)]
+        gram_f, seen = [], set()
+        for r in exp_leaves:
+            key = exp_key(r)
+            if (key not in self._range_cache and key not in seen
+                    and self._fuzzy_gram_route(r)):
+                seen.add(key)
+                gram_f.append(r)
+        if gram_f:
+            self._expand_fuzzy_gram(gram_f)
+        for r in exp_leaves:
             key = exp_key(r)
             if key not in self._range_cache:
                 tdl = self._term_dict_local()
@@ -417,6 +432,66 @@ class SearchEngine:
                     self._range_cache[key] = sorted(x["term"] for x in terms)
             out[r] = self._range_cache[key]
         return out
+
+    #: fuzzy-expansion candidate strategy.  "auto": Fuzzy leaves with
+    #: ``max_edits <= 2`` use the persisted ``spell_grams`` sidecar
+    #: (gram-blocked equi-scan, the FuzzyQuery-over-FST analogue — see
+    #: :meth:`_expand_fuzzy_gram`) whenever the vocabulary exceeds the
+    #: resident-dictionary bound and the reader is not tag-pinned; "scan"
+    #: forces the length-band term_dict scan (exact for any distance);
+    #: "gram" forces the sidecar (tests / driver gating).
+    fuzzy_expand = "auto"
+
+    def _fuzzy_gram_route(self, leaf) -> bool:
+        """True when ``leaf`` should expand via the gram sidecar.  Lossless
+        only for ``max_edits <= 2`` (q-gram pigeonhole, same bound as
+        spellcheck); tag-pinned readers keep the term_dict scan because
+        their pins may predate the sidecar snapshot."""
+        if not isinstance(leaf, Fuzzy) or leaf.max_edits > 2:
+            return False
+        if self.fuzzy_expand == "gram":
+            return True
+        if self.fuzzy_expand == "scan":
+            return False
+        return self.pins is None and self._term_dict_local() is None
+
+    def _expand_fuzzy_gram(self, fuzzies: list[Node]) -> None:
+        """Resolve fuzzy leaves via ONE gram-blocked scan of the
+        ``spell_grams`` sidecar, filling the range/df/cf caches.
+
+        The union of the query terms' character 2-grams is a driver-side
+        literal, so ``gram IN (...)`` pushes into the (field, gram)-sorted
+        parquet scan and prunes to the row groups holding those grams —
+        candidate cost is bounded by the grams' posting sizes.  Lucene's
+        FuzzyQuery intersects a Levenshtein automaton with the term FST;
+        this is the same neighborhood idea over a columnar dictionary.
+        Lossless for ``max_edits <= 2``: ed(a,b) <= d implies >= 1 shared
+        2-gram once max(|a|,|b|) >= SPELL_LONG_MIN, and shorter index terms
+        live in the '' bucket, probed exactly when the length band lets the
+        query reach them (same pigeonhole as spellcheck).  Candidates are
+        verified driver-side with exact Levenshtein (``exp_match``)."""
+        n, lmin = self.SPELL_NGRAM, self.SPELL_LONG_MIN
+        fields = sorted({l.field for l in fuzzies})
+        grams: set[str] = set()
+        for l in fuzzies:
+            qt = l.term
+            grams.update(qt[i:i + n] for i in range(len(qt) - n + 1))
+            if len(qt) <= (lmin - 1) + l.max_edits:
+                grams.add("")  # short index terms live in the '' bucket
+        sg = self._spell_grams_df()
+        rows = (sg.where(F.col("field").isin(fields)
+                         & F.col("gram").isin(sorted(grams)))
+                .select("field", "term", "df", "cf").distinct().collect())
+        hits: dict[tuple, set[str]] = {exp_key(l): set() for l in fuzzies}
+        for row in rows:
+            f, t = row["field"], row["term"]
+            self._df_cache[(f, t)] = float(row["df"])
+            self._cf_cache[(f, t)] = float(row["cf"])
+            for l in fuzzies:
+                if exp_match(l, f, t):
+                    hits[exp_key(l)].add(t)
+        for key, terms in hits.items():
+            self._range_cache[key] = sorted(terms)
 
     def _prefetch_batch(self, ranges: list[Node],
                         exact_pairs: set[tuple[str, str]]) -> None:
@@ -440,6 +515,14 @@ class SearchEngine:
             if key not in self._range_cache and key not in seen:
                 seen.add(key)
                 missing_r.append(r)
+        # gram-eligible fuzzy leaves resolve via ONE spell_grams sidecar
+        # scan (bounded by gram postings, never the vocabulary) instead of
+        # joining the batch's term_dict disjunct scan below
+        gram_f = [r for r in missing_r if self._fuzzy_gram_route(r)]
+        if gram_f:
+            self._expand_fuzzy_gram(gram_f)
+            missing_r = [r for r in missing_r
+                         if exp_key(r) not in self._range_cache]
         missing_p = sorted(p for p in exact_pairs if p not in self._df_cache)
         if not missing_r and not missing_p:
             return
@@ -1004,7 +1087,8 @@ class SearchEngine:
         td_sid = self.catalog.table("term_dict").current_snapshot_id()
         tbl = self.catalog.table("spell_grams")
         if (tbl.exists()
-                and tbl.snapshot().properties.get("source_term_dict") == td_sid):
+                and tbl.snapshot().properties.get("source_term_dict") == td_sid
+                and tbl.snapshot().properties.get("format") == "2"):
             return tbl.read(self.spark)
         n, lmin = self.SPELL_NGRAM, self.SPELL_LONG_MIN
         grams = F.when(
@@ -1013,15 +1097,18 @@ class SearchEngine:
                 f"transform(sequence(0, length(term)-{n}), "
                 f"i -> substring(term, i+1, {n}))"))
         ).otherwise(F.array(F.lit("")))
+        # format 2 adds df so fuzzy-leaf expansion (_expand_fuzzy_gram) can
+        # fill the df cache without a second term_dict scan
         spell = (self._tbl("term_dict")
                  .select("field", "term", F.length("term").alias("len"),
+                         F.col("df").cast("bigint").alias("df"),
                          F.col("cf").cast("bigint").alias("cf"),
                          F.explode(grams).alias("gram")))
         tbl.overwrite(
             spell.repartitionByRange(F.col("field"), F.col("gram"))
             .sortWithinPartitions("field", "gram", "term"),
             lineage={"source": "term_dict", "snapshot": td_sid},
-            properties={"source_term_dict": td_sid})
+            properties={"source_term_dict": td_sid, "format": "2"})
         return tbl.read(self.spark)
 
     #: vocabulary rows below which spellcheck answers entirely driver-side

@@ -111,3 +111,59 @@ def test_prefetch_batch_local_fills_caches(spark, built):
     for p in exact:
         assert local._df_cache[p] == dist._df_cache[p]
         assert local._cf_cache[p] == dist._cf_cache[p]
+
+
+def test_fuzzy_gram_expansion_agrees(spark, built):
+    """Fuzzy expansion via the spell_grams sidecar (the 100 TB-vocabulary
+    path) is output-identical to the resident-mask and term_dict-scan
+    strategies, including the '' short-term bucket probe."""
+    local, dist = _engines(spark, built)
+    gram = _engines(spark, built)[1]
+    gram.fuzzy_expand = "gram"
+    scan = _engines(spark, built)[1]
+    scan.fuzzy_expand = "scan"
+    for q in ["roam1~1", "spark~2", "merge~1", "a~2", "tabl~2"]:
+        want = [(h["path"], round(h["score"], 9))
+                for h in local.search(None, q, limit=100).collect()]
+        for eng in (dist, gram, scan):
+            got = [(h["path"], round(h["score"], 9))
+                   for h in eng.search(None, q, limit=100).collect()]
+            assert got == want, (q, eng.fuzzy_expand)
+        assert want or q == "a~2", q
+
+
+def test_fuzzy_gram_auto_routes_when_no_resident_dict(spark, built):
+    """auto picks the sidecar exactly when the resident dictionary is
+    unavailable and the reader is unpinned; max_edits > 2 stays on the
+    exact scan (pigeonhole bound void)."""
+    local, dist = _engines(spark, built)
+    assert not local._fuzzy_gram_route(Fuzzy(field="text", term="spark",
+                                             max_edits=1))
+    assert dist._fuzzy_gram_route(Fuzzy(field="text", term="spark",
+                                        max_edits=2))
+    assert not dist._fuzzy_gram_route(Fuzzy(field="text", term="spark",
+                                            max_edits=3))
+    assert not dist._fuzzy_gram_route(Range(field="text", lo="a", hi="b",
+                                            include_lo=True,
+                                            include_hi=True))
+
+
+def test_fuzzy_gram_prefetch_fills_caches(spark, built):
+    """_prefetch_batch routes eligible fuzzies through the sidecar and
+    fills the same range/df/cf cache entries as the in-process path."""
+    from lucene_plugin_spark.query.parser import parse_query
+    local, dist = _engines(spark, built)
+    dist.fuzzy_expand = "gram"
+    ranges = [parse_query("spark~1"), parse_query("roam1~1"),
+              parse_query("tab*")]
+    exact = {("text", "segment")}
+    local._prefetch_batch(ranges, exact)
+    dist._prefetch_batch(ranges, exact)
+    assert local._range_cache == dist._range_cache
+    # every term the fuzzy expansion surfaced carries the true df/cf
+    for key, terms in local._range_cache.items():
+        if key[0] != "fuzzy":
+            continue
+        for t in terms:
+            assert dist._df_cache[("text", t)] == local._df_cache[("text", t)]
+            assert dist._cf_cache[("text", t)] == local._cf_cache[("text", t)]
