@@ -626,6 +626,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return eng.spellcheck(["sprak", "tabel", "quey"], max_dist=2,
                               strategy="gram")
 
+    def ft_wildcard_gram(spark, sf):
+        # r4: infix wildcard (*abl* — no sargable prefix) forced through
+        # the spell_grams sidecar: the longest literal run's middle 2-gram
+        # is contained in every match, so its posting is a lossless
+        # candidate superset; auto would full-scan term_dict only when the
+        # vocabulary outgrows the resident dictionary
+        _, eng = _engine(spark, sf)
+        eng.gram_expand = "gram"
+        return _hits_as_orig_ids(eng.search(None, "*abl*", limit=1_000_000))
+
     def ft_fuzzy_gram(spark, sf):
         # r4: force fuzzy-leaf expansion through the spell_grams sidecar
         # (gram-blocked candidate scan — the FuzzyQuery-over-FST analogue
@@ -633,7 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mask on this small corpus).  Same query + oracle as ft_fuzzy:
         # the strategies are required to be output-identical.
         _, eng = _engine(spark, sf)
-        eng.fuzzy_expand = "gram"
+        eng.gram_expand = "gram"
         return _hits_as_orig_ids(eng.search(None, "spark~1", limit=1_000_000))
 
     def ft_facets(spark, sf):  # facet counts over an untruncated match set
@@ -663,7 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(ft_paging=ft_paging, ft_count=ft_count, ft_highlight=ft_highlight,
              ft_suggest=ft_suggest, ft_spellcheck=ft_spellcheck,
              ft_spellcheck_gram=ft_spellcheck_gram,
-             ft_fuzzy_gram=ft_fuzzy_gram,
+             ft_fuzzy_gram=ft_fuzzy_gram, ft_wildcard_gram=ft_wildcard_gram,
              ft_facets=ft_facets, ft_group_topk=ft_group_topk)
 
     def ft_span_near(spark, sf):  # SpanNearQuery analogue, unordered slop=3
@@ -1926,6 +1936,14 @@ SELECT qterm, suggestion, dist, cf FROM rnk WHERE rn = 1 ORDER BY qterm
     # the forced gram-sidecar strategy must produce the identical answer
     o["ft_spellcheck_gram"] = o["ft_spellcheck"]
     o["ft_fuzzy_gram"] = o["ft_fuzzy"]
+
+    # infix wildcard *abl*: constant-score expansion, anchored regex
+    o["ft_wildcard_gram"] = f"""
+WITH {_TOK}
+SELECT DISTINCT doc_id, cast(1.0 AS double) AS score
+FROM tok WHERE regexp_matches(term, '^.*abl.*$')
+ORDER BY doc_id
+"""
 
     o["ft_facets"] = f"""
 WITH {_TOK},

@@ -40,7 +40,10 @@ from lucene_plugin_spark.index import codec
 from lucene_plugin_spark.query import bm25
 from lucene_plugin_spark.query.parser import parse_query, sanitize_collection
 from lucene_plugin_spark.query.expand import (EXPANDABLE, exp_cond, exp_key,
-                                              exp_mask, exp_match)
+                                              exp_mask, exp_match,
+                                              wildcard_infix_gram,
+                                              wildcard_min_len,
+                                              wildcard_prefix)
 from lucene_plugin_spark.query.plan import (Bool, DisMax, Fuzzy, MatchAll,
                                             Node, Phrase, Range, SynSet, Term,
                                             Wildcard, is_nested,
@@ -402,10 +405,10 @@ class SearchEngine:
         term_dict (Q7 et al.: constant-score rewrite like Lucene's
         MultiTermQuery CONSTANT_SCORE; predicates in query/expand.py).
 
-        Fuzzy leaves with ``max_edits <= 2`` route through the
-        ``spell_grams`` sidecar when no resident dictionary exists
-        (:meth:`_expand_fuzzy_gram`) — candidate cost bounded by the query
-        grams' posting sizes, never the vocabulary."""
+        Fuzzy leaves with ``max_edits <= 2`` and infix wildcards route
+        through the ``spell_grams`` sidecar when no resident dictionary
+        exists (:meth:`_expand_gram_leaves`) — candidate cost bounded by
+        the query grams' posting sizes, never the vocabulary."""
         out: dict[Node, list[str]] = {}
         td = None
         exp_leaves = [l for l in leaves if isinstance(l, EXPANDABLE)]
@@ -413,11 +416,11 @@ class SearchEngine:
         for r in exp_leaves:
             key = exp_key(r)
             if (key not in self._range_cache and key not in seen
-                    and self._fuzzy_gram_route(r)):
+                    and self._gram_route(r)):
                 seen.add(key)
                 gram_f.append(r)
         if gram_f:
-            self._expand_fuzzy_gram(gram_f)
+            self._expand_gram_leaves(gram_f)
         for r in exp_leaves:
             key = exp_key(r)
             if key not in self._range_cache:
@@ -433,61 +436,84 @@ class SearchEngine:
             out[r] = self._range_cache[key]
         return out
 
-    #: fuzzy-expansion candidate strategy.  "auto": Fuzzy leaves with
-    #: ``max_edits <= 2`` use the persisted ``spell_grams`` sidecar
-    #: (gram-blocked equi-scan, the FuzzyQuery-over-FST analogue — see
-    #: :meth:`_expand_fuzzy_gram`) whenever the vocabulary exceeds the
-    #: resident-dictionary bound and the reader is not tag-pinned; "scan"
-    #: forces the length-band term_dict scan (exact for any distance);
-    #: "gram" forces the sidecar (tests / driver gating).
-    fuzzy_expand = "auto"
+    #: gram-sidecar expansion strategy for multi-term leaves.  "auto":
+    #: Fuzzy leaves with ``max_edits <= 2`` and infix Wildcards (no
+    #: sargable prefix but a literal run of >= 2 chars, e.g. ``*tabl*``)
+    #: use the persisted ``spell_grams`` sidecar (gram-blocked equi-scan,
+    #: the FuzzyQuery-over-FST / n-gram-accelerated-wildcard analogue —
+    #: see :meth:`_expand_gram_leaves`) whenever the vocabulary exceeds
+    #: the resident-dictionary bound and the reader is not tag-pinned;
+    #: "scan" forces the term_dict scan (exact for everything); "gram"
+    #: forces the sidecar (tests / driver gating).
+    gram_expand = "auto"
 
-    def _fuzzy_gram_route(self, leaf) -> bool:
-        """True when ``leaf`` should expand via the gram sidecar.  Lossless
-        only for ``max_edits <= 2`` (q-gram pigeonhole, same bound as
-        spellcheck); tag-pinned readers keep the term_dict scan because
-        their pins may predate the sidecar snapshot."""
-        if not isinstance(leaf, Fuzzy) or leaf.max_edits > 2:
+    def _gram_route(self, leaf) -> bool:
+        """True when ``leaf`` should expand via the gram sidecar.  Fuzzy:
+        lossless only for ``max_edits <= 2`` (q-gram pigeonhole, same bound
+        as spellcheck).  Wildcard: only when the prefix pushdown is weak
+        (< 2 literal chars) and some literal run yields a required gram.
+        Tag-pinned readers keep the term_dict scan because their pins may
+        predate the sidecar snapshot."""
+        if isinstance(leaf, Fuzzy):
+            if leaf.max_edits > 2:
+                return False
+        elif isinstance(leaf, Wildcard):
+            if (len(wildcard_prefix(leaf.pattern)) >= 2
+                    or wildcard_infix_gram(leaf.pattern,
+                                           self.SPELL_NGRAM) is None):
+                return False
+        else:
             return False
-        if self.fuzzy_expand == "gram":
+        if self.gram_expand == "gram":
             return True
-        if self.fuzzy_expand == "scan":
+        if self.gram_expand == "scan":
             return False
         return self.pins is None and self._term_dict_local() is None
 
-    def _expand_fuzzy_gram(self, fuzzies: list[Node]) -> None:
-        """Resolve fuzzy leaves via ONE gram-blocked scan of the
-        ``spell_grams`` sidecar, filling the range/df/cf caches.
+    def _expand_gram_leaves(self, leaves: list[Node]) -> None:
+        """Resolve fuzzy / infix-wildcard leaves via ONE gram-blocked scan
+        of the ``spell_grams`` sidecar, filling the range/df/cf caches.
 
-        The union of the query terms' character 2-grams is a driver-side
-        literal, so ``gram IN (...)`` pushes into the (field, gram)-sorted
-        parquet scan and prunes to the row groups holding those grams —
-        candidate cost is bounded by the grams' posting sizes.  Lucene's
-        FuzzyQuery intersects a Levenshtein automaton with the term FST;
-        this is the same neighborhood idea over a columnar dictionary.
-        Lossless for ``max_edits <= 2``: ed(a,b) <= d implies >= 1 shared
-        2-gram once max(|a|,|b|) >= SPELL_LONG_MIN, and shorter index terms
-        live in the '' bucket, probed exactly when the length band lets the
-        query reach them (same pigeonhole as spellcheck).  Candidates are
-        verified driver-side with exact Levenshtein (``exp_match``)."""
+        The required grams form a driver-side literal, so ``gram IN (...)``
+        pushes into the (field, gram)-sorted parquet scan and prunes to the
+        row groups holding those grams — candidate cost is bounded by the
+        grams' posting sizes, never the vocabulary.  Lucene's FuzzyQuery
+        intersects a Levenshtein automaton with the term FST and its
+        wildcard/regexp queries walk the same FST with an automaton; this
+        is that neighborhood idea over a columnar dictionary.
+
+        Losslessness: Fuzzy — ed(a,b) <= d implies >= 1 shared 2-gram once
+        ``max(|a|,|b|) >= SPELL_LONG_MIN`` (q-gram count filter), with
+        shorter index terms in the '' bucket, probed exactly when the
+        length band lets the query reach them.  Wildcard — every match
+        contains the longest literal run, hence its middle 2-gram
+        (``wildcard_infix_gram``); the '' bucket is probed unless the
+        pattern's minimum match length already exceeds the short-term
+        bound.  Candidates are verified driver-side with the exact
+        predicate (``exp_match``: Levenshtein / anchored regex)."""
         n, lmin = self.SPELL_NGRAM, self.SPELL_LONG_MIN
-        fields = sorted({l.field for l in fuzzies})
+        fields = sorted({l.field for l in leaves})
         grams: set[str] = set()
-        for l in fuzzies:
-            qt = l.term
-            grams.update(qt[i:i + n] for i in range(len(qt) - n + 1))
-            if len(qt) <= (lmin - 1) + l.max_edits:
-                grams.add("")  # short index terms live in the '' bucket
+        for l in leaves:
+            if isinstance(l, Fuzzy):
+                qt = l.term
+                grams.update(qt[i:i + n] for i in range(len(qt) - n + 1))
+                if len(qt) <= (lmin - 1) + l.max_edits:
+                    grams.add("")  # short index terms live in the '' bucket
+            else:
+                grams.add(wildcard_infix_gram(l.pattern, n))
+                if wildcard_min_len(l.pattern) < lmin:
+                    grams.add("")
         sg = self._spell_grams_df()
         rows = (sg.where(F.col("field").isin(fields)
                          & F.col("gram").isin(sorted(grams)))
                 .select("field", "term", "df", "cf").distinct().collect())
-        hits: dict[tuple, set[str]] = {exp_key(l): set() for l in fuzzies}
+        hits: dict[tuple, set[str]] = {exp_key(l): set() for l in leaves}
         for row in rows:
             f, t = row["field"], row["term"]
             self._df_cache[(f, t)] = float(row["df"])
             self._cf_cache[(f, t)] = float(row["cf"])
-            for l in fuzzies:
+            for l in leaves:
                 if exp_match(l, f, t):
                     hits[exp_key(l)].add(t)
         for key, terms in hits.items():
@@ -515,12 +541,13 @@ class SearchEngine:
             if key not in self._range_cache and key not in seen:
                 seen.add(key)
                 missing_r.append(r)
-        # gram-eligible fuzzy leaves resolve via ONE spell_grams sidecar
-        # scan (bounded by gram postings, never the vocabulary) instead of
-        # joining the batch's term_dict disjunct scan below
-        gram_f = [r for r in missing_r if self._fuzzy_gram_route(r)]
+        # gram-eligible leaves (fuzzy / infix wildcard) resolve via ONE
+        # spell_grams sidecar scan (bounded by gram postings, never the
+        # vocabulary) instead of joining the batch's term_dict disjunct
+        # scan below
+        gram_f = [r for r in missing_r if self._gram_route(r)]
         if gram_f:
-            self._expand_fuzzy_gram(gram_f)
+            self._expand_gram_leaves(gram_f)
             missing_r = [r for r in missing_r
                          if exp_key(r) not in self._range_cache]
         missing_p = sorted(p for p in exact_pairs if p not in self._df_cache)
@@ -1097,7 +1124,7 @@ class SearchEngine:
                 f"transform(sequence(0, length(term)-{n}), "
                 f"i -> substring(term, i+1, {n}))"))
         ).otherwise(F.array(F.lit("")))
-        # format 2 adds df so fuzzy-leaf expansion (_expand_fuzzy_gram) can
+        # format 2 adds df so gram-leaf expansion (_expand_gram_leaves) can
         # fill the df cache without a second term_dict scan
         spell = (self._tbl("term_dict")
                  .select("field", "term", F.length("term").alias("len"),

@@ -90,6 +90,52 @@ def regexp_prefix(pattern: str) -> str:
     return "".join(out)
 
 
+def wildcard_infix_gram(pattern: str, n: int = 2) -> str | None:
+    """One character ``n``-gram contained in EVERY match of the wildcard
+    pattern, or ``None`` when no literal run reaches ``n`` chars: the
+    middle ``n``-gram of the longest unescaped literal run.  A match must
+    contain the whole run, hence each of its n-grams — so any single such
+    gram makes a gram-sidecar posting a lossless candidate superset for
+    infix patterns (``*tabl*``) that have no sargable prefix."""
+    runs, cur = [], []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            cur.append(pattern[i + 1])
+            i += 2
+            continue
+        if ch in "*?":
+            runs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    runs.append("".join(cur))
+    best = max(runs, key=len)
+    if len(best) < n:
+        return None
+    m = (len(best) - n) // 2
+    return best[m:m + n]
+
+
+def wildcard_min_len(pattern: str) -> int:
+    """Minimum length of any term matching the wildcard pattern (``*``
+    matches the empty string, ``?`` and literals one char each)."""
+    cnt = 0
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            cnt += 1
+            i += 2
+            continue
+        if ch != "*":
+            cnt += 1
+        i += 1
+    return cnt
+
+
 def wildcard_regex(pattern: str) -> str:
     """``te?t*`` -> anchored regex (``*`` any run, ``?`` one char;
     ``\\*``/``\\?`` escape to literals, classic QueryParser escaping)."""

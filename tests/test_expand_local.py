@@ -119,16 +119,16 @@ def test_fuzzy_gram_expansion_agrees(spark, built):
     strategies, including the '' short-term bucket probe."""
     local, dist = _engines(spark, built)
     gram = _engines(spark, built)[1]
-    gram.fuzzy_expand = "gram"
+    gram.gram_expand = "gram"
     scan = _engines(spark, built)[1]
-    scan.fuzzy_expand = "scan"
+    scan.gram_expand = "scan"
     for q in ["roam1~1", "spark~2", "merge~1", "a~2", "tabl~2"]:
         want = [(h["path"], round(h["score"], 9))
                 for h in local.search(None, q, limit=100).collect()]
         for eng in (dist, gram, scan):
             got = [(h["path"], round(h["score"], 9))
                    for h in eng.search(None, q, limit=100).collect()]
-            assert got == want, (q, eng.fuzzy_expand)
+            assert got == want, (q, eng.gram_expand)
         assert want or q == "a~2", q
 
 
@@ -137,13 +137,13 @@ def test_fuzzy_gram_auto_routes_when_no_resident_dict(spark, built):
     unavailable and the reader is unpinned; max_edits > 2 stays on the
     exact scan (pigeonhole bound void)."""
     local, dist = _engines(spark, built)
-    assert not local._fuzzy_gram_route(Fuzzy(field="text", term="spark",
+    assert not local._gram_route(Fuzzy(field="text", term="spark",
                                              max_edits=1))
-    assert dist._fuzzy_gram_route(Fuzzy(field="text", term="spark",
+    assert dist._gram_route(Fuzzy(field="text", term="spark",
                                         max_edits=2))
-    assert not dist._fuzzy_gram_route(Fuzzy(field="text", term="spark",
+    assert not dist._gram_route(Fuzzy(field="text", term="spark",
                                             max_edits=3))
-    assert not dist._fuzzy_gram_route(Range(field="text", lo="a", hi="b",
+    assert not dist._gram_route(Range(field="text", lo="a", hi="b",
                                             include_lo=True,
                                             include_hi=True))
 
@@ -153,7 +153,7 @@ def test_fuzzy_gram_prefetch_fills_caches(spark, built):
     fills the same range/df/cf cache entries as the in-process path."""
     from lucene_plugin_spark.query.parser import parse_query
     local, dist = _engines(spark, built)
-    dist.fuzzy_expand = "gram"
+    dist.gram_expand = "gram"
     ranges = [parse_query("spark~1"), parse_query("roam1~1"),
               parse_query("tab*")]
     exact = {("text", "segment")}
@@ -167,3 +167,43 @@ def test_fuzzy_gram_prefetch_fills_caches(spark, built):
         for t in terms:
             assert dist._df_cache[("text", t)] == local._df_cache[("text", t)]
             assert dist._cf_cache[("text", t)] == local._cf_cache[("text", t)]
+
+
+def test_wildcard_infix_gram_helpers():
+    from lucene_plugin_spark.query.expand import (wildcard_infix_gram,
+                                                  wildcard_min_len)
+    assert wildcard_infix_gram("*tabl*") in {"ta", "ab", "bl"}
+    assert wildcard_infix_gram("*a*") is None          # run too short
+    assert wildcard_infix_gram("??") is None           # no literal run
+    assert wildcard_infix_gram(r"*ta\*l*") == "a*"     # escaped star literal
+    assert wildcard_infix_gram("me?ge*") in {"me", "ge"}
+    assert wildcard_min_len("*tabl*") == 4
+    assert wildcard_min_len("ta?e*") == 4
+    assert wildcard_min_len("*") == 0
+    assert wildcard_min_len(r"\**") == 1
+
+
+def test_wildcard_gram_expansion_agrees(spark, built):
+    """Infix wildcards via the gram sidecar match the resident-mask and
+    term_dict-scan strategies exactly (constant-score expansion)."""
+    local, dist = _engines(spark, built)
+    gram = _engines(spark, built)[1]
+    gram.gram_expand = "gram"
+    for q in ["*abl*", "*erge*", "*roam*", "*zz*", "*egmen?"]:
+        want = [(h["path"], round(h["score"], 9))
+                for h in local.search(None, q, limit=200).collect()]
+        for eng in (dist, gram):
+            got = [(h["path"], round(h["score"], 9))
+                   for h in eng.search(None, q, limit=200).collect()]
+            assert got == want, (q, getattr(eng, "gram_expand", "auto"))
+        assert want or q == "*zz*", q
+
+
+def test_wildcard_gram_routing_rules(spark, built):
+    """Sidecar routing only for infix patterns with a usable gram; strong
+    prefixes keep the sargable StringStartsWith scan."""
+    _, dist = _engines(spark, built)
+    assert dist._gram_route(Wildcard(field="text", pattern="*abl*"))
+    assert not dist._gram_route(Wildcard(field="text", pattern="tab*"))
+    assert not dist._gram_route(Wildcard(field="text", pattern="*a*"))
+    assert not dist._gram_route(Wildcard(field="text", pattern="t?"))
