@@ -1434,6 +1434,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("tf_norm", 6).alias("tf_norm"),
             F.round("contribution", 6).alias("contribution"))
 
+    def ft_multi_field(spark, sf):
+        # MultiFieldQueryParser analogue: bare leaves of 'merge en' fan out
+        # over (text, lang); each per-field Term scores against its own
+        # field statistics (lang: dl=avgdl=1 so the BM25 reduces to idf)
+        from lucene_plugin_spark.query.advanced import multi_field
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(multi_field(
+            eng, None, "merge en", ["text", "lang"], limit=20))
+
     def ft_asof(spark, sf):
         # time travel: the MUTATED index read at the pre-mutation tag must
         # answer from the ORIGINAL corpus (upserts/deletes invisible)
@@ -1472,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_func_score=ft_func_score, ft_tfidf=ft_tfidf,
              ft_span_first=ft_span_first, ft_span_or=ft_span_or,
              ft_span_not=ft_span_not, ft_explain=ft_explain,
+             ft_multi_field=ft_multi_field,
              ft_asof=ft_asof, ft_stem=ft_stem,
              ft_fold=ft_fold, ft_federated=ft_federated)
 
@@ -3006,6 +3016,30 @@ FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
 WHERE tf.term IN ('join', 'merge')
   AND tf.doc_id IN (SELECT doc_id FROM top3)
 ORDER BY tf.doc_id, tf.term
+"""
+
+    # MultiFieldQueryParser: 'merge en' over (text, lang) — text clauses
+    # score ordinary BM25; lang is a one-token field (dl = avgdl = 1) so
+    # its BM25 reduces to the idf, exactly ft_field_lang's formula; a doc
+    # matching in both fields sums the per-field scores (BS2 SHOULD sum)
+    o["ft_multi_field"] = f"""
+WITH {_TOK},
+txt AS (
+  SELECT tf.doc_id, sum({_BM25}) AS s
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('merge', 'en') GROUP BY tf.doc_id),
+nl AS (SELECT count(*)::double AS n FROM documents WHERE lang IS NOT NULL),
+lv AS (SELECT doc_id, lang FROM documents WHERE lang IN ('merge', 'en')),
+ldf AS (SELECT lang, count(*)::double AS df FROM lv GROUP BY lang),
+ls AS (SELECT lv.doc_id,
+              sum(ln(1.0 + (nl.n - ldf.df + 0.5) / (ldf.df + 0.5))) AS s
+       FROM lv JOIN ldf USING (lang) CROSS JOIN nl GROUP BY lv.doc_id),
+uni AS (SELECT coalesce(t.doc_id, l.doc_id) AS doc_id,
+               coalesce(t.s, 0) + coalesce(l.s, 0) AS score
+        FROM txt t FULL OUTER JOIN ls l ON t.doc_id = l.doc_id)
+SELECT u.doc_id, round(u.score, 6) AS score
+FROM uni u JOIN documents d USING (doc_id)
+ORDER BY u.score DESC, d.source, u.doc_id LIMIT 20
 """
 
     # time travel: the mutated index AT the pre-mutation tag answers from

@@ -122,6 +122,17 @@ def main() -> None:
     for name, fn in queries:
         timed(name, fn)
 
+    # gram-sidecar expansion strategy (the 100 TB-vocabulary plan for fuzzy
+    # and infix-wildcard leaves): a dedicated engine so its range caches
+    # don't alias the auto engine's; first call pays the sidecar build
+    geng = SearchEngine(spark, catalog).warm()
+    geng.gram_expand = "gram"
+    geng._spell_grams_df().head(1)  # materialize the sidecar outside timings
+    timed("q_fuzzy_gram",
+          lambda: geng.search(None, "spark~1", limit=255).collect())
+    timed("q_wildcard_infix",
+          lambda: geng.search(None, "*abl*", limit=255).collect())
+
     from lucene_plugin_spark.query.results import facet_counts
     timed("p_facets",
           lambda: facet_counts(engine,

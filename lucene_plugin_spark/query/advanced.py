@@ -13,6 +13,7 @@ Lucene analogues (reference reaches all of these through the same
 - :func:`span_or`        -> ``SpanOrQuery(SpanTermQuery(t), ...)``
 - :func:`span_not`       -> ``SpanNotQuery(include, exclude, pre, post)``
 - :func:`explain_scores` -> ``IndexSearcher.explain(query, doc)`` rows
+- :func:`multi_field`    -> ``MultiFieldQueryParser(fields, analyzer, boosts)``
 - :func:`federated_search`-> ``MultiReader``-style fan-out, per-index stats
 
 Module-level functions over a :class:`SearchEngine` (the pattern of
@@ -593,6 +594,55 @@ def multi_phrase(engine, repo: str | None, slots: list[list[str]],
     return (meta.join(F.broadcast(topk), "doc_id")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .select("doc_id", "path", "score"))
+
+
+def multi_field(engine, repo: str | None, query: str, fields: list[str],
+                boosts: dict[str, float] | None = None,
+                limit: int = 255) -> DataFrame:
+    """``MultiFieldQueryParser`` analogue: parse ``query`` with the classic
+    grammar, then rewrite every leaf still on the DEFAULT field into a
+    SHOULD-disjunction of the same leaf over ``fields`` (per-field boost
+    from ``boosts``, default 1.0) — exactly
+    ``MultiFieldQueryParser(fields, analyzer, boosts)``, where each clause
+    becomes a BooleanQuery over the fields.  Explicitly field-qualified
+    leaves (``lang:en``) keep their field, like Lucene.
+
+    Scale shape: the rewrite is a driver-side tree transform; execution is
+    the ordinary :meth:`SearchEngine.search_node` — each per-field Term
+    scores against its own field statistics (Lucene's per-field
+    Similarity), the postings scan's term/field predicates stay pushed.
+    """
+    import dataclasses
+
+    from lucene_plugin_spark.query.plan import (DEFAULT_FIELD, Bool, DisMax,
+                                                Fuzzy, Phrase, Range, Regexp,
+                                                SynSet, Term, Wildcard)
+    b = boosts or {}
+
+    def per_field(leaf) -> Bool:
+        return Bool(should=tuple(
+            dataclasses.replace(leaf, field=f,
+                                boost=leaf.boost * b.get(f, 1.0))
+            for f in fields))
+
+    def rw(n):
+        if isinstance(n, Bool):
+            return dataclasses.replace(
+                n, should=tuple(rw(c) for c in n.should),
+                must=tuple(rw(c) for c in n.must),
+                must_not=tuple(rw(c) for c in n.must_not),
+                filter=tuple(rw(c) for c in n.filter))
+        if isinstance(n, DisMax):
+            return dataclasses.replace(
+                n, disjuncts=tuple(rw(c) for c in n.disjuncts))
+        if (isinstance(n, (Term, Phrase, Range, Wildcard, Regexp, Fuzzy,
+                           SynSet))
+                and n.field == DEFAULT_FIELD):
+            return per_field(n)
+        return n
+
+    node = rw(parse_query(query, variant=engine.analyzer))
+    return engine.search_node(node, repo, limit)
 
 
 def federated_search(engines: list[tuple[str, object]], repo: str | None,

@@ -536,3 +536,65 @@ def test_index_sort_progressive_bound(spark, tmp_path_factory):
                         if "zzrareterm" in r["content"])[:5]
     assert [p for p, _ in got] == [p for _, p in want_paths]
     assert all(l == "zz" for _, l in got)
+
+
+def test_multi_field_single_field_identity(spark, built):
+    """MultiFieldQueryParser over one field is exactly the plain search —
+    the rewrite adds a pure-SHOULD wrapper that simplify() inlines."""
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    for q in ["index query cache", "index AND cache", '"get user"',
+              "(index cache) AND query"]:
+        a = _got(advanced.multi_field(eng, None, q, ["text"], limit=25))
+        b = _got(eng.search(None, q, limit=25))
+        assert a == b, q
+
+
+def test_multi_field_sums_per_field_scores(spark, tmp_path_factory):
+    """Bare leaves fan out over the fields and a doc matching in several
+    fields sums the per-field BM25 scores (BS2 SHOULD semantics); explicit
+    field-qualified leaves keep their field."""
+    from lucene_plugin_spark import LuceneFacade
+    wh = str(tmp_path_factory.mktemp("wh-mf"))
+    fac = LuceneFacade(spark, wh, mode="kernel")
+    docs = {
+        "a": {"title": "spark index merge", "body": "merge scan table"},
+        "b": {"title": "table plan", "body": "spark join index cache"},
+        "c": {"title": "cache", "body": "spark table cache plan"},
+        "d": {"title": "join strategy", "body": "hash join broadcast"},
+    }
+    for pid, m in docs.items():
+        fac.index_map("default", pid, m)
+    fac.search("default", "title:spark")  # flush pending docs, build index
+    eng = SearchEngine(spark, fac.catalog)
+    for q in ["spark", "spark plan", "merge AND table"]:
+        got = {r["path"]: r["score"]
+               for r in advanced.multi_field(
+                   eng, None, q, ["title", "body"], limit=50).collect()}
+        # expectation from the already-gated field-qualified search path:
+        # rewrite the query by hand into per-field leaves
+        parts = q.split(" AND ")
+        if len(parts) == 2:
+            hand = f"(title:{parts[0]} body:{parts[0]}) AND " \
+                   f"(title:{parts[1]} body:{parts[1]})"
+        else:
+            hand = " ".join(f"(title:{w} body:{w})" for w in q.split())
+        want = {r["path"]: r["score"]
+                for r in eng.search(None, hand, limit=50).collect()}
+        assert set(got) == set(want), q
+        for p in got:
+            assert math.isclose(got[p], want[p], rel_tol=1e-9), (q, p)
+    # per-field boosts scale each field's contribution
+    got = {r["path"]: r["score"] for r in advanced.multi_field(
+        eng, None, "spark", ["title", "body"],
+        boosts={"title": 3.0}, limit=50).collect()}
+    want = {r["path"]: r["score"] for r in eng.search(
+        None, "title:spark^3 body:spark", limit=50).collect()}
+    assert set(got) == set(want)
+    for p in got:
+        assert math.isclose(got[p], want[p], rel_tol=1e-9), p
+    # explicitly qualified leaves are NOT fanned out
+    got = _got(advanced.multi_field(eng, None, "title:spark",
+                                    ["title", "body"], limit=50))
+    want = _got(eng.search(None, "title:spark", limit=50))
+    assert got == want
