@@ -402,6 +402,23 @@ class LuceneFacade:
                                      query, rescore_query, window=window,
                                      weight=weight, limit=limit))
 
+    def search_multi_field(self, collection: str, query: str,
+                           fields: list[str],
+                           boosts: dict[str, float] | None = None,
+                           limit: int = 255) -> list[LuceneEntry]:
+        """``MultiFieldQueryParser(fields, analyzer, boosts)``: bare query
+        leaves fan out over ``fields`` (per-field boosts); explicitly
+        qualified leaves keep their field."""
+        from lucene_plugin_spark.query.advanced import multi_field
+        self._check(collection, "collection")
+        self._check(query, "query")
+        eng = self._live_engine()
+        if eng is None or not fields:
+            return []
+        return self._entries(multi_field(
+            eng, sanitize_collection(collection), query, fields,
+            boosts=boosts, limit=limit))
+
     def search_constant_score(self, collection: str, query: str,
                               boost: float = 1.0,
                               limit: int = 255) -> list[LuceneEntry]:

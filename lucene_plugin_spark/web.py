@@ -119,6 +119,21 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                     self._reply(200, [{"id": h.id, "score": h.score,
                                        "externalId": h.external_id}
                                       for h in hits])
+                elif u.path == "/lucene/search-multi-field":
+                    flds = [f for f in q.get("fields", "").split(",") if f]
+                    boosts = {}
+                    for kv in q.get("boosts", "").split(","):
+                        if ":" in kv:
+                            k, v = kv.split(":", 1)
+                            boosts[k] = float(v)
+                    with lock:
+                        hits = facade.search_multi_field(
+                            q.get("collection", ""), q.get("query", ""),
+                            flds, boosts or None,
+                            int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
                 elif u.path == "/lucene/search-sorted":
                     with lock:
                         self._reply(200, facade.search_sorted(

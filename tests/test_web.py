@@ -163,3 +163,25 @@ def test_http_extended_boolean_routes(server):
     assert st == 200
     assert {h["externalId"] for h in hits} == {"b0", "b1", "b2", "b3"}
     assert all(h["score"] > 0 for h in hits)
+
+
+def test_http_multi_field_route(server):
+    _post(server, "/lucene/index-map",
+          {"collection": "web", "id": "m0",
+           "map": {"title": "alpha systems", "body": "beta gamma"}})
+    _post(server, "/lucene/index-map",
+          {"collection": "web", "id": "m1",
+           "map": {"title": "beta release", "body": "alpha delta"}})
+
+    st, hits = _get(server, "/lucene/search-multi-field?collection=web"
+                    "&query=alpha&fields=title,body&limit=10")
+    assert st == 200
+    assert {h["externalId"] for h in hits} == {"m0", "m1"}
+
+    # per-field boosts lift the title match above the body match
+    st, hits = _get(server, "/lucene/search-multi-field?collection=web"
+                    "&query=alpha&fields=title,body"
+                    "&boosts=" + quote("title:5.0") + "&limit=10")
+    assert st == 200
+    assert hits[0]["externalId"] == "m0"
+    assert hits[0]["score"] > hits[1]["score"]
