@@ -1443,6 +1443,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_as_orig_ids(multi_field(
             eng, None, "merge en", ["text", "lang"], limit=20))
 
+    def ft_phrase_prefix(spark, sf):
+        # phrase-prefix ("table s*"): the MultiPhraseQuery-javadoc use case /
+        # match_phrase_prefix — the last position admits every dictionary
+        # term starting with 's' (term order, max_expansions=50), scored
+        # through the blended MultiPhraseQuery analogue
+        from lucene_plugin_spark.query.advanced import phrase_prefix
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(phrase_prefix(
+            eng, None, ["table"], "s", limit=10))
+
+    def ft_common_terms(spark, sf):
+        # CommonTermsQuery (lucene-queries): cutoff 0.3*N splits 'dup'
+        # (df ~5%) from 'query'/'hash' (df ~75-80%); docs MUST contain the
+        # low-frequency 'dup', the common terms only add score
+        from lucene_plugin_spark.query.advanced import common_terms
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(common_terms(
+            eng, None, ["dup", "query", "hash"],
+            max_term_frequency=0.3, limit=10))
+
     def ft_asof(spark, sf):
         # time travel: the MUTATED index read at the pre-mutation tag must
         # answer from the ORIGINAL corpus (upserts/deletes invisible)
@@ -1482,6 +1502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_span_first=ft_span_first, ft_span_or=ft_span_or,
              ft_span_not=ft_span_not, ft_explain=ft_explain,
              ft_multi_field=ft_multi_field,
+             ft_phrase_prefix=ft_phrase_prefix,
+             ft_common_terms=ft_common_terms,
              ft_asof=ft_asof, ft_stem=ft_stem,
              ft_fold=ft_fold, ft_federated=ft_federated)
 
@@ -1676,6 +1698,10 @@ def _rotate_for_gate(q: dict) -> dict:
         "code_license", "code_comments", "code_identifiers",
         "text_tfidf_sim", "ft_index_sort", "stream_dedup", "ft_multi_phrase",
         "ft_percolate", "stream_percolate",
+        # new in r4 (post-sweep additions)
+        "ft_span_or", "ft_span_not", "ft_explain", "ft_fuzzy_gram",
+        "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
+        "ft_common_terms",
         # the one red r3 row — aggregates cast to bigint on both sides in r4
         "sample_split",
         # r4 code/oracle churn: re-prove against current code (plus the
@@ -3180,6 +3206,51 @@ scores AS (SELECT tfu.doc_id,
         FROM tfu JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs)
 SELECT s.doc_id, round(s.score, 6) AS score
 FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.source, s.doc_id LIMIT 10
+"""
+
+    # phrase-prefix "table s*" (MultiPhraseQuery javadoc / match_phrase_prefix):
+    # last slot = dictionary terms LIKE 's%' in term order (cap 50, same cap
+    # as the engine's max_expansions); blended MultiPhraseWeight scoring —
+    # tf over the slot-unioned positions, idf summed over 'table' + expansion
+    o["ft_phrase_prefix"] = f"""
+WITH {_TOK},
+exp AS (SELECT term FROM (SELECT DISTINCT term FROM tok WHERE term LIKE 's%')
+        ORDER BY term LIMIT 50),
+p0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+u1 AS (SELECT doc_id, pos FROM tok WHERE term IN (SELECT term FROM exp)),
+tfu AS (SELECT p0.doc_id, count(*)::double tf
+        FROM p0 JOIN u1 ON u1.doc_id = p0.doc_id AND u1.pos = p0.pos + 1
+        GROUP BY p0.doc_id),
+idfs AS (SELECT sum(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS i
+         FROM dfx CROSS JOIN st
+         WHERE dfx.term = 'table' OR dfx.term IN (SELECT term FROM exp)),
+scores AS (SELECT tfu.doc_id,
+        idfs.i * tfu.tf * 2.2 / (tfu.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+        FROM tfu JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs)
+SELECT s.doc_id, round(s.score, 6) AS score
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.source, s.doc_id LIMIT 10
+"""
+
+    # CommonTermsQuery: cutoff 0.3*N — the low/high split is computed from
+    # dfx/st so it tracks the engine's df-based classification at ANY sf;
+    # docs must match >= 1 low-frequency term, scoring = plain per-term OR
+    o["ft_common_terms"] = f"""
+WITH {_TOK},
+lowt AS (SELECT dfx.term FROM dfx CROSS JOIN st
+         WHERE dfx.term IN ('dup', 'query', 'hash')
+           AND dfx.df <= 0.3 * st.n),
+scores AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score,
+         max(CASE WHEN tf.term IN (SELECT term FROM lowt)
+                  THEN 1 ELSE 0 END) AS has_low
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('dup', 'query', 'hash')
+  GROUP BY tf.doc_id)
+SELECT s.doc_id, round(s.score, 6) AS score
+FROM scores s JOIN documents d USING (doc_id)
+WHERE s.has_low = 1
 ORDER BY s.score DESC, d.source, s.doc_id LIMIT 10
 """
 

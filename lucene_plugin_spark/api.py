@@ -485,6 +485,38 @@ class LuceneFacade:
             eng, sanitize_collection(collection), slots, slop=slop,
             limit=limit))
 
+    def search_phrase_prefix(self, collection: str, terms: list[str],
+                             prefix: str, max_expansions: int = 50,
+                             limit: int = 255) -> list[LuceneEntry]:
+        """Phrase-prefix (``MultiPhraseQuery`` javadoc use case /
+        ``match_phrase_prefix``): the phrase's last position admits every
+        dictionary term starting with ``prefix`` (term order, capped at
+        ``max_expansions``)."""
+        from lucene_plugin_spark.query.advanced import phrase_prefix
+        self._check(collection, "collection")
+        self._check(prefix, "prefix")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return self._entries(phrase_prefix(
+            eng, sanitize_collection(collection), terms, prefix,
+            max_expansions=max_expansions, limit=limit))
+
+    def search_common_terms(self, collection: str, terms: list[str],
+                            max_term_frequency: float = 0.01,
+                            limit: int = 255) -> list[LuceneEntry]:
+        """``CommonTermsQuery``: docs must match >= 1 low-df term
+        (df <= ``max_term_frequency``, absolute when >= 1 else a fraction
+        of the doc count); high-df terms only add score."""
+        from lucene_plugin_spark.query.advanced import common_terms
+        self._check(collection, "collection")
+        eng = self._live_engine()
+        if eng is None or not terms:
+            return []
+        return self._entries(common_terms(
+            eng, sanitize_collection(collection), terms,
+            max_term_frequency=max_term_frequency, limit=limit))
+
     # ---------------------------------------------------------------- async
     def _submit(self, fn, callback, *args) -> concurrent.futures.Future:
         if self._mailbox is None:

@@ -14,6 +14,8 @@ Lucene analogues (reference reaches all of these through the same
 - :func:`span_not`       -> ``SpanNotQuery(include, exclude, pre, post)``
 - :func:`explain_scores` -> ``IndexSearcher.explain(query, doc)`` rows
 - :func:`multi_field`    -> ``MultiFieldQueryParser(fields, analyzer, boosts)``
+- :func:`phrase_prefix`  -> phrase ending in ``app*`` (MultiPhraseQuery javadoc)
+- :func:`common_terms`   -> ``CommonTermsQuery`` (lucene-queries module)
 - :func:`federated_search`-> ``MultiReader``-style fan-out, per-index stats
 
 Module-level functions over a :class:`SearchEngine` (the pattern of
@@ -589,6 +591,93 @@ def multi_phrase(engine, repo: str | None, slots: list[list[str]],
     agg = (tf.join(lens, "doc_id")
            .select("doc_id", (F.lit(idf_sum) * tfn).alias("score")))
     agg = engine._finalize_df_hits(agg, repo)
+    meta = engine._meta_path_df()
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+    return (meta.join(F.broadcast(topk), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "path", "score"))
+
+
+def phrase_prefix(engine, repo: str | None, terms: list[str], prefix: str,
+                  field: str = "text", slop: int = 0, limit: int = 255,
+                  max_expansions: int = 50) -> DataFrame:
+    """Phrase-prefix query — the use case ``MultiPhraseQuery``'s own javadoc
+    names (a phrase ending in ``app*``), ``match_phrase_prefix`` in the
+    wider Lucene ecosystem: a phrase whose LAST position admits every
+    dictionary term starting with ``prefix``.  The prefix expands against
+    the term dictionary in TERM ORDER capped at ``max_expansions``
+    (the ecosystem default 50), then scores through the blended
+    MultiPhraseQuery analogue (:func:`multi_phrase`): ONE scorer, tf over
+    the slot-unioned position lists, idf summed over the literal terms plus
+    the expansion set (flattened termArrays).
+
+    Scale shape: the expansion is a sargable ``startswith`` range on the
+    term-sorted dictionary (parquet range pruning, never a vocabulary
+    scan), bounded at ``max_expansions`` terms; execution inherits
+    multi_phrase's shape — term-pruned postings scan, JVM array alignment
+    in whole-stage codegen, broadcast top-k path join."""
+    from lucene_plugin_spark.query.plan import Wildcard
+    w = Wildcard(field=field, pattern=prefix.lower() + "*")
+    exp = engine._expand_ranges([w])[w][:max_expansions]
+    if not exp:
+        return engine.spark.createDataFrame(
+            [], "doc_id long, path string, score double")
+    slots = [[t] for t in terms] + [exp]
+    return multi_phrase(engine, repo, slots, field=field, slop=slop,
+                        limit=limit)
+
+
+def common_terms(engine, repo: str | None, terms: list[str],
+                 field: str = "text", max_term_frequency: float = 0.01,
+                 limit: int = 255) -> DataFrame:
+    """``CommonTermsQuery`` (lucene-queries module, present in the
+    reference's Lucene 5.2.1): split the query terms into LOW-frequency
+    (df <= ``max_term_frequency``, absolute when >= 1 else a fraction of
+    the doc count — Lucene's ``maxTermFrequency``) and HIGH-frequency
+    groups.  Docs MUST match at least one low-frequency term; high-
+    frequency terms only ADD score on docs already selected — Lucene's
+    rewrite ``BooleanQuery{ MUST(lowFreq-OR), SHOULD(highFreq-OR) }``, the
+    stopword-free way to keep "the"-like terms from selecting the whole
+    corpus.  When every term is high-frequency the query degrades to the
+    plain OR over them, exactly like Lucene with an empty low group.
+    Per-term scoring is the ordinary boolean-OR BM25 (per-term idf x
+    tf-norm, summed).
+
+    Scale shape: ONE term-pruned postings scan for all terms (the low/high
+    split is a driver-side df lookup from the cached stats, no extra job),
+    a literal term->idf map, and one map-side-combined groupBy(doc_id);
+    the must-match-low requirement rides the same aggregation as a
+    max(flag) — no second scan, no extra shuffle."""
+    from lucene_plugin_spark.query import bm25
+    empty = "doc_id long, path string, score double"
+    ts = sorted({t.lower() for t in terms})
+    stats = engine._field_stats()
+    n_docs, avgdl = stats.get(field, (0.0, 1.0))
+    dfm = engine._df_for_pairs([(field, t) for t in ts])
+    present = [t for t in ts if dfm.get((field, t), 0.0) > 0.0]
+    if n_docs == 0.0 or not present:
+        return engine.spark.createDataFrame([], empty)
+    cut = (float(max_term_frequency) if max_term_frequency >= 1.0
+           else float(max_term_frequency) * n_docs)
+    low = [t for t in present if dfm[(field, t)] <= cut]
+    idf = {t: float(bm25.idf(dfm[(field, t)], n_docs)) for t in present}
+    flat = (flat_postings_view(engine.spark, engine.catalog, terms=present)
+            .where(F.col("field") == field))
+    idf_col = F.create_map(*[x for t in present
+                             for x in (F.lit(t), F.lit(idf[t]))])
+    tfc = F.col("tf").cast("double")
+    tfn = (tfc * (bm25.K1 + 1.0)
+           / (tfc + bm25.K1 * (1.0 - bm25.B
+                               + bm25.B * F.col("dl") / F.lit(avgdl))))
+    low_flag = (F.col("term").isin(low).cast("int") if low else F.lit(0))
+    per = flat.select("doc_id",
+                      (idf_col[F.col("term")] * tfn).alias("c"),
+                      low_flag.alias("is_low"))
+    agg = (per.groupBy("doc_id")
+           .agg(F.sum("c").alias("score"), F.max("is_low").alias("has_low")))
+    if low:
+        agg = agg.where(F.col("has_low") == 1)
+    agg = engine._finalize_df_hits(agg.select("doc_id", "score"), repo)
     meta = engine._meta_path_df()
     topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
     return (meta.join(F.broadcast(topk), "doc_id")

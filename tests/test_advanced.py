@@ -598,3 +598,89 @@ def test_multi_field_sums_per_field_scores(spark, tmp_path_factory):
                                     ["title", "body"], limit=50))
     want = _got(eng.search(None, "title:spark", limit=50))
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# phrase-prefix (MultiPhraseQuery javadoc use case) + CommonTermsQuery
+# --------------------------------------------------------------------------
+
+def test_phrase_prefix_expansion_and_scoring(spark, built):
+    # "index ca*": last slot = dictionary terms starting with 'ca' in term
+    # order; must equal multi_phrase with the hand-computed expansion
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    vocab = sorted({t for d in oracle.docs.values()
+                    for t, _ in d.tokens.get("text", [])})
+    exp = [t for t in vocab if t.startswith("ca")]
+    assert len(exp) >= 1
+    got = _got(advanced.phrase_prefix(eng, None, ["index"], "ca", limit=20))
+    want = _got(advanced.multi_phrase(eng, None, [["index"], exp], limit=20))
+    assert got and got == want
+
+
+def test_phrase_prefix_max_expansions_cap(spark, built):
+    # cap 1: only the FIRST matching dictionary term (term order) survives,
+    # i.e. the plain two-term phrase over (anchor, first-expansion)
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    vocab = sorted({t for d in oracle.docs.values()
+                    for t, _ in d.tokens.get("text", [])})
+    exp = [t for t in vocab if t.startswith("s")]
+    assert len(exp) >= 2  # the cap must actually cut something
+    got = _got(advanced.phrase_prefix(eng, None, ["index"], "s",
+                                      limit=20, max_expansions=1))
+    want = _got(advanced.multi_phrase(eng, None, [["index"], exp[:1]],
+                                      limit=20))
+    assert got == want
+    # no dictionary match -> empty frame with the hit schema
+    empty = advanced.phrase_prefix(eng, None, ["index"], "zzzzqq", limit=5)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["doc_id", "path",
+                                                     "score"]
+
+
+def test_common_terms_low_high_split(spark, built):
+    # cutoff at the median df: docs MUST contain a low-df term; high-df
+    # terms only add score — Lucene CommonTermsQuery{MUST(low), SHOULD(high)}
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    terms = ["index", "query", "cache", "token"]
+    n, avgdl = oracle._field_stats("text")
+    dfs = {t: float(oracle._df("text", t)) for t in terms}
+    cut = sorted(dfs.values())[len(dfs) // 2]  # absolute cutoff (>= 1)
+    low = {t for t in terms if dfs[t] <= cut}
+    assert low and low != set(terms)  # both groups non-empty
+    got = _got(advanced.common_terms(eng, None, terms,
+                                     max_term_frequency=cut, limit=50))
+    scores = {}
+    for d in oracle.docs.values():
+        toks = d.tokens.get("text", [])
+        dl = float(len(toks))
+        tfd = {}
+        for t, _ in toks:
+            if t in terms:
+                tfd[t] = tfd.get(t, 0) + 1
+        if not (set(tfd) & low):
+            continue
+        s = sum(float(bm25.idf(dfs[t], n))
+                * float(bm25.tf_norm(np.array([float(c)]),
+                                     np.array([dl]), avgdl)[0])
+                for t, c in tfd.items())
+        scores[d.doc_id] = (s, d.path)
+    want = sorted(((s, d, p) for d, (s, p) in scores.items()),
+                  key=lambda x: (-x[0], x[1]))[:50]
+    assert got and [g[0] for g in got] == [d for _, d, _ in want]
+    assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
+
+
+def test_common_terms_all_high_degrades_to_or(spark, built):
+    # empty low group -> plain boolean OR over the terms (Lucene returns the
+    # high-frequency BooleanQuery unchanged)
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    terms = ["index", "query"]
+    got = _got(advanced.common_terms(eng, None, terms,
+                                     max_term_frequency=0.5 / N_DOCS,
+                                     limit=30))
+    want = _got(eng.search(None, "index query", limit=30))
+    assert got and got == want
