@@ -1463,6 +1463,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             eng, None, ["dup", "query", "hash"],
             max_term_frequency=0.3, limit=10))
 
+    def ft_boosting(spark, sf):
+        # BoostingQuery (lucene-queries): 'join hash' matches, docs also
+        # containing 'merge' demoted to half score — reordered, never dropped
+        from lucene_plugin_spark.query.advanced import boosting
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(boosting(
+            eng, None, "join hash", "merge", negative_boost=0.5, limit=15))
+
+    def ft_join(spark, sf):
+        # JoinUtil.createJoinQuery (lucene-join): docs matching 'dup'
+        # contribute their 'src' field term; every doc in a matched source
+        # scores max(from-side BM25) of that source.  Full match set (like
+        # ft_fold): the contract is the join's match semantics, not a cut
+        from lucene_plugin_spark.query.advanced import join_query
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(join_query(
+            eng, None, "dup", "src", score_mode="max", limit=1_000_000))
+
     def ft_asof(spark, sf):
         # time travel: the MUTATED index read at the pre-mutation tag must
         # answer from the ORIGINAL corpus (upserts/deletes invisible)
@@ -1504,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_multi_field=ft_multi_field,
              ft_phrase_prefix=ft_phrase_prefix,
              ft_common_terms=ft_common_terms,
+             ft_boosting=ft_boosting, ft_join=ft_join,
              ft_asof=ft_asof, ft_stem=ft_stem,
              ft_fold=ft_fold, ft_federated=ft_federated)
 
@@ -1701,7 +1720,7 @@ def _rotate_for_gate(q: dict) -> dict:
         # new in r4 (post-sweep additions)
         "ft_span_or", "ft_span_not", "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
-        "ft_common_terms",
+        "ft_common_terms", "ft_boosting", "ft_join",
         # the one red r3 row — aggregates cast to bigint on both sides in r4
         "sample_split",
         # r4 code/oracle churn: re-prove against current code (plus the
@@ -3252,6 +3271,37 @@ SELECT s.doc_id, round(s.score, 6) AS score
 FROM scores s JOIN documents d USING (doc_id)
 WHERE s.has_low = 1
 ORDER BY s.score DESC, d.source, s.doc_id LIMIT 10
+"""
+
+    # BoostingQuery: BM25 over ('join','hash'); docs also containing 'merge'
+    # demoted by x0.5, never excluded (vs -merge which drops them)
+    o["ft_boosting"] = f"""
+WITH {_TOK},
+pos AS (SELECT tf.doc_id, sum({_BM25}) AS s
+        FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        WHERE tf.term IN ('join', 'hash') GROUP BY tf.doc_id),
+neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
+SELECT p.doc_id,
+       round(CASE WHEN p.doc_id IN (SELECT doc_id FROM neg)
+                  THEN p.s * 0.5 ELSE p.s END, 6) AS score
+FROM pos p JOIN documents d USING (doc_id)
+ORDER BY score DESC, d.source, p.doc_id LIMIT 15
+"""
+
+    # JoinUtil query-time join: from-side = BM25('dup') per doc, fromField =
+    # 'src' (the doc's source); per source, ScoreMode.Max over from scores;
+    # to-side = every doc whose src is a matched source, score = that max.
+    # Full match set — no LIMIT on either side
+    o["ft_join"] = f"""
+WITH {_TOK},
+fs AS (SELECT tf.doc_id, sum({_BM25}) AS s
+       FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       WHERE tf.term = 'dup' GROUP BY tf.doc_id),
+ts AS (SELECT d.source, max(fs.s) AS ms
+       FROM fs JOIN documents d USING (doc_id) GROUP BY d.source)
+SELECT d.doc_id, round(ts.ms, 6) AS score
+FROM documents d JOIN ts ON d.source = ts.source
+ORDER BY d.doc_id
 """
 
     # percolator: which registered queries match each doc (match sets only)

@@ -517,6 +517,41 @@ class LuceneFacade:
             eng, sanitize_collection(collection), terms,
             max_term_frequency=max_term_frequency, limit=limit))
 
+    def search_boosting(self, collection: str, query: str,
+                        negative_query: str, negative_boost: float = 0.2,
+                        limit: int = 255) -> list[LuceneEntry]:
+        """``BoostingQuery``: matches of ``query`` that also match
+        ``negative_query`` are demoted (score * ``negative_boost``) but
+        never excluded."""
+        from lucene_plugin_spark.query.advanced import boosting
+        self._check(collection, "collection")
+        self._check(query, "query")
+        self._check(negative_query, "negative_query")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return self._entries(boosting(
+            eng, sanitize_collection(collection), query, negative_query,
+            negative_boost=negative_boost, limit=limit))
+
+    def search_join(self, collection: str, from_query: str, from_field: str,
+                    to_field: str | None = None, score_mode: str = "max",
+                    limit: int = 255) -> list[LuceneEntry]:
+        """``JoinUtil.createJoinQuery``: query-time join — docs matching
+        ``from_query`` contribute their ``from_field`` terms; docs whose
+        ``to_field`` contains one of those terms match, scored by
+        ``score_mode`` (max/total/avg/none) over the from-side scores."""
+        from lucene_plugin_spark.query.advanced import join_query
+        self._check(collection, "collection")
+        self._check(from_query, "from_query")
+        self._check(from_field, "from_field")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return self._entries(join_query(
+            eng, sanitize_collection(collection), from_query, from_field,
+            to_field=to_field, score_mode=score_mode, limit=limit))
+
     # ---------------------------------------------------------------- async
     def _submit(self, fn, callback, *args) -> concurrent.futures.Future:
         if self._mailbox is None:

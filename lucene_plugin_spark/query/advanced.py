@@ -685,6 +685,96 @@ def common_terms(engine, repo: str | None, terms: list[str],
             .select("doc_id", "path", "score"))
 
 
+def boosting(engine, repo: str | None, query: str, negative_query: str,
+             negative_boost: float = 0.2, limit: int = 255) -> DataFrame:
+    """``BoostingQuery`` (lucene-queries module, present in the reference's
+    Lucene 5.2.1): match exactly the docs ``query`` matches, but DEMOTE any
+    match that also matches ``negative_query`` by multiplying its score by
+    ``negative_boost`` (< 1).  The negative query never selects or rejects
+    documents — it only reorders, the classic "downweight but don't exclude"
+    tool (vs ``-term`` which drops the doc entirely).
+
+    Needs the FULL positive match set (a demotion anywhere can promote any
+    other match into the top-k — same contract as :func:`function_score`,
+    and Lucene's BoostingQuery scorer also visits every positive hit).  The
+    negative side contributes only a docID set; its scores are discarded,
+    so a selective negative query bounds the extra cost.
+
+    Scale shape: two ordinary pruned searches + one doc_id equi-join
+    (AQE-broadcastable when the negative match set is small), demotion
+    arithmetic in whole-stage codegen, one top-k sort."""
+    if negative_boost < 0:
+        raise ValueError(
+            f"negative_boost must be >= 0, got {negative_boost}")
+    pos = engine.search_node(
+        parse_query(query, variant=engine.analyzer), repo, limit=_ALL)
+    neg = (engine.search_node(
+               parse_query(negative_query, variant=engine.analyzer),
+               repo, limit=_ALL)
+           .select("doc_id", F.lit(True).alias("_neg")))
+    demoted = F.when(F.col("_neg"),
+                     F.col("score") * F.lit(float(negative_boost))) \
+               .otherwise(F.col("score"))
+    return (pos.join(neg, "doc_id", "left")
+            .select("doc_id", "path", demoted.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(limit))
+
+
+def join_query(engine, repo: str | None, from_query: str, from_field: str,
+               to_field: str | None = None, score_mode: str = "max",
+               limit: int = 255) -> DataFrame:
+    """``JoinUtil.createJoinQuery`` (lucene-join module, 5.2): query-time
+    join inside one index.  Docs matching ``from_query`` contribute their
+    ``from_field`` terms; every doc whose ``to_field`` contains one of
+    those terms matches.  Per join term, the from-side scores aggregate by
+    ``score_mode`` (Lucene's ``ScoreMode``): ``max`` / ``total`` (sum) /
+    ``avg`` / ``none`` (constant 1).  A to-doc matching several join terms
+    takes the MAX of their term scores — Lucene leaves that multi-term case
+    explicitly unspecified ("an arbitrary one"), so we pin the
+    deterministic refinement that equals Lucene whenever a to-doc matches
+    one join term (the common single-valued-field case).
+
+    Scale shape: the from side is one ordinary pruned search joined to the
+    field-pruned postings scan on doc_id (never a collect — the join-term
+    set stays distributed); per-term aggregation is one map-side-combined
+    groupBy; the to side is the field-pruned postings scan equi-joined on
+    term (broadcast when the term set is small, AQE decides); one more
+    groupBy(doc_id) for the multi-term max.  Total: two field-pruned scans
+    + two key-bounded shuffles, no corpus-wide pass."""
+    mode = score_mode.lower()
+    if mode not in ("max", "total", "sum", "avg", "none"):
+        raise ValueError(f"unknown score_mode: {score_mode!r}")
+    to_field = to_field or from_field
+    from_hits = (engine.search_node(
+                     parse_query(from_query, variant=engine.analyzer),
+                     repo, limit=_ALL)
+                 .select("doc_id", "score"))
+    from_terms = (flat_postings_view(engine.spark, engine.catalog,
+                                     fields=[from_field])
+                  .select("doc_id", "term")
+                  .join(from_hits, "doc_id"))
+    if mode == "none":
+        term_scores = (from_terms.select("term").distinct()
+                       .withColumn("_ts", F.lit(1.0)))
+    else:
+        agg_fn = {"max": F.max, "total": F.sum, "sum": F.sum,
+                  "avg": F.avg}[mode]
+        term_scores = (from_terms.groupBy("term")
+                       .agg(agg_fn("score").alias("_ts")))
+    to_post = (flat_postings_view(engine.spark, engine.catalog,
+                                  fields=[to_field])
+               .select("doc_id", "term"))
+    agg = (to_post.join(term_scores, "term")
+           .groupBy("doc_id").agg(F.max("_ts").alias("score")))
+    agg = engine._finalize_df_hits(agg, repo)
+    meta = engine._meta_path_df()
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+    return (meta.join(F.broadcast(topk), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "path", "score"))
+
+
 def multi_field(engine, repo: str | None, query: str, fields: list[str],
                 boosts: dict[str, float] | None = None,
                 limit: int = 255) -> DataFrame:

@@ -684,3 +684,73 @@ def test_common_terms_all_high_degrades_to_or(spark, built):
                                      limit=30))
     want = _got(eng.search(None, "index query", limit=30))
     assert got and got == want
+
+
+# --------------------------------------------------------------------------
+# BoostingQuery + JoinUtil query-time join
+# --------------------------------------------------------------------------
+
+def test_boosting_demotes_never_excludes(spark, built):
+    # BoostingQuery: positive matches that also match the negative query are
+    # demoted (x0.5) but never dropped; the match set equals the plain search
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    pos = oracle.search(None, "index cache", limit=10 ** 6)
+    neg = {d for d, _, _ in oracle.search(None, "query", limit=10 ** 6)}
+    pos_ids = {d for d, _, _ in pos}
+    assert (neg & pos_ids) and (pos_ids - neg)  # both branches exercised
+    comb = sorted(((s * (0.5 if d in neg else 1.0), d, p)
+                   for d, p, s in pos), key=lambda x: (-x[0], x[1]))[:20]
+    got = _got(advanced.boosting(eng, None, "index cache", "query",
+                                 negative_boost=0.5, limit=20))
+    want = [(d, p, round(s, 9)) for s, d, p in comb]
+    assert got and [g[:2] for g in got] == [w[:2] for w in want]
+    assert np.allclose([g[2] for g in got], [w[2] for w in want])
+    full = advanced.boosting(eng, None, "index cache", "query",
+                             negative_boost=0.5, limit=10 ** 6)
+    assert full.count() == len(pos)
+
+
+def test_boosting_rejects_negative_boost():
+    with pytest.raises(ValueError):
+        advanced.boosting(None, None, "a", "b", negative_boost=-1.0)
+
+
+def test_join_query_modes(spark, tmp_path_factory):
+    # JoinUtil.createJoinQuery: from-docs matching body:spark contribute
+    # their 'cat' term; every doc sharing a matched cat scores the
+    # ScoreMode aggregation of the from-side scores
+    from lucene_plugin_spark import LuceneFacade
+    wh = str(tmp_path_factory.mktemp("wh-join"))
+    fac = LuceneFacade(spark, wh, mode="kernel")
+    docs = {
+        "a": {"cat": "red", "body": "spark index merge"},
+        "b": {"cat": "red", "body": "spark spark table plan"},
+        "c": {"cat": "blue", "body": "spark cache"},
+        "d": {"cat": "green", "body": "hash join"},
+        "e": {"cat": "blue", "body": "broadcast nested loop"},
+    }
+    for pid, m in docs.items():
+        fac.index_map("default", pid, m)
+    fac.search("default", "body:spark")  # flush pending docs, build index
+    eng = SearchEngine(spark, fac.catalog)
+    base = {r["path"]: r["score"]
+            for r in eng.search(None, "body:spark", limit=50).collect()}
+    assert set(base) == {"a", "b", "c"}
+    per_cat = {}
+    for p, s in base.items():
+        per_cat.setdefault(docs[p]["cat"], []).append(s)
+    for mode, agg in (("max", max), ("total", sum),
+                      ("avg", lambda v: sum(v) / len(v)),
+                      ("none", lambda v: 1.0)):
+        got = {r["path"]: r["score"] for r in advanced.join_query(
+            eng, None, "body:spark", "cat", score_mode=mode,
+            limit=50).collect()}
+        want = {p: agg(per_cat[m["cat"]]) for p, m in docs.items()
+                if m["cat"] in per_cat}
+        assert set(got) == set(want) == {"a", "b", "c", "e"}, mode
+        for p in want:
+            assert math.isclose(got[p], want[p], rel_tol=1e-9), (mode, p)
+    with pytest.raises(ValueError):
+        advanced.join_query(eng, None, "body:spark", "cat",
+                            score_mode="bogus")
