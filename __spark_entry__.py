@@ -1463,6 +1463,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             eng, None, ["dup", "query", "hash"],
             max_term_frequency=0.3, limit=10))
 
+    def ft_complex_phrase(spark, sf):
+        # ComplexPhraseQueryParser: wildcard/fuzzy leaves at ANY phrase
+        # position — "qu* join~1" (prefix-wildcard slot 0, 1-edit fuzzy
+        # slot 1), blended MultiPhraseQuery scoring
+        from lucene_plugin_spark.query.advanced import complex_phrase
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(complex_phrase(
+            eng, None, ["qu*", "join~1"], limit=10))
+
     def ft_boosting(spark, sf):
         # BoostingQuery (lucene-queries): 'join hash' matches, docs also
         # containing 'merge' demoted to half score — reordered, never dropped
@@ -1523,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_phrase_prefix=ft_phrase_prefix,
              ft_common_terms=ft_common_terms,
              ft_boosting=ft_boosting, ft_join=ft_join,
+             ft_complex_phrase=ft_complex_phrase,
              ft_asof=ft_asof, ft_stem=ft_stem,
              ft_fold=ft_fold, ft_federated=ft_federated)
 
@@ -1720,7 +1730,7 @@ def _rotate_for_gate(q: dict) -> dict:
         # new in r4 (post-sweep additions)
         "ft_span_or", "ft_span_not", "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
-        "ft_common_terms", "ft_boosting", "ft_join",
+        "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         # the one red r3 row — aggregates cast to bigint on both sides in r4
         "sample_split",
         # r4 code/oracle churn: re-prove against current code (plus the
@@ -3270,6 +3280,34 @@ scores AS (
 SELECT s.doc_id, round(s.score, 6) AS score
 FROM scores s JOIN documents d USING (doc_id)
 WHERE s.has_low = 1
+ORDER BY s.score DESC, d.source, s.doc_id LIMIT 10
+"""
+
+    # ComplexPhraseQueryParser "qu* join~1": slot 0 = dictionary terms LIKE
+    # 'qu%', slot 1 = terms within classic Levenshtein 1 of 'join' (both
+    # term-order capped at 50, the engine's max_expansions); blended
+    # MultiPhraseQuery scoring — tf over slot-unioned adjacent positions,
+    # idf over the flattened termArrays (UNION ALL: per-slot occurrences)
+    o["ft_complex_phrase"] = f"""
+WITH {_TOK},
+exp0 AS (SELECT term FROM (SELECT DISTINCT term FROM tok WHERE term LIKE 'qu%')
+         ORDER BY term LIMIT 50),
+exp1 AS (SELECT term FROM (SELECT DISTINCT term FROM tok
+                           WHERE levenshtein(term, 'join') <= 1)
+         ORDER BY term LIMIT 50),
+p0 AS (SELECT doc_id, pos FROM tok WHERE term IN (SELECT term FROM exp0)),
+u1 AS (SELECT doc_id, pos FROM tok WHERE term IN (SELECT term FROM exp1)),
+tfu AS (SELECT p0.doc_id, count(*)::double tf
+        FROM p0 JOIN u1 ON u1.doc_id = p0.doc_id AND u1.pos = p0.pos + 1
+        GROUP BY p0.doc_id),
+idfs AS (SELECT sum(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS i
+         FROM (SELECT term FROM exp0 UNION ALL SELECT term FROM exp1) e
+         JOIN dfx ON dfx.term = e.term CROSS JOIN st),
+scores AS (SELECT tfu.doc_id,
+        idfs.i * tfu.tf * 2.2 / (tfu.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+        FROM tfu JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs)
+SELECT s.doc_id, round(s.score, 6) AS score
+FROM scores s JOIN documents d USING (doc_id)
 ORDER BY s.score DESC, d.source, s.doc_id LIMIT 10
 """
 

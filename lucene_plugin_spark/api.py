@@ -517,6 +517,21 @@ class LuceneFacade:
             eng, sanitize_collection(collection), terms,
             max_term_frequency=max_term_frequency, limit=limit))
 
+    def search_complex_phrase(self, collection: str, slots: list[str],
+                              slop: int = 0, max_expansions: int = 50,
+                              limit: int = 255) -> list[LuceneEntry]:
+        """``ComplexPhraseQueryParser`` analogue: a phrase whose positions
+        may each be a literal, wildcard (``para*``/``f?x``) or fuzzy
+        (``cache~1``) pattern."""
+        from lucene_plugin_spark.query.advanced import complex_phrase
+        self._check(collection, "collection")
+        eng = self._live_engine()
+        if eng is None or not slots:
+            return []
+        return self._entries(complex_phrase(
+            eng, sanitize_collection(collection), slots, slop=slop,
+            max_expansions=max_expansions, limit=limit))
+
     def search_boosting(self, collection: str, query: str,
                         negative_query: str, negative_boost: float = 0.2,
                         limit: int = 255) -> list[LuceneEntry]:

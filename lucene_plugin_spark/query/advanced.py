@@ -627,6 +627,54 @@ def phrase_prefix(engine, repo: str | None, terms: list[str], prefix: str,
                         limit=limit)
 
 
+def complex_phrase(engine, repo: str | None, slots: list[str],
+                   field: str = "text", slop: int = 0, limit: int = 255,
+                   max_expansions: int = 50) -> DataFrame:
+    """``ComplexPhraseQueryParser`` analogue (lucene queryparser module,
+    5.2): a phrase where ANY position — not just the last, which is
+    :func:`phrase_prefix`'s special case — may be a wildcard (``para*``,
+    ``f?x``) or fuzzy (``cache~``, ``cache~1``) pattern.  Each pattern slot
+    expands against the term dictionary in TERM ORDER capped at
+    ``max_expansions``; literal slots pass through; execution and scoring
+    are the blended :func:`multi_phrase` (one scorer, slot-unioned
+    positions, idf over the flattened termArrays).
+
+    Scale shape: expansion reuses the engine's MultiTermQuery machinery —
+    prefix wildcards are sargable dictionary range scans, infix wildcards
+    and ≤2-edit fuzzies route through the ``spell_grams`` sidecar when no
+    resident dictionary exists (cost bounded by the query grams' postings,
+    never the vocabulary); all pattern slots expand in ONE batched call.
+    Execution inherits multi_phrase's term-pruned postings scan."""
+    import re as _re
+
+    from lucene_plugin_spark.query.plan import Fuzzy, Wildcard
+    empty = "doc_id long, path string, score double"
+    parsed: list[object] = []
+    for s in slots:
+        s = s.lower()
+        m = _re.fullmatch(r"([^*?~]+)~([0-2])?", s)
+        if m:
+            parsed.append(Fuzzy(field=field, term=m.group(1),
+                                max_edits=int(m.group(2) or 2)))
+        elif "*" in s or "?" in s:
+            parsed.append(Wildcard(field=field, pattern=s))
+        else:
+            parsed.append(s)
+    leaves = [p for p in parsed if not isinstance(p, str)]
+    exp = engine._expand_ranges(leaves) if leaves else {}
+    out_slots: list[list[str]] = []
+    for p in parsed:
+        if isinstance(p, str):
+            out_slots.append([p])
+        else:
+            terms = exp[p][:max_expansions]
+            if not terms:  # a dead slot kills the whole phrase
+                return engine.spark.createDataFrame([], empty)
+            out_slots.append(terms)
+    return multi_phrase(engine, repo, out_slots, field=field, slop=slop,
+                        limit=limit)
+
+
 def common_terms(engine, repo: str | None, terms: list[str],
                  field: str = "text", max_term_frequency: float = 0.01,
                  limit: int = 255) -> DataFrame:

@@ -754,3 +754,56 @@ def test_join_query_modes(spark, tmp_path_factory):
     with pytest.raises(ValueError):
         advanced.join_query(eng, None, "body:spark", "cat",
                             score_mode="bogus")
+
+
+# --------------------------------------------------------------------------
+# ComplexPhraseQueryParser analogue
+# --------------------------------------------------------------------------
+
+def _lev(a, b):
+    # classic Levenshtein DP (unit insert/delete/substitute)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_complex_phrase_wildcard_and_fuzzy_slots(spark, built):
+    # "in* cache~1": slot 0 expands LIKE 'in%', slot 1 expands to terms
+    # within 1 edit of 'cache' — must equal multi_phrase over the
+    # hand-computed expansions (term order, capped)
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    vocab = sorted({t for d in oracle.docs.values()
+                    for t, _ in d.tokens.get("text", [])})
+    exp0 = [t for t in vocab if t.startswith("in")][:50]
+    exp1 = [t for t in vocab if _lev(t, "cache") <= 1][:50]
+    assert exp0 and exp1
+    got = _got(advanced.complex_phrase(eng, None, ["in*", "cache~1"],
+                                       limit=20))
+    want = _got(advanced.multi_phrase(eng, None, [exp0, exp1], limit=20))
+    assert got and got == want
+    # literal middle slot passes through; pattern-free call == multi_phrase
+    got2 = _got(advanced.complex_phrase(eng, None, ["index", "cache~1"],
+                                        limit=20))
+    want2 = _got(advanced.multi_phrase(eng, None, [["index"], exp1],
+                                       limit=20))
+    assert got2 == want2
+    # dead slot (no dictionary match) -> empty with the hit schema
+    empty = advanced.complex_phrase(eng, None, ["index", "zzzqqq*"], limit=5)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["doc_id", "path",
+                                                     "score"]
+
+
+def test_complex_phrase_equals_phrase_prefix_special_case(spark, built):
+    # a trailing prefix-wildcard slot IS phrase_prefix
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    a = _got(advanced.complex_phrase(eng, None, ["index", "ca*"], limit=20))
+    b = _got(advanced.phrase_prefix(eng, None, ["index"], "ca", limit=20))
+    assert a and a == b
