@@ -197,6 +197,59 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                     self._reply(200, [{"id": h.id, "score": h.score,
                                        "externalId": h.external_id}
                                       for h in hits])
+                elif u.path == "/lucene/search-phrase-prefix":
+                    terms = [t for t in q.get("terms", "").split(",") if t]
+                    with lock:
+                        hits = facade.search_phrase_prefix(
+                            q.get("collection", ""), terms,
+                            q.get("prefix", ""),
+                            int(q.get("maxExpansions", 50)),
+                            int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
+                elif u.path == "/lucene/search-complex-phrase":
+                    slots = [s for s in q.get("slots", "").split(",") if s]
+                    with lock:
+                        hits = facade.search_complex_phrase(
+                            q.get("collection", ""), slots,
+                            int(q.get("slop", 0)),
+                            int(q.get("maxExpansions", 50)),
+                            int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
+                elif u.path == "/lucene/search-common-terms":
+                    terms = [t for t in q.get("terms", "").split(",") if t]
+                    with lock:
+                        hits = facade.search_common_terms(
+                            q.get("collection", ""), terms,
+                            float(q.get("maxTermFrequency", 0.01)),
+                            int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
+                elif u.path == "/lucene/search-boosting":
+                    with lock:
+                        hits = facade.search_boosting(
+                            q.get("collection", ""), q.get("query", ""),
+                            q.get("negativeQuery", ""),
+                            float(q.get("negativeBoost", 0.2)),
+                            int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
+                elif u.path == "/lucene/search-join":
+                    with lock:
+                        hits = facade.search_join(
+                            q.get("collection", ""), q.get("fromQuery", ""),
+                            q.get("fromField", ""),
+                            q.get("toField") or None,
+                            q.get("scoreMode", "max"),
+                            int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
                 else:
                     self._reply(404, {"error": f"no route {u.path}"})
             except Exception as e:  # LuceneException analogue -> 400

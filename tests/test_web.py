@@ -185,3 +185,45 @@ def test_http_multi_field_route(server):
     assert st == 200
     assert hits[0]["externalId"] == "m0"
     assert hits[0]["score"] > hits[1]["score"]
+
+
+def test_http_round4_query_routes(server):
+    for i, t in [("a", "spark index merge dup"),
+                 ("b", "spark table plan"),
+                 ("c", "query cache line"),
+                 ("d", "quick join of the query cache")]:
+        _post(server, "/lucene/index-text",
+              {"collection": "web", "id": i, "text": t})
+
+    # phrase-prefix: "query ca*" -> 'query cache' docs
+    st, hits = _get(server, "/lucene/search-phrase-prefix?collection=web"
+                    "&terms=query&prefix=ca&limit=10")
+    assert st == 200 and {h["externalId"] for h in hits} == {"c", "d"}
+
+    # complex phrase: "qu* cache~1"
+    st, hits = _get(server, "/lucene/search-complex-phrase?collection=web"
+                    "&slots=" + quote("qu*,cache~1") + "&limit=10")
+    assert st == 200 and {h["externalId"] for h in hits} == {"c", "d"}
+
+    # common terms: 'dup' low-df must-match, 'spark' common add-only
+    st, hits = _get(server, "/lucene/search-common-terms?collection=web"
+                    "&terms=dup,spark&maxTermFrequency=0.3&limit=10")
+    assert st == 200 and {h["externalId"] for h in hits} == {"a"}
+
+    # boosting: spark matches demoted when they also contain 'table'
+    st, hits = _get(server, "/lucene/search-boosting?collection=web"
+                    "&query=spark&negativeQuery=table"
+                    "&negativeBoost=0.5&limit=10")
+    assert st == 200 and {h["externalId"] for h in hits} == {"a", "b"}
+    assert hits[0]["externalId"] == "a"  # 'b' demoted below 'a'
+
+    # join route needs a secondary field
+    for i, m in [("x", {"cat": "red", "body": "spark merge"}),
+                 ("y", {"cat": "red", "body": "plan"}),
+                 ("z", {"cat": "blue", "body": "scan"})]:
+        _post(server, "/lucene/index-map",
+              {"collection": "web", "id": i, "map": m})
+    st, hits = _get(server, "/lucene/search-join?collection=web"
+                    "&fromQuery=" + quote("body:spark")
+                    + "&fromField=cat&scoreMode=max&limit=10")
+    assert st == 200 and {h["externalId"] for h in hits} == {"x", "y"}
