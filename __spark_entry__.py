@@ -1421,6 +1421,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_as_orig_ids(span_not(
             eng, None, "table", "hash", pre=2, post=2, limit=10))
 
+    def ft_span_containing(spark, sf):
+        # SpanContainingQuery analogue: ordered near(merge, scan, slop=6)
+        # spans that contain a 'join' occurrence; freq = containing spans,
+        # idf summed over all three terms (completes the span family, r4)
+        from lucene_plugin_spark.query.advanced import span_containing
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(span_containing(
+            eng, None, ("merge", "scan"), "join", slop=6, limit=10))
+
+    def ft_span_within(spark, sf):
+        # SpanWithinQuery analogue: 'join' occurrences inside an ordered
+        # near(merge, scan, slop=6) span; freq = contained occurrences
+        from lucene_plugin_spark.query.advanced import span_within
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(span_within(
+            eng, None, ("merge", "scan"), "join", slop=6, limit=10))
+
     def ft_explain(spark, sf):
         # IndexSearcher.explain analogue: per-(doc, term) factor breakdown
         # for the top-3 docs of 'join merge' — tf/df/idf/tf_norm/contribution
@@ -1527,7 +1544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(ft_rescore=ft_rescore, ft_const_score=ft_const_score,
              ft_func_score=ft_func_score, ft_tfidf=ft_tfidf,
              ft_span_first=ft_span_first, ft_span_or=ft_span_or,
-             ft_span_not=ft_span_not, ft_explain=ft_explain,
+             ft_span_not=ft_span_not,
+             ft_span_containing=ft_span_containing,
+             ft_span_within=ft_span_within, ft_explain=ft_explain,
              ft_multi_field=ft_multi_field,
              ft_phrase_prefix=ft_phrase_prefix,
              ft_common_terms=ft_common_terms,
@@ -1731,6 +1750,7 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_span_or", "ft_span_not", "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
+        "ft_span_containing", "ft_span_within",
         # the one red r3 row — aggregates cast to bigint on both sides in r4
         "sample_split",
         # r4 code/oracle churn: re-prove against current code (plus the
@@ -3051,6 +3071,46 @@ SELECT s.doc_id, round(s.score, 6) AS score
 FROM scores s JOIN documents d USING (doc_id)
 ORDER BY s.score DESC, d.source, s.doc_id LIMIT 10
 """
+
+    # span-containing / span-within (SpanContainingQuery / SpanWithinQuery
+    # analogues): big spans = ordered (merge, scan) pairs within slop 6
+    # (all-pairs refinement, the span_near convention); a 'join' position is
+    # contained when s <= pos <= e; idf summed over all three terms through
+    # ONE tf-norm (SpanContainWeight builds its similarity from both
+    # clauses' term contexts)
+    _SPAN_CONTAIN_CTE = f"""
+WITH {_TOK},
+pa AS (SELECT doc_id, pos FROM tok WHERE term = 'merge'),
+pb AS (SELECT doc_id, pos FROM tok WHERE term = 'scan'),
+pc AS (SELECT doc_id, pos FROM tok WHERE term = 'join'),
+big AS (SELECT pa.doc_id, pa.pos AS s, pb.pos AS e
+        FROM pa JOIN pb USING (doc_id)
+        WHERE pb.pos > pa.pos AND pb.pos - pa.pos - 1 <= 6),
+"""
+    _SPAN_CONTAIN_TAIL = """,
+idfs AS (SELECT sum(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS idf_sum
+         FROM dfx CROSS JOIN st WHERE dfx.term IN ('merge', 'scan', 'join')),
+scores AS (
+  SELECT f.doc_id,
+         idfs.idf_sum * f.f * 2.2
+           / (f.f + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+  FROM freq f JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs)
+SELECT s.doc_id, round(s.score, 6) AS score
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.source, s.doc_id LIMIT 10
+"""
+    o["ft_span_containing"] = _SPAN_CONTAIN_CTE + """
+freq AS (SELECT big.doc_id, count(*)::double AS f FROM big
+         WHERE EXISTS (SELECT 1 FROM pc
+                       WHERE pc.doc_id = big.doc_id
+                         AND pc.pos BETWEEN big.s AND big.e)
+         GROUP BY big.doc_id)""" + _SPAN_CONTAIN_TAIL
+    o["ft_span_within"] = _SPAN_CONTAIN_CTE + """
+freq AS (SELECT pc.doc_id, count(*)::double AS f FROM pc
+         WHERE EXISTS (SELECT 1 FROM big
+                       WHERE big.doc_id = pc.doc_id
+                         AND pc.pos BETWEEN big.s AND big.e)
+         GROUP BY pc.doc_id)""" + _SPAN_CONTAIN_TAIL
 
     # explain rows: per-(doc, term) BM25 factor breakdown for the top-3
     # docs of the 'join merge' OR (doc cut replicates the engine tie-break)

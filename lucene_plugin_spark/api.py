@@ -549,6 +549,40 @@ class LuceneFacade:
             eng, sanitize_collection(collection), query, negative_query,
             negative_boost=negative_boost, limit=limit))
 
+    def search_span_containing(self, collection: str, big: list[str],
+                               little: str, slop: int = 2,
+                               limit: int = 255) -> list[LuceneEntry]:
+        """``SpanContainingQuery``: ordered near(``big[0]``, ``big[1]``,
+        ``slop``) spans that contain a ``little`` occurrence."""
+        from lucene_plugin_spark.query.advanced import span_containing
+        self._check(collection, "collection")
+        if not isinstance(big, (list, tuple)) or len(big) != 2:
+            raise LuceneException("big must be a [term, term] pair")
+        self._check(little, "little")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return self._entries(span_containing(
+            eng, sanitize_collection(collection), (big[0], big[1]), little,
+            slop=slop, limit=limit))
+
+    def search_span_within(self, collection: str, big: list[str],
+                           little: str, slop: int = 2,
+                           limit: int = 255) -> list[LuceneEntry]:
+        """``SpanWithinQuery``: ``little`` occurrences contained in an
+        ordered near(``big[0]``, ``big[1]``, ``slop``) span."""
+        from lucene_plugin_spark.query.advanced import span_within
+        self._check(collection, "collection")
+        if not isinstance(big, (list, tuple)) or len(big) != 2:
+            raise LuceneException("big must be a [term, term] pair")
+        self._check(little, "little")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return self._entries(span_within(
+            eng, sanitize_collection(collection), (big[0], big[1]), little,
+            slop=slop, limit=limit))
+
     def search_join(self, collection: str, from_query: str, from_field: str,
                     to_field: str | None = None, score_mode: str = "max",
                     limit: int = 255) -> list[LuceneEntry]:

@@ -12,6 +12,8 @@ Lucene analogues (reference reaches all of these through the same
 - :func:`span_first`     -> ``SpanFirstQuery(SpanTermQuery(t), end)``
 - :func:`span_or`        -> ``SpanOrQuery(SpanTermQuery(t), ...)``
 - :func:`span_not`       -> ``SpanNotQuery(include, exclude, pre, post)``
+- :func:`span_containing`-> ``SpanContainingQuery(big, little)``
+- :func:`span_within`    -> ``SpanWithinQuery(big, little)``
 - :func:`explain_scores` -> ``IndexSearcher.explain(query, doc)`` rows
 - :func:`multi_field`    -> ``MultiFieldQueryParser(fields, analyzer, boosts)``
 - :func:`phrase_prefix`  -> phrase ending in ``app*`` (MultiPhraseQuery javadoc)
@@ -450,6 +452,105 @@ def span_not(engine, repo: str | None, include: str, exclude: str,
     return (meta.join(F.broadcast(topk), "doc_id")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .select("doc_id", "path", "score"))
+
+
+def _span_contain(engine, repo: str | None, big: tuple[str, str],
+                  little: str, slop: int, field: str, limit: int,
+                  within: bool) -> DataFrame:
+    """Shared core of :func:`span_containing` / :func:`span_within`
+    (``SpanContainingQuery`` / ``SpanWithinQuery``, lucene-core 5.2:
+    LuceneIndexBean.java:727-735 reaches them through the same searcher).
+
+    ``big`` spans are the ordered pairs ``(pa, pb)`` of the two big terms
+    with ``pa < pb`` and ``pb - pa - 1 <= slop`` — the all-pairs refinement
+    of NearSpansOrdered's lazy enumeration, the same documented deviation as
+    :meth:`SearchEngine.span_near`.  A ``little`` occurrence ``pc`` is
+    contained when ``pa <= pc <= pb`` (span-interval containment
+    ``[pc, pc+1) ⊆ [pa, pb+1)``; for distinct terms the endpoints can never
+    collide, so this equals strict betweenness).
+
+    - containing: freq = big spans holding >= 1 little occurrence
+    - within:     freq = little occurrences inside >= 1 big span
+
+    Lucene's ``SpanContainQuery.SpanContainWeight`` builds its similarity
+    from BOTH clauses' term contexts, so ``idf = Σ idf(t)`` over all three
+    terms, saturated through ONE tf-norm (the span-family blending rule
+    :func:`span_or` documents).
+
+    Scale shape: all three posting lists arrive term-pruned from the
+    segments scan (``In(term, ...)`` pushed); the doc_id inner joins keep
+    only docs holding all three terms BEFORE any position work; the span
+    arithmetic is nested higher-order array functions in whole-stage
+    codegen — no Python, no shuffle beyond the doc_id joins, and the final
+    top-k is a broadcast path join.  Cost is O(the three terms' postings),
+    independent of corpus size.
+    """
+    from lucene_plugin_spark.query import bm25
+    empty = "doc_id long, path string, score double"
+    a, b = big[0].lower(), big[1].lower()
+    c = little.lower()
+    dfm = engine._df_for_pairs([(field, a), (field, b), (field, c)])
+    stats = engine._field_stats()
+    n_docs, avgdl = stats.get(field, (0.0, 1.0))
+    if n_docs == 0.0 or any(dfm.get((field, t), 0.0) == 0.0
+                            for t in (a, b, c)):
+        return engine.spark.createDataFrame([], empty)
+    idf_sum = float(sum(bm25.idf(v, n_docs) for v in dfm.values()))
+    flat = (flat_postings_view(engine.spark, engine.catalog,
+                               terms=sorted({a, b, c}))
+            .where(F.col("field") == field))
+    a_df = (flat.where(F.col("term") == a)
+            .select("doc_id", "dl", F.col("positions").alias("ap")))
+    b_df = (flat.where(F.col("term") == b)
+            .select("doc_id", F.col("positions").alias("bp")))
+    c_df = (flat.where(F.col("term") == c)
+            .select("doc_id", F.col("positions").alias("cp")))
+    j = a_df.join(b_df, "doc_id").join(c_df, "doc_id")
+    slop_l = F.lit(int(slop))
+    if within:
+        freq = F.size(F.filter("cp", lambda pc: F.exists(
+            "ap", lambda pa: (pa <= pc) & F.exists(
+                "bp", lambda pb: (pb >= pc) & (pb > pa)
+                                 & (pb - pa - 1 <= slop_l)))))
+    else:
+        freq = F.aggregate(
+            "ap", F.lit(0),
+            lambda acc, pa: acc + F.size(F.filter(
+                "bp", lambda pb: (pb > pa) & (pb - pa - 1 <= slop_l)
+                                 & F.exists(
+                    "cp", lambda pc: (pc >= pa) & (pc <= pb)))))
+    tfc = freq.cast("double")
+    tfn = (tfc * (bm25.K1 + 1.0)
+           / (tfc + bm25.K1 * (1.0 - bm25.B
+                               + bm25.B * F.col("dl") / F.lit(avgdl))))
+    agg = (j.where(freq > 0)
+           .select("doc_id", (F.lit(idf_sum) * tfn).alias("score")))
+    agg = engine._finalize_df_hits(agg, repo)
+    meta = engine._meta_path_df()
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+    return (meta.join(F.broadcast(topk), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "path", "score"))
+
+
+def span_containing(engine, repo: str | None, big: tuple[str, str],
+                    little: str, slop: int = 2, field: str = "text",
+                    limit: int = 255) -> DataFrame:
+    """``SpanContainingQuery(SpanNearQuery([big0, big1], slop, ordered),
+    SpanTermQuery(little))``: big spans that contain a little occurrence;
+    freq = the containing big spans.  Semantics/scale: :func:`_span_contain`."""
+    return _span_contain(engine, repo, big, little, slop, field, limit,
+                         within=False)
+
+
+def span_within(engine, repo: str | None, big: tuple[str, str],
+                little: str, slop: int = 2, field: str = "text",
+                limit: int = 255) -> DataFrame:
+    """``SpanWithinQuery(big, SpanTermQuery(little))``: little occurrences
+    contained in a big span; freq = the contained little occurrences.
+    Semantics/scale: :func:`_span_contain`."""
+    return _span_contain(engine, repo, big, little, slop, field, limit,
+                         within=True)
 
 
 def explain_scores(engine, repo: str | None, terms: list[str],

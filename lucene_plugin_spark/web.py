@@ -239,6 +239,20 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                     self._reply(200, [{"id": h.id, "score": h.score,
                                        "externalId": h.external_id}
                                       for h in hits])
+                elif u.path in ("/lucene/search-span-containing",
+                                "/lucene/search-span-within"):
+                    big = [t for t in q.get("big", "").split(",") if t]
+                    fn = (facade.search_span_containing
+                          if u.path.endswith("containing")
+                          else facade.search_span_within)
+                    with lock:
+                        hits = fn(q.get("collection", ""), big,
+                                  q.get("little", ""),
+                                  int(q.get("slop", 2)),
+                                  int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
                 elif u.path == "/lucene/search-join":
                     with lock:
                         hits = facade.search_join(

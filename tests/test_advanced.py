@@ -352,6 +352,48 @@ def test_span_not(spark, built):
     assert np.allclose([g[2] for g in got_fast], [g[2] for g in got])
 
 
+def test_span_containing_and_within(spark, built):
+    # SpanContainingQuery / SpanWithinQuery analogues: big spans are the
+    # ordered (pa, pb) pairs of (big0, big1) within slop (the all-pairs
+    # refinement span_near documents); containing counts big spans holding
+    # a little occurrence, within counts the contained little occurrences;
+    # idf sums over all three terms through one tf-norm
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    big, little, slop, k = ("index", "cache"), "query", 6, 50
+    got_c = _got(advanced.span_containing(eng, None, big, little,
+                                          slop=slop, limit=k))
+    got_w = _got(advanced.span_within(eng, None, big, little,
+                                      slop=slop, limit=k))
+    n, avgdl = oracle._field_stats("text")
+    idf_sum = sum(float(bm25.idf(float(oracle._df("text", t)), n))
+                  for t in (*big, little))
+    sc_c, sc_w = {}, {}
+    span_without_little = False
+    for d in oracle.docs.values():
+        toks = d.tokens.get("text", [])
+        ap = [p for t, p in toks if t == big[0]]
+        bp = [p for t, p in toks if t == big[1]]
+        cp = [p for t, p in toks if t == little]
+        spans = [(pa, pb) for pa in ap for pb in bp
+                 if pa < pb and pb - pa - 1 <= slop]
+        fc = sum(1 for pa, pb in spans if any(pa <= pc <= pb for pc in cp))
+        fw = sum(1 for pc in cp if any(pa <= pc <= pb for pa, pb in spans))
+        if spans and not fc:
+            span_without_little = True
+        dl = np.array([float(len(toks))])
+        for f, sc in ((fc, sc_c), (fw, sc_w)):
+            if f:
+                sc[d.doc_id] = (idf_sum * float(bm25.tf_norm(
+                    np.array([float(f)]), dl, avgdl)[0]), d.path)
+    assert span_without_little  # the containment filter must actually bite
+    for got, sc in ((got_c, sc_c), (got_w, sc_w)):
+        want = sorted(((s, d, p) for d, (s, p) in sc.items()),
+                      key=lambda x: (-x[0], x[1]))[:k]
+        assert got and [g[0] for g in got] == [d for _, d, _ in want]
+        assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
+
+
 def test_explain_scores(spark, built):
     catalog, rows, oracle = built
     eng = SearchEngine(spark, catalog)

@@ -227,3 +227,16 @@ def test_http_round4_query_routes(server):
                     "&fromQuery=" + quote("body:spark")
                     + "&fromField=cat&scoreMode=max&limit=10")
     assert st == 200 and {h["externalId"] for h in hits} == {"x", "y"}
+
+    # span-containing / span-within: s1's (merge..join) span holds 'scan';
+    # s2 has a (merge, join) span too, but its 'scan' sits outside it
+    for i, t in [("s1", "merge fast scan join pipeline"),
+                 ("s2", "merge join scan")]:
+        _post(server, "/lucene/index-text",
+              {"collection": "web", "id": i, "text": t})
+    st, hits = _get(server, "/lucene/search-span-containing?collection=web"
+                    "&big=merge,join&little=scan&slop=3&limit=10")
+    assert st == 200 and {h["externalId"] for h in hits} == {"s1"}
+    st, hits = _get(server, "/lucene/search-span-within?collection=web"
+                    "&big=merge,join&little=scan&slop=3&limit=10")
+    assert st == 200 and {h["externalId"] for h in hits} == {"s1"}
