@@ -1398,6 +1398,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_as_orig_ids(tfidf_search(
             eng, None, ["spark", "join", "table"], limit=10))
 
+    def ft_lmdirichlet(spark, sf):
+        # LMDirichletSimilarity(mu=2000) top-k: Bayesian-smoothed language
+        # model with the per-term >=0 clamp (round 4, completes the
+        # similarity family next to BM25 and ClassicSimilarity)
+        from lucene_plugin_spark.query.advanced import lm_dirichlet_search
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(lm_dirichlet_search(
+            eng, None, ["spark", "join", "table"], limit=10))
+
+    def ft_lmjm(spark, sf):
+        # LMJelinekMercerSimilarity(lambda=0.1) top-k: linear-interpolation
+        # language model against the collection probability
+        from lucene_plugin_spark.query.advanced import lm_jm_search
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(lm_jm_search(
+            eng, None, ["spark", "join", "table"], limit=10))
+
     def ft_span_first(spark, sf):
         from lucene_plugin_spark.query.advanced import span_first
         _, eng = _engine(spark, sf)
@@ -1543,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(ft_rescore=ft_rescore, ft_const_score=ft_const_score,
              ft_func_score=ft_func_score, ft_tfidf=ft_tfidf,
+             ft_lmdirichlet=ft_lmdirichlet, ft_lmjm=ft_lmjm,
              ft_span_first=ft_span_first, ft_span_or=ft_span_or,
              ft_span_not=ft_span_not,
              ft_span_containing=ft_span_containing,
@@ -1751,6 +1769,7 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
+        "ft_lmdirichlet", "ft_lmjm",
         # the one red r3 row — aggregates cast to bigint on both sides in r4
         "sample_split",
         # r4 code/oracle churn: re-prove against current code (plus the
@@ -3008,6 +3027,39 @@ scores AS (
          sum(sqrt(tf.tf) * pow(1.0 + ln(st.n / (dfx.df + 1.0)), 2)
              / sqrt(dl.dl)) AS score
   FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('spark', 'join', 'table')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # LM similarities (LMDirichletSimilarity / LMJelinekMercerSimilarity,
+    # lucene-core 5.2): p(t|C) = (totalTermFreq+1)/(numberOfFieldTokens+1)
+    # (LMSimilarity.fillBasicStats); dirichlet clamps each per-term score
+    # at 0 (LMDirichletSimilarity.score), JM is always positive
+    _LM_CTE = f"""
+WITH {_TOK},
+cfx AS (SELECT term, count(*)::double cf FROM tok GROUP BY 1),
+tot AS (SELECT sum(dl)::double s FROM dl),
+"""
+    o["ft_lmdirichlet"] = _LM_CTE + """
+scores AS (
+  SELECT tf.doc_id,
+         sum(greatest(
+           ln(1.0 + tf.tf / (2000.0 * ((cfx.cf + 1.0) / (tot.s + 1.0))))
+           + ln(2000.0 / (dl.dl + 2000.0)), 0.0)) AS score
+  FROM tf JOIN cfx USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+  WHERE tf.term IN ('spark', 'join', 'table')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+    o["ft_lmjm"] = _LM_CTE + """
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (0.9 * tf.tf / dl.dl)
+                      / (0.1 * ((cfx.cf + 1.0) / (tot.s + 1.0))))) AS score
+  FROM tf JOIN cfx USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
   WHERE tf.term IN ('spark', 'join', 'table')
   GROUP BY tf.doc_id)
 SELECT doc_id, round(score, 6) AS score

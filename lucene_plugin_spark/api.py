@@ -459,6 +459,29 @@ class LuceneFacade:
         return self._entries(tfidf_search(
             eng, sanitize_collection(collection), terms, limit=limit))
 
+    def search_lm(self, collection: str, terms: list[str],
+                  similarity: str = "dirichlet", param: float | None = None,
+                  limit: int = 10) -> list[LuceneEntry]:
+        """Language-model ranking: ``similarity`` picks
+        ``LMDirichletSimilarity(mu=param or 2000)`` or
+        ``LMJelinekMercerSimilarity(lambda=param or 0.1)`` (``"jm"``)."""
+        from lucene_plugin_spark.query.advanced import (lm_dirichlet_search,
+                                                        lm_jm_search)
+        self._check(collection, "collection")
+        if similarity not in ("dirichlet", "jm"):
+            raise LuceneException("similarity must be 'dirichlet' or 'jm'")
+        eng = self._live_engine()
+        if eng is None or not terms:
+            return []
+        coll = sanitize_collection(collection)
+        if similarity == "dirichlet":
+            return self._entries(lm_dirichlet_search(
+                eng, coll, terms, mu=2000.0 if param is None else param,
+                limit=limit))
+        return self._entries(lm_jm_search(
+            eng, coll, terms, lam=0.1 if param is None else param,
+            limit=limit))
+
     def search_span_first(self, collection: str, term: str, end: int,
                           limit: int = 255) -> list[LuceneEntry]:
         """``SpanFirstQuery``: ``term`` within the first ``end`` positions."""

@@ -14,6 +14,8 @@ Lucene analogues (reference reaches all of these through the same
 - :func:`span_not`       -> ``SpanNotQuery(include, exclude, pre, post)``
 - :func:`span_containing`-> ``SpanContainingQuery(big, little)``
 - :func:`span_within`    -> ``SpanWithinQuery(big, little)``
+- :func:`lm_dirichlet_search` -> ``LMDirichletSimilarity(mu)`` top-k
+- :func:`lm_jm_search`   -> ``LMJelinekMercerSimilarity(lambda)`` top-k
 - :func:`explain_scores` -> ``IndexSearcher.explain(query, doc)`` rows
 - :func:`multi_field`    -> ``MultiFieldQueryParser(fields, analyzer, boosts)``
 - :func:`phrase_prefix`  -> phrase ending in ``app*`` (MultiPhraseQuery javadoc)
@@ -225,6 +227,82 @@ def tfidf_search(engine, repo: str | None, terms: list[str],
     return (meta.join(F.broadcast(topk), "doc_id")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .select("doc_id", "path", "score"))
+
+
+def _lm_search(engine, repo: str | None, terms: list[str], field: str,
+               limit: int, kind: str, mu: float, lam: float) -> DataFrame:
+    """Shared core of :func:`lm_dirichlet_search` / :func:`lm_jm_search`
+    (lucene-core 5.2 ``LMDirichletSimilarity`` / ``LMJelinekMercerSimilarity``
+    — selectable on the same IndexSearcher the reference holds,
+    LuceneIndexBean.java:664-691).
+
+    Both language models score against the collection probability
+    ``p(t|C) = (totalTermFreq + 1) / (numberOfFieldTokens + 1)``
+    (``LMSimilarity.fillBasicStats``), then per matching (doc, term):
+
+    - dirichlet: ``max(0, ln(1 + tf / (mu * p)) + ln(mu / (dl + mu)))``
+      (the per-term clamp is Lucene's ``score > 0 ? score : 0``)
+    - jelinek-mercer: ``ln(1 + ((1 - λ) * tf / dl) / (λ * p))``
+
+    summed over the query terms.  Scale shape: identical to
+    :func:`tfidf_search`'s DataFrame strategy — the term predicate is pushed
+    into the term-sorted segments scan, the per-term collection stats ride a
+    broadcast (terms are query-sized), the arithmetic is whole-stage codegen,
+    and the only shuffle is the doc_id partial-aggregated groupBy.  The
+    collection token count comes from the delta-maintained ``stats.sum_dl``
+    (one cached tiny-table read), never a corpus scan.
+    """
+    ts = sorted({t.lower() for t in terms})
+    pairs = [(field, t) for t in ts]
+    dfm = engine._df_for_pairs(pairs)  # also fills the cf cache
+    n_docs, _avgdl = engine._field_stats().get(field, (0.0, 1.0))
+    empty = "doc_id long, path string, score double"
+    if n_docs == 0.0 or all(dfm.get(p, 0.0) == 0.0 for p in pairs):
+        return engine.spark.createDataFrame([], empty)
+    sum_dl = engine._field_sum_dl(field)
+    probs = [(t, (engine._cf_cache.get((field, t), 0.0) + 1.0)
+              / (sum_dl + 1.0)) for t in ts]
+    pdf = engine.spark.createDataFrame(probs, "term string, p double")
+    flat = (flat_postings_view(engine.spark, engine.catalog, terms=ts)
+            .where(F.col("field") == field))
+    j = flat.join(F.broadcast(pdf), "term")
+    tfc = F.col("tf").cast("double")
+    dlc = F.col("dl").cast("double")
+    mu_l, lam_l = F.lit(float(mu)), F.lit(float(lam))
+    if kind == "dirichlet":
+        s = (F.log(F.lit(1.0) + tfc / (mu_l * F.col("p")))
+             + F.log(mu_l / (dlc + mu_l)))
+        s = F.greatest(s, F.lit(0.0))
+    else:
+        s = F.log(F.lit(1.0)
+                  + ((F.lit(1.0) - lam_l) * tfc / dlc)
+                  / (lam_l * F.col("p")))
+    agg = (j.select("doc_id", s.alias("s"))
+           .groupBy("doc_id").agg(F.sum("s").alias("score")))
+    agg = engine._finalize_df_hits(agg, repo)
+    meta = engine._meta_path_df()
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+    return (meta.join(F.broadcast(topk), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "path", "score"))
+
+
+def lm_dirichlet_search(engine, repo: str | None, terms: list[str],
+                        field: str = "text", mu: float = 2000.0,
+                        limit: int = 10) -> DataFrame:
+    """Top-k under ``LMDirichletSimilarity(mu)`` (Lucene 5.2 default
+    mu=2000).  Semantics/scale: :func:`_lm_search`."""
+    return _lm_search(engine, repo, terms, field, limit, "dirichlet",
+                      mu=mu, lam=0.1)
+
+
+def lm_jm_search(engine, repo: str | None, terms: list[str],
+                 field: str = "text", lam: float = 0.1,
+                 limit: int = 10) -> DataFrame:
+    """Top-k under ``LMJelinekMercerSimilarity(lambda)`` (Lucene 5.2's
+    short-query default λ=0.1).  Semantics/scale: :func:`_lm_search`."""
+    return _lm_search(engine, repo, terms, field, limit, "jm",
+                      mu=2000.0, lam=lam)
 
 
 def span_first(engine, repo: str | None, term: str, end: int,

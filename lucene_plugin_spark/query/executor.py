@@ -186,6 +186,7 @@ class SearchEngine:
         #: search while the index is unmutated
         self.index_sort: list[str] | None = props.get("index_sort") or None
         self._stats = None
+        self._sum_dl: dict[str, float] | None = None
         self._repo_ranges = None
         self._seg_cached: DataFrame | None = None
         self._td_cached: DataFrame | None = None
@@ -356,6 +357,15 @@ class SearchEngine:
             self._stats = {r["field"]: (float(r["n_docs"]), float(r["avgdl"]))
                            for r in rows}
         return self._stats
+
+    def _field_sum_dl(self, field: str) -> float:
+        """Exact total token count of a field (``stats.sum_dl`` — kept as an
+        integer by the builder and delta-updated by mutations), the
+        ``numberOfFieldTokens`` Lucene's LM similarities normalize by."""
+        if self._sum_dl is None:
+            rows = self._tbl("stats").collect()
+            self._sum_dl = {r["field"]: float(r["sum_dl"]) for r in rows}
+        return self._sum_dl.get(field, 0.0)
 
     def repo_doc_ranges(self, repo: str) -> list[tuple[int, int]]:
         if self._repo_ranges is None:

@@ -179,6 +179,18 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                     self._reply(200, [{"id": h.id, "score": h.score,
                                        "externalId": h.external_id}
                                       for h in hits])
+                elif u.path == "/lucene/search-lm":
+                    terms = [t for t in q.get("terms", "").split(",") if t]
+                    param = q.get("param")
+                    with lock:
+                        hits = facade.search_lm(
+                            q.get("collection", ""), terms,
+                            q.get("similarity", "dirichlet"),
+                            None if param is None else float(param),
+                            int(q.get("limit", 10)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
                 elif u.path == "/lucene/search-multi-phrase":
                     slots = [s.split("|") for s in
                              q.get("slots", "").split(",") if s]

@@ -257,6 +257,45 @@ def test_tfidf_classic(spark, built):
     assert np.allclose([g[2] for g in got_fast], [g[2] for g in got])
 
 
+def test_lm_similarities(spark, built):
+    # LMDirichletSimilarity(mu) / LMJelinekMercerSimilarity(lambda):
+    # p(t|C) = (cttf+1)/(field_tokens+1); dirichlet clamps each per-term
+    # contribution at 0, JM is always positive
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    terms, k, mu, lam = ["index", "query", "cache"], 12, 500.0, 0.3
+    tokens_total = sum(len(d.tokens.get("text", []))
+                       for d in oracle.docs.values())
+    cttf = {t: sum(1 for d in oracle.docs.values()
+                   for tok, _ in d.tokens.get("text", []) if tok == t)
+            for t in terms}
+    p = {t: (cttf[t] + 1.0) / (tokens_total + 1.0) for t in terms}
+
+    def expect(score_fn):
+        scores = {}
+        for d in oracle.docs.values():
+            toks = [t for t, _ in d.tokens.get("text", [])]
+            dl = len(toks)
+            s = sum(score_fn(toks.count(t), dl, p[t])
+                    for t in terms if t in toks)
+            if any(t in toks for t in terms):
+                scores[d.doc_id] = (s, d.path)
+        return sorted(((s, d, p_) for d, (s, p_) in scores.items()),
+                      key=lambda x: (-x[0], x[1]))[:k]
+
+    got = _got(advanced.lm_dirichlet_search(eng, None, terms, mu=mu, limit=k))
+    want = expect(lambda tf, dl, pt: max(
+        0.0, math.log(1.0 + tf / (mu * pt)) + math.log(mu / (dl + mu))))
+    assert [g[0] for g in got] == [d for _, d, _ in want]
+    assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
+
+    got = _got(advanced.lm_jm_search(eng, None, terms, lam=lam, limit=k))
+    want = expect(lambda tf, dl, pt: math.log(
+        1.0 + ((1.0 - lam) * tf / dl) / (lam * pt)))
+    assert [g[0] for g in got] == [d for _, d, _ in want]
+    assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
+
+
 def test_span_first(spark, built):
     catalog, rows, oracle = built
     eng = SearchEngine(spark, catalog)

@@ -240,3 +240,14 @@ def test_http_round4_query_routes(server):
     st, hits = _get(server, "/lucene/search-span-within?collection=web"
                     "&big=merge,join&little=scan&slop=3&limit=10")
     assert st == 200 and {h["externalId"] for h in hits} == {"s1"}
+
+    # LM similarities: s2 (both terms, shortest) > s1 (both terms) > a
+    # (merge only) under both language models; scores strictly descending
+    for sim, param in (("dirichlet", "50"), ("jm", "0.3")):
+        st, hits = _get(server, "/lucene/search-lm?collection=web"
+                        f"&terms=merge,scan&similarity={sim}"
+                        f"&param={param}&limit=10")
+        assert st == 200
+        assert [h["externalId"] for h in hits] == ["s2", "s1", "a"]
+        scores = [h["score"] for h in hits]
+        assert scores == sorted(scores, reverse=True) and scores[-1] > 0
