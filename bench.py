@@ -118,6 +118,8 @@ def main() -> None:
             engine, None, ["spark", "join", "table"], limit=10).collect()),
         ("q_span_first", lambda: A.span_first(
             engine, None, "spark", end=5, limit=255).collect()),
+        ("q_lm_dirichlet", lambda: A.lm_dirichlet_search(
+            engine, None, ["spark", "join", "table"], limit=10).collect()),
     ]
     for name, fn in queries:
         timed(name, fn)

@@ -262,6 +262,41 @@ def _lm_search(engine, repo: str | None, terms: list[str], field: str,
     sum_dl = engine._field_sum_dl(field)
     probs = [(t, (engine._cf_cache.get((field, t), 0.0) + 1.0)
               / (sum_dl + 1.0)) for t in ts]
+    if (engine._path_map is not None
+            and sum(dfm.values()) <= engine.driver_exec_max_postings):
+        # driver fast path: postings through the resident block cache (the
+        # same cache the term/TF-IDF paths ride), LM arithmetic in numpy —
+        # result-identical to the distributed path (pytest-checked)
+        p_by_term = dict(probs)
+        idx, slices = engine._blocks_for(pairs)
+        norms_dirs, _td = engine._sidecar_dirs()
+        norm_lookup = engine._norm_lookup_for(tuple(slices), (field,),
+                                              norms_dirs)
+        id_parts, s_parts = [], []
+        for t in ts:
+            ids, tfs, _ = idx.decoded(field, t, False)
+            if not ids.size:
+                continue
+            nd, dls = norm_lookup[field]
+            dl = dls[np.searchsorted(nd, ids)].astype(np.float64)
+            tfv = tfs.astype(np.float64)
+            p = p_by_term[t]
+            if kind == "dirichlet":
+                sv = np.log(1.0 + tfv / (mu * p)) + np.log(mu / (dl + mu))
+                np.maximum(sv, 0.0, out=sv)
+            else:
+                sv = np.log1p(((1.0 - lam) * tfv / dl) / (lam * p))
+            id_parts.append(ids)
+            s_parts.append(sv)
+        if not id_parts:
+            return engine.spark.createDataFrame([], empty)
+        all_ids = np.concatenate(id_parts)
+        all_s = np.concatenate(s_parts)
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        agg = np.zeros(uids.shape, dtype=np.float64)
+        np.add.at(agg, inv, all_s)
+        live = _driver_live_mask(engine, uids, slices, repo)
+        return _driver_topk_df(engine, uids[live], agg[live], limit)
     pdf = engine.spark.createDataFrame(probs, "term string, p double")
     flat = (flat_postings_view(engine.spark, engine.catalog, terms=ts)
             .where(F.col("field") == field))

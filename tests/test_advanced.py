@@ -295,6 +295,18 @@ def test_lm_similarities(spark, built):
     assert [g[0] for g in got] == [d for _, d, _ in want]
     assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
 
+    # warmed engine rides the driver block-cache fast path — identical
+    weng = SearchEngine(spark, catalog).warm()
+    for fn, kw, ref in (
+            (advanced.lm_dirichlet_search, {"mu": mu},
+             advanced.lm_dirichlet_search(eng, None, terms, mu=mu, limit=k)),
+            (advanced.lm_jm_search, {"lam": lam},
+             advanced.lm_jm_search(eng, None, terms, lam=lam, limit=k))):
+        got_fast = _got(fn(weng, None, terms, limit=k, **kw))
+        got_slow = _got(ref)
+        assert [(g[0], g[1]) for g in got_fast] == [(g[0], g[1]) for g in got_slow]
+        assert np.allclose([g[2] for g in got_fast], [g[2] for g in got_slow])
+
 
 def test_span_first(spark, built):
     catalog, rows, oracle = built
