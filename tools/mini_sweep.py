@@ -17,7 +17,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from scaling_bench import REPO, run_at  # noqa: E402
+from scaling_bench import REPO, _git_head, run_at  # noqa: E402
 
 
 def main() -> None:
@@ -26,9 +26,11 @@ def main() -> None:
     pool_path = os.path.join(REPO, "BENCH", "scaling.json")
     with open(pool_path) as f:
         pool = json.load(f)
+    head = _git_head()
     for rep in range(reps):
         for c in levels:
             r = run_at(c)
+            r["code"] = head
             pool["sweeps"].setdefault(str(c), []).append(r)
             with open(pool_path, "w") as f:
                 json.dump(pool, f, indent=2)

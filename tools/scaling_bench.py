@@ -282,10 +282,9 @@ def main() -> None:
     # set of pair medians over epochs stamped with the CURRENT revision.
     cur = {c: [r for r in rs if r.get("code") == head]
            for c, rs in raw.items()}
-    paired_cur = [paired_pair_metrics(cur[1], cur[4]),
-                  paired_pair_metrics(cur[2], cur[8]),
-                  paired_pair_metrics(cur[8], cur[32])] \
-        if all(len(v) >= 2 for v in cur.values()) else []
+    paired_cur = [paired_pair_metrics(cur[a], cur[b])
+                  for a, b in ((1, 4), (2, 8), (8, 32))
+                  if len(cur[a]) >= 2 and len(cur[b]) >= 2]
     out = {
         "methodology": "identical job+input per level; fresh JVM per level; "
                        "CPU-pinned with taskset (a level is a bounded CPU "
