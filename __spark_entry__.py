@@ -1415,6 +1415,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_as_orig_ids(lm_jm_search(
             eng, None, ["spark", "join", "table"], limit=10))
 
+    def ft_dfr(spark, sf):
+        # DFR I(n)L2 (DFRSimilarity(In, L, H2(c=1))) top-k: completes the
+        # similarity family (BM25 / ClassicSimilarity / LM x2 / DFR)
+        from lucene_plugin_spark.query.advanced import dfr_search
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(dfr_search(
+            eng, None, ["spark", "join", "table"], limit=10))
+
     def ft_span_first(spark, sf):
         from lucene_plugin_spark.query.advanced import span_first
         _, eng = _engine(spark, sf)
@@ -1560,7 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(ft_rescore=ft_rescore, ft_const_score=ft_const_score,
              ft_func_score=ft_func_score, ft_tfidf=ft_tfidf,
-             ft_lmdirichlet=ft_lmdirichlet, ft_lmjm=ft_lmjm,
+             ft_lmdirichlet=ft_lmdirichlet, ft_lmjm=ft_lmjm, ft_dfr=ft_dfr,
              ft_span_first=ft_span_first, ft_span_or=ft_span_or,
              ft_span_not=ft_span_not,
              ft_span_containing=ft_span_containing,
@@ -1769,7 +1777,7 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
-        "ft_lmdirichlet", "ft_lmjm",
+        "ft_lmdirichlet", "ft_lmjm", "ft_dfr",
         # the one red r3 row — aggregates cast to bigint on both sides in r4
         "sample_split",
         # r4 code/oracle churn: re-prove against current code (plus the
@@ -3049,6 +3057,22 @@ scores AS (
            ln(1.0 + tf.tf / (2000.0 * ((cfx.cf + 1.0) / (tot.s + 1.0))))
            + ln(2000.0 / (dl.dl + 2000.0)), 0.0)) AS score
   FROM tf JOIN cfx USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+  WHERE tf.term IN ('spark', 'join', 'table')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+    # DFR I(n)L2 (DFRSimilarity(BasicModelIn, AfterEffectL,
+    # NormalizationH2(c=1)), lucene-core 5.2): tfn = tf*log2(1 + c*avgdl/dl),
+    # score = (tfn/(1+tfn)) * log2((N+1)/(df+0.5))
+    o["ft_dfr"] = f"""
+WITH {_TOK},
+scores AS (
+  SELECT tf.doc_id,
+         sum((tf.tf * log2(1.0 + st.avgdl / dl.dl))
+             / (1.0 + tf.tf * log2(1.0 + st.avgdl / dl.dl))
+             * log2((st.n + 1.0) / (dfx.df + 0.5))) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
   WHERE tf.term IN ('spark', 'join', 'table')
   GROUP BY tf.doc_id)
 SELECT doc_id, round(score, 6) AS score

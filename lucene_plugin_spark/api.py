@@ -482,6 +482,17 @@ class LuceneFacade:
             eng, coll, terms, lam=0.1 if param is None else param,
             limit=limit))
 
+    def search_dfr(self, collection: str, terms: list[str],
+                   c: float = 1.0, limit: int = 10) -> list[LuceneEntry]:
+        """DFR ``I(n)L2`` ranking (``DFRSimilarity(In, L, H2(c))``)."""
+        from lucene_plugin_spark.query.advanced import dfr_search
+        self._check(collection, "collection")
+        eng = self._live_engine()
+        if eng is None or not terms:
+            return []
+        return self._entries(dfr_search(
+            eng, sanitize_collection(collection), terms, c=c, limit=limit))
+
     def search_span_first(self, collection: str, term: str, end: int,
                           limit: int = 255) -> list[LuceneEntry]:
         """``SpanFirstQuery``: ``term`` within the first ``end`` positions."""

@@ -295,13 +295,37 @@ def test_lm_similarities(spark, built):
     assert [g[0] for g in got] == [d for _, d, _ in want]
     assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
 
+    # DFR I(n)L2: tfn = tf*log2(1+c*avgdl/dl), (tfn/(1+tfn))*log2((N+1)/(df+.5))
+    c, n = 1.5, float(len(oracle.docs))
+    avgdl = tokens_total / n
+    df = {t: sum(1 for d in oracle.docs.values()
+                 if t in [tok for tok, _ in d.tokens.get("text", [])])
+          for t in terms}
+    got = _got(advanced.dfr_search(eng, None, terms, c=c, limit=k))
+
+    def dfr_term(tf, dl, t):
+        tfn = tf * math.log2(1.0 + c * avgdl / dl)
+        return tfn / (1.0 + tfn) * math.log2((n + 1.0) / (df[t] + 0.5))
+    scores = {}
+    for d in oracle.docs.values():
+        toks = [t for t, _ in d.tokens.get("text", [])]
+        if any(t in toks for t in terms):
+            scores[d.doc_id] = (sum(dfr_term(toks.count(t), len(toks), t)
+                                    for t in terms if t in toks), d.path)
+    want = sorted(((s, d, p_) for d, (s, p_) in scores.items()),
+                  key=lambda x: (-x[0], x[1]))[:k]
+    assert [g[0] for g in got] == [d for _, d, _ in want]
+    assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
+
     # warmed engine rides the driver block-cache fast path — identical
     weng = SearchEngine(spark, catalog).warm()
     for fn, kw, ref in (
             (advanced.lm_dirichlet_search, {"mu": mu},
              advanced.lm_dirichlet_search(eng, None, terms, mu=mu, limit=k)),
             (advanced.lm_jm_search, {"lam": lam},
-             advanced.lm_jm_search(eng, None, terms, lam=lam, limit=k))):
+             advanced.lm_jm_search(eng, None, terms, lam=lam, limit=k)),
+            (advanced.dfr_search, {"c": c},
+             advanced.dfr_search(eng, None, terms, c=c, limit=k))):
         got_fast = _got(fn(weng, None, terms, limit=k, **kw))
         got_slow = _got(ref)
         assert [(g[0], g[1]) for g in got_fast] == [(g[0], g[1]) for g in got_slow]

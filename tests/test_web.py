@@ -241,6 +241,15 @@ def test_http_round4_query_routes(server):
                     "&big=merge,join&little=scan&slop=3&limit=10")
     assert st == 200 and {h["externalId"] for h in hits} == {"s1"}
 
+    # DFR I(n)L2: both-term docs outrank the single-term doc; scores
+    # strictly descending and positive
+    st, hits = _get(server, "/lucene/search-dfr?collection=web"
+                    "&terms=merge,scan&c=1.0&limit=10")
+    assert st == 200 and len(hits) == 3
+    dscores = [h["score"] for h in hits]
+    assert dscores == sorted(dscores, reverse=True) and dscores[-1] > 0
+    assert {h["externalId"] for h in hits[:2]} == {"s1", "s2"}
+
     # LM similarities: s2 (both terms, shortest) > s1 (both terms) > a
     # (merge only) under both language models; scores strictly descending
     for sim, param in (("dirichlet", "50"), ("jm", "0.3")):
