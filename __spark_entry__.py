@@ -1423,6 +1423,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_as_orig_ids(dfr_search(
             eng, None, ["spark", "join", "table"], limit=10))
 
+    def ft_ib(spark, sf):
+        # IB LL-DF-H2 (IBSimilarity(DistributionLL, LambdaDF, H2(c=1)))
+        # top-k: the last member of the Lucene 5.2 similarity module
+        from lucene_plugin_spark.query.advanced import ib_search
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(ib_search(
+            eng, None, ["spark", "join", "table"], limit=10))
+
     def ft_span_first(spark, sf):
         from lucene_plugin_spark.query.advanced import span_first
         _, eng = _engine(spark, sf)
@@ -1569,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(ft_rescore=ft_rescore, ft_const_score=ft_const_score,
              ft_func_score=ft_func_score, ft_tfidf=ft_tfidf,
              ft_lmdirichlet=ft_lmdirichlet, ft_lmjm=ft_lmjm, ft_dfr=ft_dfr,
+             ft_ib=ft_ib,
              ft_span_first=ft_span_first, ft_span_or=ft_span_or,
              ft_span_not=ft_span_not,
              ft_span_containing=ft_span_containing,
@@ -1777,7 +1786,7 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
-        "ft_lmdirichlet", "ft_lmjm", "ft_dfr",
+        "ft_lmdirichlet", "ft_lmjm", "ft_dfr", "ft_ib",
         # the one red r3 row — aggregates cast to bigint on both sides in r4
         "sample_split",
         # r4 code/oracle churn: re-prove against current code (plus the
@@ -3072,6 +3081,21 @@ scores AS (
          sum((tf.tf * log2(1.0 + st.avgdl / dl.dl))
              / (1.0 + tf.tf * log2(1.0 + st.avgdl / dl.dl))
              * log2((st.n + 1.0) / (dfx.df + 0.5))) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('spark', 'join', 'table')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+    # IB LL-DF-H2 (IBSimilarity(DistributionLL, LambdaDF,
+    # NormalizationH2(c=1)), lucene-core 5.2): tfn as in ft_dfr,
+    # lambda = df/N, score = ln(1 + tfn/lambda)
+    o["ft_ib"] = f"""
+WITH {_TOK},
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (tf.tf * log2(1.0 + st.avgdl / dl.dl))
+                      / (dfx.df / st.n))) AS score
   FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
   WHERE tf.term IN ('spark', 'join', 'table')
   GROUP BY tf.doc_id)

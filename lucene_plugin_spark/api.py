@@ -493,6 +493,18 @@ class LuceneFacade:
         return self._entries(dfr_search(
             eng, sanitize_collection(collection), terms, c=c, limit=limit))
 
+    def search_ib(self, collection: str, terms: list[str],
+                  c: float = 1.0, limit: int = 10) -> list[LuceneEntry]:
+        """Information-based ``LL-DF-H2`` ranking
+        (``IBSimilarity(DistributionLL, LambdaDF, NormalizationH2(c))``)."""
+        from lucene_plugin_spark.query.advanced import ib_search
+        self._check(collection, "collection")
+        eng = self._live_engine()
+        if eng is None or not terms:
+            return []
+        return self._entries(ib_search(
+            eng, sanitize_collection(collection), terms, c=c, limit=limit))
+
     def search_span_first(self, collection: str, term: str, end: int,
                           limit: int = 255) -> list[LuceneEntry]:
         """``SpanFirstQuery``: ``term`` within the first ``end`` positions."""

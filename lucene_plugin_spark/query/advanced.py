@@ -17,6 +17,7 @@ Lucene analogues (reference reaches all of these through the same
 - :func:`lm_dirichlet_search` -> ``LMDirichletSimilarity(mu)`` top-k
 - :func:`lm_jm_search`   -> ``LMJelinekMercerSimilarity(lambda)`` top-k
 - :func:`dfr_search`     -> ``DFRSimilarity(In, L, H2(c))`` top-k
+- :func:`ib_search`      -> ``IBSimilarity(LL, DF, H2(c))`` top-k
 - :func:`explain_scores` -> ``IndexSearcher.explain(query, doc)`` rows
 - :func:`multi_field`    -> ``MultiFieldQueryParser(fields, analyzer, boosts)``
 - :func:`phrase_prefix`  -> phrase ending in ``app*`` (MultiPhraseQuery javadoc)
@@ -405,6 +406,75 @@ def dfr_search(engine, repo: str | None, terms: list[str],
            * F.log2(F.lit(1.0) + F.lit(float(c * avgdl))
                     / F.col("dl").cast("double")))
     s = tfn / (F.lit(1.0) + tfn) * F.col("idf2")
+    agg = (flat.join(F.broadcast(sdf), "term")
+           .select("doc_id", s.alias("s"))
+           .groupBy("doc_id").agg(F.sum("s").alias("score")))
+    agg = engine._finalize_df_hits(agg, repo)
+    meta = engine._meta_path_df()
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+    return (meta.join(F.broadcast(topk), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "path", "score"))
+
+
+def ib_search(engine, repo: str | None, terms: list[str],
+              field: str = "text", c: float = 1.0,
+              limit: int = 10) -> DataFrame:
+    """Top-k under the information-based ``IB LL-DF-H2`` model (Clinchant &
+    Gaussier's information-based framework; Lucene 5.2 exposes it as
+    ``IBSimilarity(DistributionLL, LambdaDF, NormalizationH2(c))`` —
+    selectable on the same IndexSearcher the reference holds,
+    LuceneIndexBean.java:664-691).  Per matching (doc, term):
+
+    - H2 normalization: ``tfn = tf * log2(1 + c * avgdl / dl)``
+    - log-logistic distribution with the document-frequency lambda
+      ``λ = df / N``: ``score = ln((tfn + λ) / λ) = ln(1 + tfn/λ)``
+
+    summed over the query terms.  Same two-path shape as
+    :func:`dfr_search` (driver block-cache numpy fast path on warmed
+    engines, else broadcast per-term stats onto the term-pruned postings
+    scan; one map-side-combined groupBy)."""
+    ts = sorted({t.lower() for t in terms})
+    pairs = [(field, t) for t in ts]
+    dfm = engine._df_for_pairs(pairs)
+    n_docs, avgdl = engine._field_stats().get(field, (0.0, 1.0))
+    empty = "doc_id long, path string, score double"
+    if n_docs == 0.0 or all(dfm.get(p, 0.0) == 0.0 for p in pairs):
+        return engine.spark.createDataFrame([], empty)
+    lam = {t: max(dfm.get((field, t), 0.0), 0.5) / n_docs for t in ts}
+    if (engine._path_map is not None
+            and sum(dfm.values()) <= engine.driver_exec_max_postings):
+        idx, slices = engine._blocks_for(pairs)
+        norms_dirs, _td = engine._sidecar_dirs()
+        norm_lookup = engine._norm_lookup_for(tuple(slices), (field,),
+                                              norms_dirs)
+        id_parts, s_parts = [], []
+        for t in ts:
+            ids, tfs, _ = idx.decoded(field, t, False)
+            if not ids.size:
+                continue
+            nd, dls = norm_lookup[field]
+            dl = dls[np.searchsorted(nd, ids)].astype(np.float64)
+            tfn = tfs.astype(np.float64) * np.log2(1.0 + c * avgdl / dl)
+            id_parts.append(ids)
+            s_parts.append(np.log1p(tfn / lam[t]))
+        if not id_parts:
+            return engine.spark.createDataFrame([], empty)
+        all_ids = np.concatenate(id_parts)
+        all_s = np.concatenate(s_parts)
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        agg = np.zeros(uids.shape, dtype=np.float64)
+        np.add.at(agg, inv, all_s)
+        live = _driver_live_mask(engine, uids, slices, repo)
+        return _driver_topk_df(engine, uids[live], agg[live], limit)
+    sdf = engine.spark.createDataFrame(
+        [(t, lam[t]) for t in ts], "term string, lam double")
+    flat = (flat_postings_view(engine.spark, engine.catalog, terms=ts)
+            .where(F.col("field") == field))
+    tfn = (F.col("tf").cast("double")
+           * F.log2(F.lit(1.0) + F.lit(float(c * avgdl))
+                    / F.col("dl").cast("double")))
+    s = F.log(F.lit(1.0) + tfn / F.col("lam"))
     agg = (flat.join(F.broadcast(sdf), "term")
            .select("doc_id", s.alias("s"))
            .groupBy("doc_id").agg(F.sum("s").alias("score")))

@@ -200,6 +200,15 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                     self._reply(200, [{"id": h.id, "score": h.score,
                                        "externalId": h.external_id}
                                       for h in hits])
+                elif u.path == "/lucene/search-ib":
+                    terms = [t for t in q.get("terms", "").split(",") if t]
+                    with lock:
+                        hits = facade.search_ib(
+                            q.get("collection", ""), terms,
+                            float(q.get("c", 1.0)), int(q.get("limit", 10)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
                 elif u.path == "/lucene/search-multi-phrase":
                     slots = [s.split("|") for s in
                              q.get("slots", "").split(",") if s]

@@ -317,6 +317,23 @@ def test_lm_similarities(spark, built):
     assert [g[0] for g in got] == [d for _, d, _ in want]
     assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
 
+    # IB LL-DF-H2: same tfn, lambda = df/N, score = ln(1 + tfn/lambda)
+    got = _got(advanced.ib_search(eng, None, terms, c=c, limit=k))
+
+    def ib_term(tf, dl, t):
+        tfn = tf * math.log2(1.0 + c * avgdl / dl)
+        return math.log(1.0 + tfn / (df[t] / n))
+    scores = {}
+    for d in oracle.docs.values():
+        toks = [t for t, _ in d.tokens.get("text", [])]
+        if any(t in toks for t in terms):
+            scores[d.doc_id] = (sum(ib_term(toks.count(t), len(toks), t)
+                                    for t in terms if t in toks), d.path)
+    want = sorted(((s, d, p_) for d, (s, p_) in scores.items()),
+                  key=lambda x: (-x[0], x[1]))[:k]
+    assert [g[0] for g in got] == [d for _, d, _ in want]
+    assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
+
     # warmed engine rides the driver block-cache fast path — identical
     weng = SearchEngine(spark, catalog).warm()
     for fn, kw, ref in (
@@ -325,7 +342,9 @@ def test_lm_similarities(spark, built):
             (advanced.lm_jm_search, {"lam": lam},
              advanced.lm_jm_search(eng, None, terms, lam=lam, limit=k)),
             (advanced.dfr_search, {"c": c},
-             advanced.dfr_search(eng, None, terms, c=c, limit=k))):
+             advanced.dfr_search(eng, None, terms, c=c, limit=k)),
+            (advanced.ib_search, {"c": c},
+             advanced.ib_search(eng, None, terms, c=c, limit=k))):
         got_fast = _got(fn(weng, None, terms, limit=k, **kw))
         got_slow = _got(ref)
         assert [(g[0], g[1]) for g in got_fast] == [(g[0], g[1]) for g in got_slow]

@@ -250,6 +250,14 @@ def test_http_round4_query_routes(server):
     assert dscores == sorted(dscores, reverse=True) and dscores[-1] > 0
     assert {h["externalId"] for h in hits[:2]} == {"s1", "s2"}
 
+    # IB LL-DF-H2: same shape as DFR — both-term docs on top
+    st, hits = _get(server, "/lucene/search-ib?collection=web"
+                    "&terms=merge,scan&c=1.0&limit=10")
+    assert st == 200 and len(hits) == 3
+    iscores = [h["score"] for h in hits]
+    assert iscores == sorted(iscores, reverse=True) and iscores[-1] > 0
+    assert {h["externalId"] for h in hits[:2]} == {"s1", "s2"}
+
     # LM similarities: s2 (both terms, shortest) > s1 (both terms) > a
     # (merge only) under both language models; scores strictly descending
     for sim, param in (("dirichlet", "50"), ("jm", "0.3")):
