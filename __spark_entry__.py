@@ -1437,6 +1437,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_as_orig_ids(span_first(
             eng, None, "spark", end=5, limit=1_000_000))
 
+    def ft_span_range(spark, sf):
+        # SpanPositionRangeQuery(SpanTermQuery, start, end) analogue: the
+        # generalization SpanFirstQuery special-cases at start=0 (round 4)
+        from lucene_plugin_spark.query.advanced import span_position_range
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(span_position_range(
+            eng, None, "spark", 3, 9, limit=1_000_000))
+
+    def ft_terms_set(spark, sf):
+        # TermsQuery (lucene-queries): constant-score union over a term
+        # set with no maxClauseCount; docID-order ranking (round 4)
+        from lucene_plugin_spark.query.advanced import terms_set_query
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(terms_set_query(
+            eng, None, ["join", "hash", "btree", "bloom", "zz_missing"],
+            boost=2.5, limit=1_000_000))
+
     def ft_span_or(spark, sf):
         # SpanOrQuery analogue: blended freq (sum of clause tfs) through ONE
         # tf-norm with the summed clause idf — distinct from boolean OR's
@@ -1578,7 +1595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_func_score=ft_func_score, ft_tfidf=ft_tfidf,
              ft_lmdirichlet=ft_lmdirichlet, ft_lmjm=ft_lmjm, ft_dfr=ft_dfr,
              ft_ib=ft_ib,
-             ft_span_first=ft_span_first, ft_span_or=ft_span_or,
+             ft_span_first=ft_span_first, ft_span_range=ft_span_range,
+             ft_terms_set=ft_terms_set, ft_span_or=ft_span_or,
              ft_span_not=ft_span_not,
              ft_span_containing=ft_span_containing,
              ft_span_within=ft_span_within, ft_explain=ft_explain,
@@ -1782,7 +1800,8 @@ def _rotate_for_gate(q: dict) -> dict:
         "text_tfidf_sim", "ft_index_sort", "stream_dedup", "ft_multi_phrase",
         "ft_percolate", "stream_percolate",
         # new in r4 (post-sweep additions)
-        "ft_span_or", "ft_span_not", "ft_explain", "ft_fuzzy_gram",
+        "ft_span_or", "ft_span_not", "ft_span_range", "ft_terms_set",
+        "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
@@ -3116,6 +3135,32 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 
     # SpanFirstQuery(spark, 5): tf = occurrences at pos < 5, idf from the
     # term's ordinary df (Lucene SpanWeight termStates)
+    # SpanPositionRangeQuery analogue: same span-scorer shape as span_first
+    # but the position window is [3, 9)
+    o["ft_span_range"] = f"""
+WITH {_TOK},
+ptf AS (SELECT doc_id, count(*)::double ptf FROM tok
+        WHERE term = 'spark' AND pos >= 3 AND pos < 9 GROUP BY doc_id),
+dfq AS (SELECT df FROM dfx WHERE term = 'spark'),
+scores AS (
+  SELECT ptf.doc_id,
+         ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+         * ptf.ptf * 2.2 / (ptf.ptf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+  FROM ptf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN dfq)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id
+"""
+
+    # TermsQuery (lucene-queries): constant-score membership filter —
+    # every doc containing ANY of the terms scores exactly the boost;
+    # untruncated so the docID-order cut is tie-free on both sides
+    o["ft_terms_set"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ('join', 'hash', 'btree', 'bloom', 'zz_missing'))
+SELECT doc_id, cast(2.5 AS double) AS score FROM m ORDER BY doc_id
+"""
+
     o["ft_span_first"] = f"""
 WITH {_TOK},
 ptf AS (SELECT doc_id, count(*)::double ptf FROM tok

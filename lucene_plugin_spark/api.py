@@ -517,6 +517,35 @@ class LuceneFacade:
         return self._entries(span_first(
             eng, sanitize_collection(collection), term, end, limit=limit))
 
+    def search_span_range(self, collection: str, term: str, start: int,
+                          end: int, limit: int = 255) -> list[LuceneEntry]:
+        """``SpanPositionRangeQuery``: ``term`` at a position in
+        ``[start, end)`` (``SpanFirstQuery`` generalized)."""
+        from lucene_plugin_spark.query.advanced import span_position_range
+        self._check(collection, "collection")
+        self._check(term, "term")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return self._entries(span_position_range(
+            eng, sanitize_collection(collection), term, start, end,
+            limit=limit))
+
+    def search_terms_set(self, collection: str, terms: list[str],
+                         boost: float = 1.0,
+                         limit: int = 255) -> list[LuceneEntry]:
+        """``TermsQuery`` (lucene-queries): constant-score filter over a
+        term set of any size (no ``maxClauseCount``); matches rank in docID
+        order and all score ``boost``."""
+        from lucene_plugin_spark.query.advanced import terms_set_query
+        self._check(collection, "collection")
+        eng = self._live_engine()
+        if eng is None or not terms:
+            return []
+        return self._entries(terms_set_query(
+            eng, sanitize_collection(collection), terms, boost=boost,
+            limit=limit))
+
     def search_multi_phrase(self, collection: str, slots: list[list[str]],
                             slop: int = 0,
                             limit: int = 255) -> list[LuceneEntry]:

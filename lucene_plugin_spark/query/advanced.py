@@ -10,6 +10,7 @@ Lucene analogues (reference reaches all of these through the same
 - :func:`function_score` -> ``FunctionScoreQuery`` (boost by doc value)
 - :func:`tfidf_search`   -> ``ClassicSimilarity`` ranking (Lucene <=5 default)
 - :func:`span_first`     -> ``SpanFirstQuery(SpanTermQuery(t), end)``
+- :func:`span_position_range` -> ``SpanPositionRangeQuery(span, start, end)``
 - :func:`span_or`        -> ``SpanOrQuery(SpanTermQuery(t), ...)``
 - :func:`span_not`       -> ``SpanNotQuery(include, exclude, pre, post)``
 - :func:`span_containing`-> ``SpanContainingQuery(big, little)``
@@ -140,6 +141,58 @@ def constant_score(engine, repo: str | None, query: str, boost: float = 1.0,
     return (hits.select("doc_id", "path",
                         F.lit(float(boost)).alias("score"))
             .orderBy(F.asc("doc_id")).limit(limit))
+
+
+#: term-count threshold where a literal ``term IN (...)`` predicate stops
+#: being the right pushdown vehicle and the term set becomes a broadcast
+#: relation instead (Catalyst converts large IN lists poorly and the plan
+#: string itself grows linearly)
+_TERMS_SET_LITERAL_MAX = 1024
+
+
+def terms_set_query(engine, repo: str | None, terms: list[str],
+                    field: str = "text", boost: float = 1.0,
+                    limit: int = 255) -> DataFrame:
+    """``TermsQuery`` (lucene-queries 5.2): matches docs containing ANY of
+    the given terms, as a CONSTANT-SCORE filter — built for term sets far
+    beyond ``BooleanQuery.maxClauseCount`` (e.g. thousands of ids), where
+    Lucene skips per-term scorers entirely and unions sorted postings into
+    a bitset; every match scores ``boost`` and ranking degenerates to docID
+    order (the ConstantScore tie-break, same as :func:`constant_score`).
+
+    Scale shape: ≤{lit} terms ride a literal ``term IN (...)`` predicate
+    pushed into the term-sorted pruned segments scan (O(matching blocks)
+    decode); larger sets become a BROADCAST semi-join against the postings
+    scan — the term relation is query-sized, never the corpus, so the
+    corpus side still streams map-only with no shuffle.  The distinct-doc
+    union is one map-side-combined aggregate.
+    """
+    toks = sorted({t.lower() for t in terms if t})
+    if not toks:
+        return engine.spark.createDataFrame(
+            [], "doc_id long, path string, score double")
+    if len(toks) <= _TERMS_SET_LITERAL_MAX:
+        flat = (flat_postings_view(engine.spark, engine.catalog, terms=toks)
+                .where(F.col("field") == field))
+    else:
+        flat = (flat_postings_view(engine.spark, engine.catalog)
+                .where(F.col("field") == field))
+        tdf = engine.spark.createDataFrame(
+            [(t,) for t in toks], "term string")
+        flat = flat.join(F.broadcast(tdf), "term", "left_semi")
+    matches = flat.select("doc_id").distinct() \
+        .withColumn("score", F.lit(float(boost)))
+    matches = engine._finalize_df_hits(matches, repo)
+    meta = engine._meta_path_df()
+    topk = matches.orderBy(F.asc("doc_id")).limit(limit)
+    return (meta.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "path",
+                    F.lit(float(boost)).alias("score"))
+            .orderBy(F.asc("doc_id")))
+
+
+terms_set_query.__doc__ = terms_set_query.__doc__.format(
+    lit=_TERMS_SET_LITERAL_MAX)
 
 
 def function_score(engine, repo: str | None, query: str, field: str = "text",
@@ -486,19 +539,27 @@ def ib_search(engine, repo: str | None, terms: list[str],
             .select("doc_id", "path", "score"))
 
 
-def span_first(engine, repo: str | None, term: str, end: int,
-               field: str = "text", limit: int = 255) -> DataFrame:
-    """``SpanFirstQuery(SpanTermQuery(term), end)``: docs where ``term``
-    occurs at a position < ``end`` (Lucene positions = post-stop ordinals
-    with gaps, identical to ours).  Scoring: BM25 over the WITHIN-RANGE
-    occurrence count as tf — the span-scorer shape (freq = matching spans)
-    with our BM25 similarity; idf uses the term's ordinary docFreq, exactly
-    like Lucene's SpanWeight building termStates from the term itself.
+def span_position_range(engine, repo: str | None, term: str, start: int,
+                        end: int, field: str = "text",
+                        limit: int = 255) -> DataFrame:
+    """``SpanPositionRangeQuery(SpanTermQuery(term), start, end)`` (lucene
+    core 5.2 spans): docs where ``term`` occurs at a position ``p`` with
+    ``start <= p`` and span end ``p+1 <= end`` — for one-position term
+    spans that is ``start <= p < end`` (Lucene positions = post-stop
+    ordinals with gaps, identical to ours).  ``SpanFirstQuery`` is the
+    ``start=0`` special case and delegates here.  Scoring: BM25 over the
+    WITHIN-RANGE occurrence count as tf — the span-scorer shape (freq =
+    matching spans) with our BM25 similarity; idf uses the term's ordinary
+    docFreq, exactly like Lucene's SpanWeight building termStates from the
+    term itself.
 
     Declarative: positions come from the same pruned segments decode as a
     phrase; the position filter is a higher-order array function, no Python.
     """
     from lucene_plugin_spark.query import bm25
+    if not (0 <= int(start) < int(end)):
+        raise ValueError(f"need 0 <= start < end, got [{start}, {end})")
+    start = int(start)
     t = term.lower()
     dfv0 = engine._df_for_pairs([(field, t)]).get((field, t), 0.0)
     if (engine._path_map is not None
@@ -517,7 +578,8 @@ def span_first(engine, repo: str | None, term: str, end: int,
                 [], "doc_id long, path string, score double")
         ends = np.cumsum(tfs.astype(np.int64))
         starts = ends - tfs
-        tf_first = np.add.reduceat((pos < int(end)).astype(np.int64), starts)
+        in_range = (pos >= start) & (pos < int(end))
+        tf_first = np.add.reduceat(in_range.astype(np.int64), starts)
         # reduceat on an empty trailing segment repeats — tfs>0 always here
         keep = tf_first > 0
         ids_k, tff = ids[keep], tf_first[keep]
@@ -537,7 +599,9 @@ def span_first(engine, repo: str | None, term: str, end: int,
     if n_docs == 0.0 or not dfv:
         return engine.spark.createDataFrame(
             [], "doc_id long, path string, score double")
-    tf_first = F.size(F.filter("positions", lambda p: p < F.lit(int(end))))
+    tf_first = F.size(F.filter(
+        "positions",
+        lambda p: (p >= F.lit(start)) & (p < F.lit(int(end)))))
     idf = float(bm25.idf(float(dfv), n_docs))
     tfn = (tf_first.cast("double") * (bm25.K1 + 1.0)
            / (tf_first.cast("double")
@@ -551,6 +615,14 @@ def span_first(engine, repo: str | None, term: str, end: int,
     return (meta.join(F.broadcast(topk), "doc_id")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .select("doc_id", "path", "score"))
+
+
+def span_first(engine, repo: str | None, term: str, end: int,
+               field: str = "text", limit: int = 255) -> DataFrame:
+    """``SpanFirstQuery(SpanTermQuery(term), end)``: Lucene defines it as
+    ``SpanPositionRangeQuery`` with ``start=0`` — delegate accordingly."""
+    return span_position_range(engine, repo, term, 0, end,
+                               field=field, limit=limit)
 
 
 def span_or(engine, repo: str | None, terms: list[str],

@@ -227,6 +227,25 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                     self._reply(200, [{"id": h.id, "score": h.score,
                                        "externalId": h.external_id}
                                       for h in hits])
+                elif u.path == "/lucene/search-span-range":
+                    with lock:
+                        hits = facade.search_span_range(
+                            q.get("collection", ""), q.get("term", ""),
+                            int(q.get("start", 0)), int(q.get("end", 5)),
+                            int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
+                elif u.path == "/lucene/search-terms-set":
+                    terms = [t for t in q.get("terms", "").split(",") if t]
+                    with lock:
+                        hits = facade.search_terms_set(
+                            q.get("collection", ""), terms,
+                            float(q.get("boost", 1.0)),
+                            int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
                 elif u.path == "/lucene/search-phrase-prefix":
                     terms = [t for t in q.get("terms", "").split(",") if t]
                     with lock:

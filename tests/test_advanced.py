@@ -384,6 +384,78 @@ def test_span_first(spark, built):
     assert np.allclose([g[2] for g in got_fast], [g[2] for g in got])
 
 
+def test_span_position_range(spark, built):
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    term, start, end, k = "index", 3, 8, 50
+    got = _got(advanced.span_position_range(
+        eng, None, term, start, end, limit=k))
+    n, avgdl = oracle._field_stats("text")
+    dfv = oracle._df("text", term)
+    scores = {}
+    for d in oracle.docs.values():
+        toks = d.tokens.get("text", [])
+        tf_in = sum(1 for t, p in toks if t == term and start <= p < end)
+        if tf_in:
+            scores[d.doc_id] = (float(bm25.score(
+                np.array([float(tf_in)]), np.array([float(len(toks))]),
+                float(dfv), n, avgdl)[0]), d.path)
+    want = sorted(((s, d, p) for d, (s, p) in scores.items()),
+                  key=lambda x: (-x[0], x[1]))[:k]
+    assert got and [g[0] for g in got] == [d for _, d, _ in want]
+    assert np.allclose([g[2] for g in got], [s for s, _, _ in want])
+    # a doc whose every occurrence sits outside [start, end) must not match
+    outside = {d.doc_id for d in oracle.docs.values()
+               if any(t == term for t, _ in d.tokens.get("text", []))
+               and not any(t == term and start <= p < end
+                           for t, p in d.tokens.get("text", []))}
+    assert outside.isdisjoint({g[0] for g in got})
+    # SpanFirstQuery is the start=0 special case — exact identity
+    a = _got(advanced.span_position_range(eng, None, term, 0, 5, limit=k))
+    b = _got(advanced.span_first(eng, None, term, 5, limit=k))
+    assert a == b and a
+    # warmed engine rides the driver block-cache fast path — identical
+    got_fast = _got(advanced.span_position_range(
+        SearchEngine(spark, catalog).warm(), None, term, start, end, limit=k))
+    assert [(g[0], g[1]) for g in got_fast] == [(g[0], g[1]) for g in got]
+    assert np.allclose([g[2] for g in got_fast], [g[2] for g in got])
+    with pytest.raises(ValueError):
+        advanced.span_position_range(eng, None, term, 5, 5)
+    with pytest.raises(ValueError):
+        advanced.span_position_range(eng, None, term, -1, 5)
+
+
+def test_terms_set_query(spark, built):
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    terms, boost = ["index", "cache", "zz_no_such_term"], 2.5
+    got = _got(advanced.terms_set_query(eng, None, terms, boost=boost,
+                                        limit=1_000_000))
+    want_ids = sorted(d.doc_id for d in oracle.docs.values()
+                      if any(t in ("index", "cache")
+                             for t, _ in d.tokens.get("text", [])))
+    assert want_ids and [g[0] for g in got] == want_ids
+    assert all(g[2] == boost for g in got)
+    # huge-set strategy (broadcast semi-join instead of the IN literal)
+    # must produce the identical match set
+    old = advanced._TERMS_SET_LITERAL_MAX
+    try:
+        advanced._TERMS_SET_LITERAL_MAX = 1
+        got_join = _got(advanced.terms_set_query(
+            eng, None, terms, boost=boost, limit=1_000_000))
+    finally:
+        advanced._TERMS_SET_LITERAL_MAX = old
+    assert got_join == got
+    # the top-k cut is docID order (ConstantScore tie-break)
+    got_k = _got(advanced.terms_set_query(eng, None, terms, boost=boost,
+                                          limit=5))
+    assert [g[0] for g in got_k] == want_ids[:5]
+    # empty/blank term sets degrade to an empty, correctly-typed frame
+    e = advanced.terms_set_query(eng, None, ["", ""], limit=5)
+    assert e.count() == 0
+    assert e.columns == ["doc_id", "path", "score"]
+
+
 def test_span_or(spark, built):
     catalog, rows, oracle = built
     eng = SearchEngine(spark, catalog)
