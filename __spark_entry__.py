@@ -1437,6 +1437,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_as_orig_ids(span_first(
             eng, None, "spark", end=5, limit=1_000_000))
 
+    def ft_simple_qp(spark, sf):
+        # SimpleQueryParser (queryparser `simple` package): left-assoc
+        # `+`/`|` with the BQ{SHOULD(MatchAll), MUST_NOT} negation wrap —
+        # ((spark AND join) OR merge OR NOT-hash-wrap), untruncated
+        from lucene_plugin_spark.query.simple import simple_query_search
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(simple_query_search(
+            eng, None, "spark + join | merge -hash", limit=1_000_000))
+
     def ft_span_range(spark, sf):
         # SpanPositionRangeQuery(SpanTermQuery, start, end) analogue: the
         # generalization SpanFirstQuery special-cases at start=0 (round 4)
@@ -1595,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_func_score=ft_func_score, ft_tfidf=ft_tfidf,
              ft_lmdirichlet=ft_lmdirichlet, ft_lmjm=ft_lmjm, ft_dfr=ft_dfr,
              ft_ib=ft_ib,
+             ft_simple_qp=ft_simple_qp,
              ft_span_first=ft_span_first, ft_span_range=ft_span_range,
              ft_terms_set=ft_terms_set, ft_span_or=ft_span_or,
              ft_span_not=ft_span_not,
@@ -1801,7 +1811,7 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_percolate", "stream_percolate",
         # new in r4 (post-sweep additions)
         "ft_span_or", "ft_span_not", "ft_span_range", "ft_terms_set",
-        "ft_explain", "ft_fuzzy_gram",
+        "ft_simple_qp", "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
@@ -3135,6 +3145,32 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 
     # SpanFirstQuery(spark, 5): tf = occurrences at pos < 5, idf from the
     # term's ordinary df (Lucene SpanWeight termStates)
+    # SimpleQueryParser: "spark + join | merge -hash" parses left-assoc to
+    # Bool(should=(Bool(must=(spark, join)), merge, BQ{{SHOULD(MatchAll),
+    # MUST_NOT(hash)}})) — score = [bm25(spark)+bm25(join) iff both match]
+    # + bm25(merge) + [1.0 iff no hash]; matches = any should-branch hit
+    o["ft_simple_qp"] = f"""
+WITH {_TOK},
+bm AS (SELECT tf.doc_id, tf.term, {_BM25} AS s
+       FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       WHERE tf.term IN ('spark', 'join', 'merge')),
+sj AS (SELECT doc_id, sum(s) AS s FROM bm WHERE term IN ('spark', 'join')
+       GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+mg AS (SELECT doc_id, s FROM bm WHERE term = 'merge'),
+neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'hash'),
+scored AS (
+  SELECT d.doc_id,
+         coalesce(sj.s, 0) + coalesce(mg.s, 0)
+         + CASE WHEN neg.doc_id IS NULL THEN 1.0 ELSE 0.0 END AS score,
+         (sj.doc_id IS NOT NULL OR mg.doc_id IS NOT NULL
+          OR neg.doc_id IS NULL) AS m
+  FROM documents d
+  LEFT JOIN sj ON d.doc_id = sj.doc_id
+  LEFT JOIN mg ON d.doc_id = mg.doc_id
+  LEFT JOIN neg ON d.doc_id = neg.doc_id)
+SELECT doc_id, round(score, 6) AS score FROM scored WHERE m ORDER BY doc_id
+"""
+
     # SpanPositionRangeQuery analogue: same span-scorer shape as span_first
     # but the position window is [3, 9)
     o["ft_span_range"] = f"""

@@ -517,6 +517,23 @@ class LuceneFacade:
         return self._entries(span_first(
             eng, sanitize_collection(collection), term, end, limit=limit))
 
+    def search_simple(self, collection: str, query: str,
+                      weights: dict[str, float] | None = None,
+                      default_operator: str = "should",
+                      limit: int = 255) -> list[LuceneEntry]:
+        """``SimpleQueryParser`` (queryparser ``simple`` package): lenient
+        ``+ | - "..." (...) * ~N`` grammar with left-associative combining;
+        ``weights`` fans bare leaves over the given fields like the
+        ``SimpleQueryParser(analyzer, weights)`` constructor."""
+        from lucene_plugin_spark.query.simple import simple_query_search
+        self._check(collection, "collection")
+        eng = self._live_engine()
+        if eng is None or not query:
+            return []
+        return self._entries(simple_query_search(
+            eng, sanitize_collection(collection), query, weights=weights,
+            default_operator=default_operator, limit=limit))
+
     def search_span_range(self, collection: str, term: str, start: int,
                           end: int, limit: int = 255) -> list[LuceneEntry]:
         """``SpanPositionRangeQuery``: ``term`` at a position in

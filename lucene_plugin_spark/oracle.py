@@ -22,8 +22,8 @@ from lucene_plugin_spark.analysis.tokenizer import tokenize_text
 from lucene_plugin_spark.query import bm25
 from lucene_plugin_spark.query.expand import EXPANDABLE, exp_match
 from lucene_plugin_spark.query.parser import parse_query, sanitize_collection
-from lucene_plugin_spark.query.plan import (Bool, Node, Phrase, Range, SynSet,
-                                            Term)
+from lucene_plugin_spark.query.plan import (Bool, MatchAll, Node, Phrase,
+                                            Range, SynSet, Term)
 
 
 @dataclass
@@ -313,6 +313,10 @@ class OracleEngine:
                     hits[d.doc_id] = 1.0
         elif isinstance(leaf, Phrase):
             hits = self._phrase_hits(leaf, docs)
+        elif isinstance(leaf, MatchAll):
+            # MatchAllDocsQuery as a LEAF inside a tree (SimpleQueryParser
+            # negation wrap): every doc at constant 1.0 (x boost below)
+            hits = {d.doc_id: 1.0 for d in docs}
         else:
             raise TypeError(leaf)
         if boost != 1.0:

@@ -1271,6 +1271,17 @@ def multi_field(engine, repo: str | None, query: str, fields: list[str],
     scores against its own field statistics (Lucene's per-field
     Similarity), the postings scan's term/field predicates stay pushed.
     """
+    node = rewrite_multi_field(parse_query(query, variant=engine.analyzer),
+                               fields, boosts)
+    return engine.search_node(node, repo, limit)
+
+
+def rewrite_multi_field(node, fields: list[str],
+                        boosts: dict[str, float] | None = None):
+    """The ``MultiFieldQueryParser`` leaf rewrite as a standalone tree
+    transform (shared with the SimpleQueryParser's ``weights`` map): every
+    leaf still on the DEFAULT field becomes a SHOULD-disjunction of itself
+    over ``fields`` with per-field boosts."""
     import dataclasses
 
     from lucene_plugin_spark.query.plan import (DEFAULT_FIELD, Bool, DisMax,
@@ -1300,8 +1311,7 @@ def multi_field(engine, repo: str | None, query: str, fields: list[str],
             return per_field(n)
         return n
 
-    node = rw(parse_query(query, variant=engine.analyzer))
-    return engine.search_node(node, repo, limit)
+    return rw(node)
 
 
 def federated_search(engines: list[tuple[str, object]], repo: str | None,

@@ -1584,6 +1584,15 @@ class SearchEngine:
         for i, l in enumerate(leaves):
             if isinstance(l, Phrase):
                 frames.append(self._phrase_scores_df(l, i, flat, lens, stats))
+        # ---- match-all leaves (SimpleQueryParser's negation wraps a branch
+        # in BQ{SHOULD(MatchAllDocs), MUST_NOT(x)}, so *:* can appear INSIDE
+        # a tree): every doc off the skinny docs_meta scan at constant boost;
+        # tombstones are handled once by _finalize_df_hits like every leaf
+        for i, l in enumerate(leaves):
+            if isinstance(l, MatchAll):
+                frames.append(self._tbl("docs_meta").select(
+                    "doc_id", F.lit(i).alias("leaf_id"),
+                    F.lit(float(l.boost)).alias("score")))
         if not frames:
             return None
         out = frames[0]
