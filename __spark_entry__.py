@@ -1272,6 +1272,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(cur_decontam=cur_decontam, cur_pii=cur_pii)
 
+    # ---- classification (lucene-classification module analogues) ----
+    def ft_classify_nb(spark, sf):
+        # SimpleNaiveBayesClassifier shape: df-based likelihood + add-one
+        # smoothing; a deterministic per-class marker token is salted onto
+        # the text (the corpus vocabulary is class-independent by
+        # construction) so the argmax margins dwarf double noise.  Output
+        # is float-free (doc_id, pred_lang).
+        from lucene_plugin_spark.ops import classify as CL
+        d = _documents(spark, sf)
+        salted = d.select(
+            "doc_id", "lang",
+            F.concat(F.col("text"), F.lit(" mk"),
+                     F.col("lang")).alias("stext"))
+        out = CL.naive_bayes_classify(salted, "doc_id", "stext", "lang")
+        return (out.select(F.col("id").alias("doc_id"),
+                           F.col("pred").alias("pred_lang"))
+                .orderBy("doc_id"))
+
+    def ft_classify_knn(spark, sf):
+        # KNearestNeighborClassifier shape over SimHash bit-sampling LSH:
+        # majority lang of the <=5 nearest docs within Hamming radius 11
+        # (the pigeonhole block join is lossless for the radius, so the
+        # oracle's bounded all-pairs is the exact same relation); integer
+        # arithmetic end-to-end
+        from lucene_plugin_spark.ops import classify as CL
+        d = _documents(spark, sf)
+        out = CL.knn_classify_simhash(d, "doc_id", "text", "lang",
+                                      k=5, max_hamming=11)
+        return (out.select(F.col("id").alias("doc_id"),
+                           F.col("pred").alias("pred_lang"))
+                .orderBy("doc_id"))
+
+    q.update(ft_classify_nb=ft_classify_nb, ft_classify_knn=ft_classify_knn)
+
     # ---- deterministic sampling / selection (training-data curation) ----
     def sample_hash(spark, sf):
         from lucene_plugin_spark.ops import sampling as S
@@ -1811,7 +1845,8 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_percolate", "stream_percolate",
         # new in r4 (post-sweep additions)
         "ft_span_or", "ft_span_not", "ft_span_range", "ft_terms_set",
-        "ft_simple_qp", "ft_explain", "ft_fuzzy_gram",
+        "ft_simple_qp", "ft_classify_nb", "ft_classify_knn",
+        "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
@@ -2417,6 +2452,64 @@ cand AS (SELECT DISTINCT a.id AS id_a, a.simhash AS sa,
            ON a.b = b2.b AND a.bkey = b2.bkey AND a.id < b2.id)
 SELECT id_a, id_b, bit_count(xor(sa, sb))::bigint AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+    # lucene-classification analogues.  NB: per-class doc frequencies with
+    # add-one smoothing over the vocabulary; Σ over a doc's DISTINCT tokens
+    # folded to present-pairs + the smoothing floor (see ops/classify.py);
+    # per-class marker token 'mk'||lang salted exactly like the entry.
+    # Output is float-free so the value hash never sees a double.
+    o["ft_classify_nb"] = """
+WITH d AS (SELECT doc_id, lang, text || ' mk' || lang AS t FROM documents),
+raw AS (SELECT doc_id, lang, string_split(t, ' ') toks FROM d),
+tok AS (SELECT DISTINCT doc_id, lang, toks[i] AS term
+        FROM raw, UNNEST(generate_series(1, len(toks))) s(i)
+        WHERE toks[i] <> ''),
+nn AS (SELECT count(*)::double n FROM d),
+cls AS (SELECT lang AS c, count(*)::double nd FROM d GROUP BY 1),
+dfc AS (SELECT term, lang AS c, count(*)::double dfw FROM tok GROUP BY 1, 2),
+totc AS (SELECT c, sum(dfw) tot FROM dfc GROUP BY 1),
+vv AS (SELECT count(DISTINCT term)::double v FROM tok),
+ntok AS (SELECT doc_id, count(*)::double nt FROM tok GROUP BY 1),
+pres AS (SELECT t.doc_id, f.c, sum(ln(f.dfw + 1.0)) s
+         FROM tok t JOIN dfc f USING (term) GROUP BY 1, 2),
+sc AS (SELECT g.doc_id, g.c,
+              ln(g.nd / nn.n) + coalesce(p.s, 0.0)
+              - g.nt * ln(g.tot + vv.v) AS score
+       FROM (SELECT n2.doc_id, n2.nt, c.c, c.nd, tc.tot
+             FROM ntok n2 CROSS JOIN cls c JOIN totc tc ON c.c = tc.c) g
+       CROSS JOIN nn CROSS JOIN vv
+       LEFT JOIN pres p ON p.doc_id = g.doc_id AND p.c = g.c),
+rk AS (SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, c) r
+       FROM sc)
+SELECT doc_id, c AS pred_lang FROM rk WHERE r = 1 ORDER BY doc_id
+"""
+
+    # kNN over SimHash: bounded all-pairs Hamming (the lossless equivalent
+    # of the engine's pigeonhole block join at radius 11), (h, nb)-ordered
+    # top-5 window, (count DESC, lang ASC) vote
+    o["ft_classify_knn"] = f"""
+WITH {_RAWTOK},
+tw AS (SELECT doc_id AS id, token, count(*)::bigint w,
+              {md5_long_sql('token')} AS h
+       FROM rtok GROUP BY doc_id, token),
+bits AS ({simbits}),
+sim AS (SELECT id, sum(bit << b)::bigint AS simhash FROM bits GROUP BY id),
+p AS (SELECT a.id AS id, b2.id AS nb,
+             bit_count(xor(a.simhash, b2.simhash))::bigint AS h
+      FROM sim a JOIN sim b2 ON a.id <> b2.id
+      WHERE bit_count(xor(a.simhash, b2.simhash)) <= 11),
+topk AS (SELECT id, nb, h,
+                row_number() OVER (PARTITION BY id ORDER BY h, nb) r
+         FROM p),
+votes AS (SELECT t.id, d.lang, count(*) n
+          FROM topk t JOIN documents d ON d.doc_id = t.nb
+          WHERE t.r <= 5 GROUP BY 1, 2),
+rk AS (SELECT id, lang, row_number() OVER (PARTITION BY id
+                                           ORDER BY n DESC, lang) r
+       FROM votes)
+SELECT id AS doc_id, lang AS pred_lang FROM rk WHERE r = 1 ORDER BY doc_id
 """
 
     o["ev_sliding_counts"] = """
