@@ -1306,6 +1306,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(ft_classify_nb=ft_classify_nb, ft_classify_knn=ft_classify_knn)
 
+    # ---- spatial (lucene-spatial module analogue) ----
+    def ft_geo_distance(spark, sf):
+        # point-radius search: deterministic synthetic (lat, lon) per doc,
+        # sargable bounding-box prune (Matuschek exact box) + haversine on
+        # survivors; untruncated so the row set is tie-free
+        from lucene_plugin_spark.ops import spatial as SP
+        d = _documents(spark, sf)
+        did = F.col("doc_id")
+        pts = d.select(
+            "doc_id",
+            (((did * 9973) % 18001) / 100.0 - 90.0).alias("lat"),
+            (((did * 7919) % 36000) / 100.0 - 180.0).alias("lon"))
+        out = SP.geo_distance_search(pts, "lat", "lon", 42.3, 12.5, 5000.0)
+        return (out.select("doc_id",
+                           F.round("distance_km", 6).alias("distance_km"))
+                .orderBy("doc_id"))
+
+    q.update(ft_geo_distance=ft_geo_distance)
+
     # ---- deterministic sampling / selection (training-data curation) ----
     def sample_hash(spark, sf):
         from lucene_plugin_spark.ops import sampling as S
@@ -1846,7 +1865,7 @@ def _rotate_for_gate(q: dict) -> dict:
         # new in r4 (post-sweep additions)
         "ft_span_or", "ft_span_not", "ft_span_range", "ft_terms_set",
         "ft_simple_qp", "ft_classify_nb", "ft_classify_knn",
-        "ft_explain", "ft_fuzzy_gram",
+        "ft_geo_distance", "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
@@ -2452,6 +2471,25 @@ cand AS (SELECT DISTINCT a.id AS id_a, a.simhash AS sa,
            ON a.b = b2.b AND a.bkey = b2.bkey AND a.id < b2.id)
 SELECT id_a, id_b, bit_count(xor(sa, sb))::bigint AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+    # lucene-spatial analogue: same synthetic points, same haversine (the
+    # engine's bbox prune is a strict superset of the circle, so the final
+    # dist <= radius predicate decides membership on both sides)
+    o["ft_geo_distance"] = """
+WITH p AS (SELECT doc_id,
+                  ((doc_id * 9973) % 18001) / 100.0 - 90.0 AS lat,
+                  ((doc_id * 7919) % 36000) / 100.0 - 180.0 AS lon
+           FROM documents),
+d AS (SELECT doc_id,
+             2.0 * 6371.0088 * asin(sqrt(
+               sin(radians(42.3 - lat) / 2.0) * sin(radians(42.3 - lat) / 2.0)
+               + cos(radians(lat)) * cos(radians(42.3))
+                 * sin(radians(12.5 - lon) / 2.0)
+                 * sin(radians(12.5 - lon) / 2.0))) AS dist
+      FROM p)
+SELECT doc_id, round(dist, 6) AS distance_km
+FROM d WHERE dist <= 5000.0 ORDER BY doc_id
 """
 
     # lucene-classification analogues.  NB: per-class doc frequencies with
