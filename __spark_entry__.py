@@ -1490,6 +1490,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_as_orig_ids(span_first(
             eng, None, "spark", end=5, limit=1_000_000))
 
+    def ft_expr_sort(spark, sf):
+        # lucene-expressions sort: rank OR(join, hash) by the compiled
+        # expression 0.5*_score + 2*ln(1+dl) (round 4) — the expression
+        # runs in whole-stage codegen beside the scoring arithmetic
+        from lucene_plugin_spark.query.expressions import (
+            expression_sort_search)
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(expression_sort_search(
+            eng, None, "join hash", "0.5 * _score + 2 * ln(1 + dl)",
+            limit=10))
+
     def ft_simple_qp(spark, sf):
         # SimpleQueryParser (queryparser `simple` package): left-assoc
         # `+`/`|` with the BQ{SHOULD(MatchAll), MUST_NOT} negation wrap —
@@ -1657,7 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_func_score=ft_func_score, ft_tfidf=ft_tfidf,
              ft_lmdirichlet=ft_lmdirichlet, ft_lmjm=ft_lmjm, ft_dfr=ft_dfr,
              ft_ib=ft_ib,
-             ft_simple_qp=ft_simple_qp,
+             ft_simple_qp=ft_simple_qp, ft_expr_sort=ft_expr_sort,
              ft_span_first=ft_span_first, ft_span_range=ft_span_range,
              ft_terms_set=ft_terms_set, ft_span_or=ft_span_or,
              ft_span_not=ft_span_not,
@@ -1865,7 +1876,7 @@ def _rotate_for_gate(q: dict) -> dict:
         # new in r4 (post-sweep additions)
         "ft_span_or", "ft_span_not", "ft_span_range", "ft_terms_set",
         "ft_simple_qp", "ft_classify_nb", "ft_classify_knn",
-        "ft_geo_distance", "ft_explain", "ft_fuzzy_gram",
+        "ft_geo_distance", "ft_expr_sort", "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
@@ -3276,6 +3287,22 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 
     # SpanFirstQuery(spark, 5): tf = occurrences at pos < 5, idf from the
     # term's ordinary df (Lucene SpanWeight termStates)
+    # lucene-expressions sort: full OR match set, expression value as the
+    # reported score, desc/docID order — mirrors ft_func_score's shape
+    o["ft_expr_sort"] = f"""
+WITH {_TOK},
+base AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'hash')
+  GROUP BY tf.doc_id)
+SELECT base.doc_id,
+       round(0.5 * base.score + 2.0 * ln(1.0 + dl.dl), 6) AS score
+FROM base JOIN dl USING (doc_id)
+ORDER BY 0.5 * base.score + 2.0 * ln(1.0 + dl.dl) DESC, base.doc_id
+LIMIT 10
+"""
+
     # SimpleQueryParser: "spark + join | merge -hash" parses left-assoc to
     # Bool(should=(Bool(must=(spark, join)), merge, BQ{{SHOULD(MatchAll),
     # MUST_NOT(hash)}})) — score = [bm25(spark)+bm25(join) iff both match]

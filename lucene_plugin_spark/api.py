@@ -517,6 +517,22 @@ class LuceneFacade:
         return self._entries(span_first(
             eng, sanitize_collection(collection), term, end, limit=limit))
 
+    def search_expression(self, collection: str, query: str, expr: str,
+                          limit: int = 10) -> list[LuceneEntry]:
+        """lucene-expressions sort: rank ``query``'s matches by the compiled
+        arithmetic ``expr`` over ``_score`` / ``dl`` / ``doc_id`` (the
+        expression ``SortField``); the reported score IS the expression
+        value."""
+        from lucene_plugin_spark.query.expressions import (
+            expression_sort_search)
+        self._check(collection, "collection")
+        self._check(expr, "expr")
+        eng = self._live_engine()
+        if eng is None or not query:
+            return []
+        return self._entries(expression_sort_search(
+            eng, sanitize_collection(collection), query, expr, limit=limit))
+
     def search_simple(self, collection: str, query: str,
                       weights: dict[str, float] | None = None,
                       default_operator: str = "should",

@@ -227,6 +227,15 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                     self._reply(200, [{"id": h.id, "score": h.score,
                                        "externalId": h.external_id}
                                       for h in hits])
+                elif u.path == "/lucene/search-expression":
+                    with lock:
+                        hits = facade.search_expression(
+                            q.get("collection", ""), q.get("query", ""),
+                            q.get("expr", "_score"),
+                            int(q.get("limit", 10)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
                 elif u.path == "/lucene/search-simple":
                     with lock:
                         hits = facade.search_simple(
