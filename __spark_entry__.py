@@ -613,6 +613,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _, eng = _engine(spark, sf)
         return eng.suggest("s", limit=10)
 
+    def ft_suggest_infix(spark, sf):
+        # AnalyzingInfixSuggester analogue: contains-anywhere autocomplete,
+        # candidates via the same gram-sidecar routing as infix wildcards
+        _, eng = _engine(spark, sf)
+        return eng.suggest_infix("ar", limit=10)
+
     def ft_spellcheck(spark, sf):  # DirectSpellChecker analogue (ed <= 2)
         _, eng = _engine(spark, sf)
         return eng.spellcheck(["sprak", "tabel", "quey"], max_dist=2)
@@ -671,7 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("score", 6).alias("score"))
 
     q.update(ft_paging=ft_paging, ft_count=ft_count, ft_highlight=ft_highlight,
-             ft_suggest=ft_suggest, ft_spellcheck=ft_spellcheck,
+             ft_suggest=ft_suggest, ft_suggest_infix=ft_suggest_infix,
+             ft_spellcheck=ft_spellcheck,
              ft_spellcheck_gram=ft_spellcheck_gram,
              ft_fuzzy_gram=ft_fuzzy_gram, ft_wildcard_gram=ft_wildcard_gram,
              ft_facets=ft_facets, ft_group_topk=ft_group_topk)
@@ -1876,7 +1883,8 @@ def _rotate_for_gate(q: dict) -> dict:
         # new in r4 (post-sweep additions)
         "ft_span_or", "ft_span_not", "ft_span_range", "ft_terms_set",
         "ft_simple_qp", "ft_classify_nb", "ft_classify_knn",
-        "ft_geo_distance", "ft_expr_sort", "ft_explain", "ft_fuzzy_gram",
+        "ft_geo_distance", "ft_expr_sort", "ft_suggest_infix",
+        "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
@@ -2129,6 +2137,13 @@ ORDER BY score DESC, doc_id
 WITH {_TOK}
 SELECT term, sum(tf)::bigint AS cf
 FROM tf WHERE term LIKE 's%'
+GROUP BY term ORDER BY cf DESC, term LIMIT 10
+"""
+
+    o["ft_suggest_infix"] = f"""
+WITH {_TOK}
+SELECT term, sum(tf)::bigint AS cf
+FROM tf WHERE term LIKE '%ar%'
 GROUP BY term ORDER BY cf DESC, term LIMIT 10
 """
 

@@ -273,6 +273,18 @@ class LuceneFacade:
         return [(r["term"], r["cf"])
                 for r in eng.suggest(prefix, limit=limit).collect()]
 
+    def suggest_infix(self, substring: str,
+                      limit: int = 10) -> list[tuple[str, int]]:
+        """Infix autocomplete (``AnalyzingInfixSuggester`` analogue):
+        [(term, collection_frequency)] for terms containing ``substring``
+        anywhere, best-first."""
+        self._check(substring, "substring")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return [(r["term"], r["cf"])
+                for r in eng.suggest_infix(substring, limit=limit).collect()]
+
     def spellcheck(self, terms: list[str], max_dist: int = 2) -> list[dict]:
         """Best in-vocabulary correction per query term (DirectSpellChecker
         analogue): [{'qterm', 'suggestion', 'dist', 'cf'}]."""

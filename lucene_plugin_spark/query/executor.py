@@ -1101,6 +1101,42 @@ class SearchEngine:
                 .orderBy(F.desc("cf"), F.asc("term"))
                 .limit(limit))
 
+    def suggest_infix(self, substring: str, field: str = "text",
+                      limit: int = 10) -> DataFrame:
+        """Infix autocomplete (``AnalyzingInfixSuggester`` analogue): the
+        ``limit`` most frequent index terms CONTAINING ``substring``
+        anywhere, ranked by collection frequency desc, term asc — the
+        lucene-suggest infix family's "match inside the suggestion"
+        semantics mapped to the term dictionary.
+
+        Candidates come from the engine's MultiTermQuery machinery: the
+        substring compiles to an infix ``Wildcard`` leaf, which
+        :meth:`_expand_ranges` resolves via the resident dictionary, the
+        ``spell_grams`` sidecar (``gram IN (...)`` pushed into the
+        (field, gram)-sorted scan — never a vocabulary scan), or the exact
+        band scan, per the same routing rules as search-time wildcards.
+        Returns DataFrame(term, cf).
+        """
+        import re as _re
+
+        from lucene_plugin_spark.query.plan import Wildcard
+        sub = substring.lower()
+        if not sub:
+            return self.spark.createDataFrame([], "term string, cf bigint")
+        # metacharacters in the substring are LITERAL (suggest text, not a
+        # pattern) — escape them for the wildcard expander
+        pat = "*" + _re.sub(r"([*?])", r"\\\1", sub) + "*"
+        leaf = Wildcard(field=field, pattern=pat)
+        terms = self._expand_ranges([leaf]).get(leaf, [])
+        if not terms:
+            return self.spark.createDataFrame([], "term string, cf bigint")
+        td = self._term_dict_df()
+        return (td.where((F.col("field") == field)
+                         & F.col("term").isin(list(terms)))
+                .select("term", F.col("cf").cast("bigint").alias("cf"))
+                .orderBy(F.desc("cf"), F.asc("term"))
+                .limit(limit))
+
     #: character-n-gram blocking parameters for spellcheck candidate
     #: generation.  Pigeonhole (q-gram count filter): ed(a,b) <= d implies
     #: the strings share >= max(|a|,|b|) - n + 1 - d*n n-grams, so whenever

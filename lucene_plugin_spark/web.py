@@ -71,6 +71,11 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                         out = facade.suggest(q.get("prefix", ""),
                                              int(q.get("limit", 10)))
                     self._reply(200, [{"term": t, "cf": c} for t, c in out])
+                elif u.path == "/lucene/suggest-infix":
+                    with lock:
+                        out = facade.suggest_infix(q.get("substring", ""),
+                                                   int(q.get("limit", 10)))
+                    self._reply(200, [{"term": t, "cf": c} for t, c in out])
                 elif u.path == "/lucene/spellcheck":
                     terms = [t for t in q.get("terms", "").split(",") if t]
                     with lock:

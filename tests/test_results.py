@@ -81,6 +81,27 @@ def test_suggest_no_match_prefix_empty(spark, built):
     assert eng.suggest("zzzqqq", limit=10).count() == 0
 
 
+def test_suggest_infix_matches_brute_cf(spark, built):
+    # AnalyzingInfixSuggester analogue: contains-anywhere, cf-ranked, and
+    # the forced gram-sidecar strategy returns the identical list
+    eng = _engine(spark, built)
+    cf = _brute_cf(built[1])
+    for sub in ("nde", "ue", "s"):
+        want = sorted(((t, c) for t, c in cf.items() if sub in t),
+                      key=lambda x: (-x[1], x[0]))[:10]
+        got = [(r["term"], r["cf"])
+               for r in eng.suggest_infix(sub, limit=10).collect()]
+        assert got == want and got, sub
+    eng2 = _engine(spark, built)
+    eng2.gram_expand = "gram"
+    a = [(r["term"], r["cf"])
+         for r in eng2.suggest_infix("nde", limit=10).collect()]
+    assert a == [(r["term"], r["cf"])
+                 for r in eng.suggest_infix("nde", limit=10).collect()]
+    assert eng.suggest_infix("zzqx", limit=10).count() == 0
+    assert eng.suggest_infix("", limit=10).count() == 0
+
+
 # --------------------------------------------------------------- spellcheck
 def _lev(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
