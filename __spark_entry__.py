@@ -663,6 +663,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               .otherwise(F.col("facet")))
                 .orderBy("facet", "value"))
 
+    def ft_drill_sideways(spark, sf):
+        # DrillSideways (lucene-facet): drilled dim counts drop their own
+        # filter, un-drilled dims count over the drilled-down set
+        from lucene_plugin_spark.query.results import drill_sideways
+        _, eng = _engine(spark, sf)
+        hits = eng.search(None, "query table", limit=1_000_000)
+        out = drill_sideways(eng, hits, {"lang": "en"}, ["lang", "repo"])
+        return (out.withColumn(
+                    "facet", F.when(F.col("facet") == "repo", "source")
+                              .otherwise(F.col("facet")))
+                .orderBy("facet", "value"))
+
     def ft_group_topk(spark, sf):  # top-2 per lang (lucene-grouping)
         from lucene_plugin_spark.query.results import group_top_k
         _, eng = _engine(spark, sf)
@@ -681,7 +693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_spellcheck=ft_spellcheck,
              ft_spellcheck_gram=ft_spellcheck_gram,
              ft_fuzzy_gram=ft_fuzzy_gram, ft_wildcard_gram=ft_wildcard_gram,
-             ft_facets=ft_facets, ft_group_topk=ft_group_topk)
+             ft_facets=ft_facets, ft_drill_sideways=ft_drill_sideways,
+             ft_group_topk=ft_group_topk)
 
     def ft_span_near(spark, sf):  # SpanNearQuery analogue, unordered slop=3
         _, eng = _engine(spark, sf)
@@ -1884,7 +1897,7 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_span_or", "ft_span_not", "ft_span_range", "ft_terms_set",
         "ft_simple_qp", "ft_classify_nb", "ft_classify_knn",
         "ft_geo_distance", "ft_expr_sort", "ft_suggest_infix",
-        "ft_explain", "ft_fuzzy_gram",
+        "ft_drill_sideways", "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
@@ -2138,6 +2151,21 @@ WITH {_TOK}
 SELECT term, sum(tf)::bigint AS cf
 FROM tf WHERE term LIKE 's%'
 GROUP BY term ORDER BY cf DESC, term LIMIT 10
+"""
+
+    # DrillSideways: 'lang' counts ignore the lang drill (sideways — the
+    # dimension's own filter is dropped), 'source' counts apply it
+    o["ft_drill_sideways"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('query', 'table')),
+j AS (SELECT d.doc_id, d.lang, d.source
+      FROM documents d JOIN m USING (doc_id)),
+lc AS (SELECT 'lang' AS facet, lang AS value, count(*)::bigint AS doc_count
+       FROM j GROUP BY 2),
+sc AS (SELECT 'source' AS facet, source AS value,
+              count(*)::bigint AS doc_count
+       FROM j WHERE lang = 'en' GROUP BY 2)
+SELECT * FROM lc UNION ALL SELECT * FROM sc ORDER BY facet, value
 """
 
     o["ft_suggest_infix"] = f"""

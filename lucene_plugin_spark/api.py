@@ -273,6 +273,24 @@ class LuceneFacade:
         return [(r["term"], r["cf"])
                 for r in eng.suggest(prefix, limit=limit).collect()]
 
+    def drill_sideways(self, collection: str, query: str,
+                       drill: dict[str, str],
+                       facets: list[str]) -> list[dict]:
+        """``DrillSideways`` facet counts: [{'facet', 'value',
+        'doc_count'}] — each drilled dimension counted without its own
+        filter, un-drilled dimensions over the drilled-down set."""
+        from lucene_plugin_spark.query.results import drill_sideways
+        self._check(collection, "collection")
+        eng = self._live_engine()
+        if eng is None or not query:
+            return []
+        hits = eng.search(sanitize_collection(collection), query,
+                          limit=(1 << 31) - 1)
+        return [{"facet": r["facet"], "value": r["value"],
+                 "docCount": r["doc_count"]}
+                for r in drill_sideways(eng, hits, drill,
+                                        list(facets)).collect()]
+
     def suggest_infix(self, substring: str,
                       limit: int = 10) -> list[tuple[str, int]]:
         """Infix autocomplete (``AnalyzingInfixSuggester`` analogue):

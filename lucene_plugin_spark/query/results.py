@@ -87,6 +87,53 @@ def facet_counts(engine, hits: DataFrame,
     return out.orderBy("facet", "value")
 
 
+def drill_sideways(engine, hits: DataFrame, drill: dict[str, str],
+                   facets: list[str]) -> DataFrame:
+    """``DrillSideways`` (lucene-facet): facet counts for a base match set
+    under drill-down filters, with the SIDEWAYS semantics — a drilled
+    dimension's counts are computed with every OTHER drill filter applied
+    but NOT its own (so the UI can offer the dimension's sibling values),
+    while un-drilled dimensions count over the fully drilled-down set.
+
+    ``hits`` is the base query's (untruncated) hit frame; ``drill`` maps
+    facet column -> required stored value (``DrillDownQuery.add``); each
+    facet in ``facets`` yields its own count rows.  One ``docs_meta`` join
+    feeds every dimension's grouped count — Catalyst reuses the joined
+    plan, each count is map-side combined, and the drill predicates are
+    plain column equalities on the skinny stored-fields table.
+
+    Returns DataFrame(facet, value, doc_count) ordered by (facet, value).
+    """
+    cols = sorted({*drill, *facets})
+    meta = _docs_meta(engine, cols)
+    j = hits.select("doc_id").join(meta, "doc_id")
+    parts = []
+    for dim in facets:
+        side = j
+        for d, v in drill.items():
+            if d != dim:        # sideways: drop only the dim's OWN filter
+                side = side.where(F.col(d) == v)
+        parts.append(side.groupBy(F.col(dim).alias("value"))
+                     .agg(F.count(F.lit(1)).alias("doc_count"))
+                     .select(F.lit(dim).alias("facet"), "value",
+                             "doc_count"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("facet", "value")
+
+
+def drill_down_hits(engine, hits: DataFrame,
+                    drill: dict[str, str]) -> DataFrame:
+    """``DrillDownQuery`` hit set: the base hits filtered to every drilled
+    stored value (the docs `drill_sideways` shows beside its counts)."""
+    meta = _docs_meta(engine, sorted(drill))
+    j = hits.join(meta, "doc_id")
+    for d, v in drill.items():
+        j = j.where(F.col(d) == v)
+    return j.select(*hits.columns)
+
+
 def group_top_k(engine, hits: DataFrame, group_col: str = "lang",
                 k: int = 2, tie_col: str = "doc_id") -> DataFrame:
     """Grouped top-k hits (lucene-grouping ``TopGroups`` analogue): the k

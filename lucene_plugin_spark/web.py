@@ -71,6 +71,14 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                         out = facade.suggest(q.get("prefix", ""),
                                              int(q.get("limit", 10)))
                     self._reply(200, [{"term": t, "cf": c} for t, c in out])
+                elif u.path == "/lucene/drill-sideways":
+                    drill = dict(kv.split(":", 1) for kv in
+                                 q.get("drill", "").split(",") if ":" in kv)
+                    facets = [f for f in q.get("facets", "").split(",") if f]
+                    with lock:
+                        self._reply(200, facade.drill_sideways(
+                            q.get("collection", ""), q.get("query", ""),
+                            drill, facets))
                 elif u.path == "/lucene/suggest-infix":
                     with lock:
                         out = facade.suggest_infix(q.get("substring", ""),

@@ -10,8 +10,9 @@ from lucene_plugin_spark.analysis.tokenizer import tokenize_text
 from lucene_plugin_spark.corpus import generate_rows
 from lucene_plugin_spark.index.builder import IndexBuilder
 from lucene_plugin_spark.query.executor import SearchEngine
-from lucene_plugin_spark.query.results import (facet_counts, group_top_k,
-                                               highlight)
+from lucene_plugin_spark.query.results import (drill_down_hits,
+                                               drill_sideways, facet_counts,
+                                               group_top_k, highlight)
 from lucene_plugin_spark.storage.catalog import Catalog
 
 N_DOCS = 300
@@ -100,6 +101,50 @@ def test_suggest_infix_matches_brute_cf(spark, built):
                  for r in eng.suggest_infix("nde", limit=10).collect()]
     assert eng.suggest_infix("zzqx", limit=10).count() == 0
     assert eng.suggest_infix("", limit=10).count() == 0
+
+
+# ------------------------------------------------------------ drill-sideways
+def test_drill_sideways_and_down(spark, built):
+    eng = _engine(spark, built)
+    catalog, rows = built
+    hits = eng.search(None, "index query", limit=1_000_000)
+    match_paths = {r["path"] for r in hits.collect()}
+    base = [r for r in rows if r["path"] in match_paths]
+    drill = {"lang": "py"}
+    got = {(r["facet"], r["value"]): r["doc_count"]
+           for r in drill_sideways(eng, hits, drill,
+                                   ["lang", "repo"]).collect()}
+    # sideways: lang counts ignore the lang drill; repo counts apply it
+    want = {}
+    for r in base:
+        want.setdefault(("lang", r["lang"]), 0)
+        want[("lang", r["lang"])] += 1
+        if r["lang"] == "py":
+            want.setdefault(("repo", r["repo"]), 0)
+            want[("repo", r["repo"])] += 1
+    assert got == want and ("lang", "py") in got
+    # multi-dim drill: each dim's counts drop only its own filter
+    repos = sorted({r["repo"] for r in base})
+    drill2 = {"lang": "py", "repo": repos[0]}
+    got2 = {(r["facet"], r["value"]): r["doc_count"]
+            for r in drill_sideways(eng, hits, drill2,
+                                    ["lang", "repo"]).collect()}
+    want2 = {}
+    for r in base:
+        if r["repo"] == repos[0]:
+            want2.setdefault(("lang", r["lang"]), 0)
+            want2[("lang", r["lang"])] += 1
+        if r["lang"] == "py":
+            want2.setdefault(("repo", r["repo"]), 0)
+            want2[("repo", r["repo"])] += 1
+    assert got2 == want2
+    # drill-down hit set: base hits restricted to the drilled values,
+    # scores untouched
+    dh = drill_down_hits(eng, hits, drill)
+    dh_rows = {r["path"]: r["score"] for r in dh.collect()}
+    assert set(dh_rows) == {r["path"] for r in base if r["lang"] == "py"}
+    full = {r["path"]: r["score"] for r in hits.collect()}
+    assert all(abs(dh_rows[p] - full[p]) < 1e-12 for p in dh_rows)
 
 
 # --------------------------------------------------------------- spellcheck
