@@ -1221,6 +1221,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(F.col("parent").cast("bigint").alias("parent"),
                           F.round("score", 6).alias("score"), "n_children")
 
+    def ft_block_join_child(spark, sf):
+        # ToChildBlockJoinQuery analogue: parent blocks matched by the
+        # folded child query, every block member inherits the parent score
+        from lucene_plugin_spark.query.results import (to_child_join,
+                                                       to_parent_join)
+        _, eng = _engine(spark, sf)
+        hits = eng.search(None, "spark merge", limit=1_000_000)
+        parents = to_parent_join(
+            eng, hits, F.floor(F.col("path").cast("int") / 10), "total")
+        out = to_child_join(
+            eng, parents, F.floor(F.col("path").cast("int") / 10))
+        return (out.select(
+                    F.col("path").cast("int").cast("bigint").alias("doc_id"),
+                    F.col("parent").cast("bigint").alias("parent"),
+                    F.round("score", 6).alias("score"))
+                .orderBy("doc_id"))
+
     def ft_range_facets(spark, sf):
         # LongRangeFacetCounts analogue: dl-bucketed counts of the "spark"
         # match set (inclusive lo / exclusive hi; overlapping ranges counted
@@ -1238,7 +1255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _, eng = _engine(spark, sf)
         return eng.term_vector(None, "000007")
 
-    q.update(ft_block_join=ft_block_join, ft_range_facets=ft_range_facets,
+    q.update(ft_block_join=ft_block_join,
+             ft_block_join_child=ft_block_join_child,
+             ft_range_facets=ft_range_facets,
              ft_term_vector=ft_term_vector)
 
     # ---- curation: decontamination + PII screening (ops/curation.py) ----
@@ -1897,7 +1916,8 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_span_or", "ft_span_not", "ft_span_range", "ft_terms_set",
         "ft_simple_qp", "ft_classify_nb", "ft_classify_knn",
         "ft_geo_distance", "ft_expr_sort", "ft_suggest_infix",
-        "ft_drill_sideways", "ft_explain", "ft_fuzzy_gram",
+        "ft_drill_sideways", "ft_block_join_child",
+        "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
@@ -2996,6 +3016,23 @@ child AS (
 SELECT CAST(floor(doc_id / 10) AS bigint) AS parent,
        round(sum(score), 6) AS score, count(*)::bigint AS n_children
 FROM child GROUP BY 1
+"""
+
+    # ToChildBlockJoin: every doc in a block whose summed child score is
+    # defined inherits that block score
+    o["ft_block_join_child"] = f"""
+WITH {_TOK},
+child AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('spark', 'merge')
+  GROUP BY tf.doc_id),
+par AS (SELECT CAST(floor(doc_id / 10) AS bigint) AS parent,
+               sum(score) AS score
+        FROM child GROUP BY 1)
+SELECT d.doc_id, par.parent, round(par.score, 6) AS score
+FROM documents d JOIN par ON CAST(floor(d.doc_id / 10) AS bigint) = par.parent
+ORDER BY d.doc_id
 """
 
     # range facets over the 'spark' match set: dl = analyzed token count

@@ -193,6 +193,32 @@ def to_parent_join(engine, hits: DataFrame, parent_of,
             .orderBy(F.desc("score"), F.asc("parent")))
 
 
+def to_child_join(engine, parents: DataFrame, parent_of) -> DataFrame:
+    """Parent-hits -> child-hits join (``ToChildBlockJoinQuery`` analogue,
+    the other direction of the lucene-join block join): every document in
+    a matching parent's block becomes a hit and INHERITS the parent's score
+    (Lucene's ToChildBlockJoinScorer hands the parent score to each child).
+
+    ``parents`` is a (parent, score) frame — e.g. :func:`to_parent_join`
+    output, or any parent-level match set; ``parent_of`` is the same
+    monotone docID/path -> parent Column used to define the blocks.
+
+    Scale shape: one equi-join of the skinny docs_meta (doc_id, path) scan
+    against the parent hit set on the block key — AQE broadcasts the
+    parent side when the match set is small; no shuffle of the corpus.
+
+    Returns DataFrame(doc_id, path, parent, score) ordered
+    (score desc, doc_id asc).
+    """
+    meta = engine._meta_path_df().withColumn("parent", parent_of)
+    kids = (meta.join(parents.select("parent", "score"), "parent")
+            .select("doc_id", "path", "parent", "score"))
+    # liveDocs: tombstoned children (deletes / superseded upserts) must not
+    # resurface through their block
+    kids = engine._finalize_df_hits(kids, None)
+    return kids.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def range_facet_counts(engine, hits: DataFrame,
                        ranges: list[tuple[str, int, int | None]],
                        field: str = "text") -> DataFrame:

@@ -17,6 +17,7 @@ from lucene_plugin_spark.ops.textstats import (bigram_cross_entropy,
                                                pack_sequences)
 from lucene_plugin_spark.query.executor import SearchEngine
 from lucene_plugin_spark.query.results import (range_facet_counts,
+                                               to_child_join,
                                                to_parent_join)
 from lucene_plugin_spark.storage.catalog import Catalog
 
@@ -70,6 +71,31 @@ def test_block_join_score_mode_none(spark, built):
                eng, hits, F.floor(F.col("doc_id") / 8), "none").collect()}
     groups = Counter(d // 8 for d in _child_scores(eng, "cache"))
     assert got == {p: (1.0, n) for p, n in groups.items()}
+
+
+def test_to_child_join_inherits_parent_score(spark, built):
+    eng = _engine(spark, built)
+    hits = eng.search(None, "index cache", limit=1_000_000)
+    parent_of = F.floor(F.col("doc_id") / 8)
+    parents = to_parent_join(eng, hits, parent_of, "total")
+    got = [(r["doc_id"], r["parent"], round(r["score"], 9))
+           for r in to_child_join(eng, parents, parent_of).collect()]
+    # brute force: every doc in a matching block, block-total score
+    groups = defaultdict(list)
+    for d, s in _child_scores(eng, "index cache").items():
+        groups[d // 8].append(s)
+    totals = {p: round(sum(ss), 9) for p, ss in groups.items()}
+    want = sorted(
+        ((d, d // 8, totals[d // 8]) for d in range(N_DOCS)
+         if d // 8 in totals),
+        key=lambda t: (-t[2], t[0]))
+    assert got == want and got
+    # a block member that did NOT itself match still appears (block
+    # inheritance), and a doc from an unmatched block never does
+    matched = set(_child_scores(eng, "index cache"))
+    nonmatching_members = [d for d, _, _ in got if d not in matched]
+    assert nonmatching_members
+    assert all(d // 8 in totals for d, _, _ in got)
 
 
 def test_block_join_rejects_unknown_mode(spark, built):
