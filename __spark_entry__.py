@@ -1205,7 +1205,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(F.col("id").alias("doc_id"), "group", "n_tokens",
                           "seq_id")
 
-    q.update(text_bigram_ppl=text_bigram_ppl, text_pack=text_pack)
+    def text_suggest_free(spark, sf):
+        # FreeTextSuggester analogue: bigram continuations of 'hash' with
+        # prefix 's', stupid backoff (alpha 0.4) to prefix unigrams
+        from lucene_plugin_spark.ops.textstats import free_text_suggest
+        return free_text_suggest(_documents(spark, sf), "doc_id", "text",
+                                 "hash", prefix="s", limit=8)
+
+    q.update(text_bigram_ppl=text_bigram_ppl, text_pack=text_pack,
+             text_suggest_free=text_suggest_free)
 
     # ---- lucene-join / facet-range / term-vector module analogues ----
     def ft_block_join(spark, sf):
@@ -1916,7 +1924,7 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_span_or", "ft_span_not", "ft_span_range", "ft_terms_set",
         "ft_simple_qp", "ft_classify_nb", "ft_classify_knn",
         "ft_geo_distance", "ft_expr_sort", "ft_suggest_infix",
-        "ft_drill_sideways", "ft_block_join_child",
+        "ft_drill_sideways", "ft_block_join_child", "text_suggest_free",
         "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
@@ -2988,6 +2996,29 @@ sc AS (SELECT bg.doc_id, ln(mb.cb) - ln(mu.cu) AS lnp
        FROM bg JOIN mb USING (w1, w2) JOIN mu USING (w1))
 SELECT doc_id, count(*)::bigint AS n_bigrams, round(-avg(lnp), 6) AS xent
 FROM sc GROUP BY doc_id
+"""
+
+    # FreeTextSuggester analogue: ranked on raw scores, rounded after the
+    # cut (the engine rounds after orderBy/limit too); order-insensitive
+    # value compare makes the final ORDER BY cosmetic
+    o["text_suggest_free"] = f"""
+WITH {_RAWTOK},
+bg AS (SELECT t0.token AS w1, t1.token AS w2
+       FROM rtok t0 JOIN rtok t1
+         ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1),
+contp AS (SELECT w2 AS token, count(*)::double AS cb FROM bg
+          WHERE w1 = 'hash' AND w2 LIKE 's%' GROUP BY 1),
+head AS (SELECT count(*)::double AS h FROM bg WHERE w1 = 'hash'),
+uni AS (SELECT token, count(*)::double AS cu FROM rtok
+        WHERE token LIKE 's%' GROUP BY 1),
+tot AS (SELECT count(*)::double AS t FROM rtok),
+sc AS (
+  SELECT token, cb / (SELECT h FROM head) AS raw FROM contp
+  UNION ALL
+  SELECT token, 0.4 * cu / (SELECT t FROM tot) AS raw FROM uni
+  WHERE token NOT IN (SELECT token FROM contp)),
+ranked AS (SELECT token, raw FROM sc ORDER BY raw DESC, token LIMIT 8)
+SELECT token, round(raw, 6) AS score FROM ranked ORDER BY score DESC, token
 """
 
     # greedy contiguous sequence packing: seq_id = budget window the doc

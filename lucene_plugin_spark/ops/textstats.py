@@ -226,6 +226,75 @@ def bigram_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame
                  F.round(-F.avg("lnp"), 6).alias("xent")))
 
 
+def free_text_suggest(df: DataFrame, id_col: str, text_col: str,
+                      context: str, prefix: str = "", limit: int = 10,
+                      alpha: float = 0.4) -> DataFrame:
+    """(token, score): next-token suggestions after ``context`` under the
+    corpus bigram model with STUPID BACKOFF — the ``FreeTextSuggester``
+    shape (lucene-suggest builds an n-gram FST from the analyzed corpus and
+    scores continuations with Brants et al.'s stupid backoff, ALPHA=0.4;
+    ours is the bigram instance over the same zip_with corpus model
+    :func:`bigram_cross_entropy` trains).
+
+    Candidates and scores:
+
+    - tokens ``w`` with a ``(context, w)`` bigram score the MLE
+      ``c(context, w) / c(context ·)``;
+    - when ``prefix`` is non-empty, tokens starting with ``prefix`` that
+      never follow ``context`` back off to ``alpha * c(w) / T`` (unigram
+      mass, ``T`` = total tokens) — exactly the suggester's lower-order
+      path.  With an empty prefix the backoff set is the whole vocabulary,
+      so it is only generated when a prefix bounds it.
+
+    Ranking: score desc, token asc.  Scale shape: the bigram/unigram
+    models are two map-side-combined grouped counts (|distinct bigrams| /
+    |vocab| rows); the context filter prunes the bigram model to one head
+    before any ordering, so the sort ranks |continuations| rows, not the
+    model.
+    """
+    ctx = context.lower()
+    toks = df.select(
+        F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+                 lambda x: x != "").alias("toks"))
+    pairs = F.when(
+        F.size("toks") >= 2,
+        F.zip_with(F.slice("toks", 1, F.size("toks") - 1),
+                   F.slice("toks", 2, F.size("toks") - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    ).otherwise(F.array())
+    bg = (toks.select(F.explode(pairs).alias("p"))
+          .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    cont = (bg.where(F.col("w1") == ctx)
+            .groupBy("w2").agg(F.count(F.lit(1)).alias("cb")))
+    head = bg.where(F.col("w1") == ctx).count()
+    if prefix:
+        cont = cont.where(F.col("w2").startswith(prefix.lower()))
+    if head == 0:
+        scored = None
+    else:
+        scored = cont.select(F.col("w2").alias("token"),
+                             (F.col("cb") / F.lit(float(head))).alias("score"))
+    if prefix:
+        uni = (toks.select(F.explode("toks").alias("token"))
+               .where(F.col("token").startswith(prefix.lower())))
+        total = (toks.select(F.size("toks").alias("n"))
+                 .agg(F.sum("n")).collect()[0][0] or 0)
+        backoff = (uni.groupBy("token")
+                   .agg(F.count(F.lit(1)).alias("cu"))
+                   .join(cont.select(F.col("w2").alias("token")),
+                         "token", "left_anti")
+                   .select("token",
+                           (F.lit(float(alpha)) * F.col("cu")
+                            / F.lit(float(total))).alias("score")))
+        scored = backoff if scored is None else scored.unionByName(backoff)
+    if scored is None:
+        return df.sparkSession.createDataFrame(
+            [], "token string, score double")
+    return (scored.orderBy(F.desc("score"), F.asc("token"))
+            .limit(int(limit))
+            .select("token", F.round("score", 6).alias("score")))
+
+
 def pack_sequences(df: DataFrame, id_col: str, text_col: str,
                    group_col: str, budget: int = 512) -> DataFrame:
     """(id, group, n_tokens, seq_id): greedy contiguous sequence packing —

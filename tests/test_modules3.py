@@ -14,6 +14,7 @@ from lucene_plugin_spark.analysis.tokenizer import tokenize_text
 from lucene_plugin_spark.corpus import generate_rows
 from lucene_plugin_spark.index.builder import IndexBuilder
 from lucene_plugin_spark.ops.textstats import (bigram_cross_entropy,
+                                               free_text_suggest,
                                                pack_sequences)
 from lucene_plugin_spark.query.executor import SearchEngine
 from lucene_plugin_spark.query.results import (range_facet_counts,
@@ -103,6 +104,59 @@ def test_block_join_rejects_unknown_mode(spark, built):
     hits = eng.search(None, "cache", limit=10)
     with pytest.raises(ValueError):
         to_parent_join(eng, hits, F.col("doc_id"), "mean")
+
+
+# ------------------------------------------------------- free-text suggest
+def test_free_text_suggest_vs_brute(spark, built):
+    import re
+
+    rows = built[1]
+    df = spark.createDataFrame(rows).select(
+        F.col("path").alias("id"), F.col("content").alias("text"))
+    toks_per = [[t for t in re.split(r"[^a-zA-Z0-9]+", r["content"].lower())
+                 if t] for r in rows]
+    bg, uni = Counter(), Counter()
+    for ts in toks_per:
+        uni.update(ts)
+        bg.update(zip(ts, ts[1:]))
+    heads = Counter()
+    for (a, _b), c in bg.items():
+        heads[a] += c
+    ctx = heads.most_common(1)[0][0]
+    head = heads[ctx]
+    # bigram-only path (no prefix)
+    want = sorted(((round(c / head, 6), b) for (a, b), c in bg.items()
+                   if a == ctx), key=lambda t: (-t[0], t[1]))[:10]
+    got = [(r["score"], r["token"]) for r in
+           free_text_suggest(df, "id", "text", ctx, limit=10).collect()]
+    assert got == want and got
+    # prefix path: bigram continuations + stupid-backoff unigrams
+    prefix, alpha = "s", 0.4
+    T = sum(uni.values())
+    contp = {b: c / head for (a, b), c in bg.items()
+             if a == ctx and b.startswith(prefix)}
+    cand = dict(contp)
+    for w, c in uni.items():
+        if w.startswith(prefix) and w not in contp:
+            cand[w] = alpha * c / T
+    k = len(cand)                 # full candidate list: both branches visible
+    want_p = sorted(((round(s, 6), w) for w, s in cand.items()),
+                    key=lambda t: (-t[0], t[1]))[:k]
+    got_p = [(r["score"], r["token"]) for r in
+             free_text_suggest(df, "id", "text", ctx, prefix=prefix,
+                               limit=k).collect()]
+    assert got_p == want_p and got_p
+    # both branches really contribute
+    assert any(w in contp for _, w in want_p)
+    assert any(w not in contp for _, w in want_p)
+    # unknown context: empty without a prefix, pure backoff with one
+    assert free_text_suggest(df, "id", "text", "zzzctx").count() == 0
+    only_back = [(r["score"], r["token"]) for r in
+                 free_text_suggest(df, "id", "text", "zzzctx",
+                                   prefix=prefix, limit=5).collect()]
+    want_b = sorted(((round(alpha * c / T, 6), w) for w, c in uni.items()
+                     if w.startswith(prefix)), key=lambda t: (-t[0], t[1]))[:5]
+    assert only_back == want_b
 
 
 # ------------------------------------------------------------ range facets
