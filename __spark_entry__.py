@@ -1537,6 +1537,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_as_orig_ids(span_first(
             eng, None, "spark", end=5, limit=1_000_000))
 
+    def ft_replica_search(spark, sf):
+        # lucene-replicator analogue: sync the built warehouse's current
+        # revision into a replica (incremental file copy + manifest path
+        # rewrite + atomic CURRENT flip), then BM25-search the REPLICA —
+        # the oracle is the plain corpus BM25, so any torn/missing file or
+        # stale pointer in the replica breaks the hash
+        from lucene_plugin_spark.query.executor import SearchEngine
+        from lucene_plugin_spark.storage.catalog import Catalog
+        from lucene_plugin_spark.storage.replicator import replicate
+        _engine(spark, sf)  # ensure the source warehouse is built
+        src_wh = os.path.join("/tmp/lps_entry",
+                              sf.strip("/").replace("/", "_"))
+        dst_wh = src_wh + "_replica"
+        replicate(src_wh, dst_wh)
+        eng = SearchEngine(spark, Catalog(dst_wh))
+        return _hits_as_orig_ids(eng.search(None, "spark", limit=10))
+
     def ft_expr_sort(spark, sf):
         # lucene-expressions sort: rank OR(join, hash) by the compiled
         # expression 0.5*_score + 2*ln(1+dl) (round 4) — the expression
@@ -1716,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_lmdirichlet=ft_lmdirichlet, ft_lmjm=ft_lmjm, ft_dfr=ft_dfr,
              ft_ib=ft_ib,
              ft_simple_qp=ft_simple_qp, ft_expr_sort=ft_expr_sort,
+             ft_replica_search=ft_replica_search,
              ft_span_first=ft_span_first, ft_span_range=ft_span_range,
              ft_terms_set=ft_terms_set, ft_span_or=ft_span_or,
              ft_span_not=ft_span_not,
@@ -1925,7 +1943,7 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_simple_qp", "ft_classify_nb", "ft_classify_knn",
         "ft_geo_distance", "ft_expr_sort", "ft_suggest_infix",
         "ft_drill_sideways", "ft_block_join_child", "text_suggest_free",
-        "ft_explain", "ft_fuzzy_gram",
+        "ft_replica_search", "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
@@ -1960,6 +1978,8 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["ft_term_topk"] = _bm25_or_sql(["spark"], 10)
+    # the replica must rank/score EXACTLY like the source index
+    o["ft_replica_search"] = _bm25_or_sql(["spark"], 10)
     o["ft_or_topk"] = _bm25_or_sql(["join", "hash", "merge"], 10)
 
     o["ft_and"] = f"""
