@@ -1767,6 +1767,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _documents(spark, sf).withColumn("content", F.expr(_IDENT_EXPR_SPARK))
         return identifier_stats(d, top_k=20)
 
+    def code_winnow_pairs(spark, sf):
+        # MOSS winnowing (Schleimer et al.) over the pseudo-code corpus:
+        # license headers are the shared boilerplate, so clone-candidate
+        # pairs are the same-license families; doc_id < 120 bounds the
+        # pair count identically at every SF
+        from lucene_plugin_spark.ops.code import winnow_clone_pairs
+        d = (_documents(spark, sf).where(F.col("doc_id") < 120)
+             .withColumn("content", _code_text_col()))
+        return winnow_clone_pairs(d, k=5, w=4, min_shared=2)
+
     def text_tfidf_sim(spark, sf):
         from lucene_plugin_spark.ops.similarity import tfidf_pairs
         return tfidf_pairs(_documents(spark, sf), "doc_id", "text",
@@ -1875,7 +1885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    q.update(code_license=code_license, code_comments=code_comments,
+    q.update(code_winnow_pairs=code_winnow_pairs,
+             code_license=code_license, code_comments=code_comments,
              code_identifiers=code_identifiers, text_tfidf_sim=text_tfidf_sim,
              ft_index_sort=ft_index_sort, stream_dedup=stream_dedup,
              ft_multi_phrase=ft_multi_phrase, ft_percolate=ft_percolate,
@@ -1943,7 +1954,8 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_simple_qp", "ft_classify_nb", "ft_classify_knn",
         "ft_geo_distance", "ft_expr_sort", "ft_suggest_infix",
         "ft_drill_sideways", "ft_block_join_child", "text_suggest_free",
-        "ft_replica_search", "ft_explain", "ft_fuzzy_gram",
+        "ft_replica_search", "code_winnow_pairs",
+        "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
@@ -3663,6 +3675,37 @@ ORDER BY score DESC, idx, doc_id LIMIT 10
 """
 
     # ---- round-3 ninth block: code curation + sparse TF-IDF similarity ----
+
+    # MOSS winnowing: k=5-gram md5-60bit hashes, w=4 rightmost-min windows
+    # (max(i) at the min realizes the rightmost tie rule), distinct
+    # fingerprints per doc, pair count = |shared fingerprint values|
+    o["code_winnow_pairs"] = f"""
+WITH {_CODE_CTE},
+t AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(content), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM code WHERE doc_id < 120),
+g AS (SELECT doc_id, s AS i,
+             {md5_long_sql("array_to_string(list_slice(toks, s, s + 4), ' ')")} AS h
+      FROM t, UNNEST(generate_series(1, greatest(len(toks) - 4, 0))) u(s)),
+n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+wnd AS (SELECT doc_id, s
+        FROM n, UNNEST(generate_series(1, greatest(ng - 3, 1))) u(s)),
+cand AS (SELECT w.doc_id, w.s, g.i, g.h
+         FROM wnd w JOIN g ON g.doc_id = w.doc_id
+                           AND g.i >= w.s AND g.i < w.s + 4),
+mn AS (SELECT doc_id, s, min(h) AS mh FROM cand GROUP BY 1, 2),
+sel AS (SELECT c.doc_id, mn.mh AS fp
+        FROM cand c JOIN mn ON c.doc_id = mn.doc_id AND c.s = mn.s
+                            AND c.h = mn.mh
+        GROUP BY c.doc_id, mn.s, mn.mh),
+fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*)::bigint AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2 ORDER BY id_a, id_b
+"""
 
     o["code_license"] = f"""
 WITH {_CODE_CTE},

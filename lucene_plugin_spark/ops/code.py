@@ -94,3 +94,79 @@ def identifier_stats(df: DataFrame, text_col: str = "content",
     toks = df.select(F.explode(split_identifiers(F.col(text_col))).alias("term"))
     return (toks.groupBy("term").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("term")).limit(top_k))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "content", k: int = 5,
+                        w: int = 4) -> DataFrame:
+    """(id, pos, fp): WINNOWING document fingerprints (Schleimer, Wilkerson
+    & Aiken, SIGMOD 2003 — the MOSS code-clone algorithm): hash every
+    token ``k``-gram, slide a window of ``w`` consecutive hashes, keep each
+    window's minimum (RIGHTMOST minimum on ties — robust winnowing), and
+    deduplicate selections.  Guarantees: any shared token run of length
+    >= ``w + k - 1`` yields a shared fingerprint, and the fingerprint
+    density is ~2/(w+1) of grams — boilerplate-scale clone detection
+    without storing every gram.
+
+    Scale shape: the entire selection runs INSIDE one projection with
+    higher-order array functions (k-gram hashes, per-window slices,
+    rightmost-min via reversed array_position) — per-row compute, no
+    shuffle, no Python; only the exploded (id, pos, fp) rows leave the
+    map stage.  Docs with fewer than ``k`` tokens produce nothing; docs
+    with fewer than ``w`` grams produce the single all-gram window's min,
+    the standard short-document degradation.
+    """
+    from lucene_plugin_spark.ops.dedup import TOKEN_SPLIT_RE
+    if k < 1 or w < 1:
+        raise ValueError(f"need k >= 1 and w >= 1, got k={k} w={w}")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+                    lambda x: x != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    ng = F.size("toks") - (k - 1)
+
+    def gram_hash(i):
+        gram = F.concat_ws(" ", F.slice("toks", i, k))
+        return (F.conv(F.substring(F.md5(gram), 1, 15), 16, 10)
+                .cast("long"))
+
+    hs = F.when(ng >= 1, F.transform(F.sequence(F.lit(1), ng), gram_hash)) \
+        .otherwise(F.array().cast("array<long>"))
+    base = base.select("id", hs.alias("hs"))
+    nh = F.size("hs")
+    nw = F.greatest(nh - (w - 1), F.least(nh, F.lit(1)))
+
+    def pick(s):
+        sl = F.slice("hs", s, w)
+        mn = F.array_min(sl)
+        posrev = F.array_position(F.reverse(sl), mn)
+        return F.struct((s + F.size(sl) - posrev).alias("pos"),
+                        mn.alias("fp"))
+
+    sel = F.when(nh >= 1, F.array_distinct(
+        F.transform(F.sequence(F.lit(1), nw), pick))) \
+        .otherwise(F.array().cast("array<struct<pos:int,fp:long>>"))
+    return (base.select("id", F.explode(sel).alias("s"))
+            .select("id", F.col("s.pos").alias("pos"),
+                    F.col("s.fp").alias("fp")))
+
+
+def winnow_clone_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "content", k: int = 5, w: int = 4,
+                       min_shared: int = 2) -> DataFrame:
+    """(id_a, id_b, n_shared): candidate clone pairs — docs sharing at
+    least ``min_shared`` distinct winnowing fingerprints (each shared
+    fingerprint witnesses a shared token run; >= 2 rules out single-gram
+    coincidences).  The pair join is an equi-join on the fingerprint value
+    — O(matching fingerprints), never an all-pairs product — followed by
+    one map-side-combined count; skewed fingerprints (megaboilerplate) are
+    AQE skew-join territory exactly like the dedup band joins."""
+    fps = (winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+           .select("id", "fp").distinct())
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (a.join(b, "fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            .where(F.col("n_shared") >= int(min_shared))
+            .orderBy("id_a", "id_b"))

@@ -83,3 +83,77 @@ def test_tfidf_pairs_prunes_hot_terms(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert tfidf_pairs(df, "doc_id", "text", max_df=3, min_sim=0.0,
                        top_k=10).count() == 0
+
+
+# ------------------------------------------------------------- winnowing
+def _py_winnow(text, k=5, w=4):
+    """Exact Python mirror of winnow_fingerprints: md5-60bit k-gram hashes,
+    rightmost-min windows, distinct (pos, fp)."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"[^a-zA-Z0-9]+", text.lower()) if t]
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    if not hs:
+        return set()
+    sel = set()
+    nw = max(len(hs) - w + 1, 1)
+    for s in range(nw):
+        sl = hs[s:s + w]
+        mn = min(sl)
+        pos = s + max(i for i, h in enumerate(sl) if h == mn)
+        sel.add((pos + 1, mn))          # 1-based like the engine
+    return sel
+
+
+def test_winnow_fingerprints_vs_python(spark):
+    from lucene_plugin_spark.ops.code import winnow_fingerprints
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely different words live in this document here now ok"),
+        (3, "short doc"),                      # < k tokens -> no grams
+        (4, "exactly five tokens here now"),   # 1 gram < w -> single window
+        (5, "a b c d e f"),                    # 2 grams < w
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, content string")
+    got = {}
+    for r in winnow_fingerprints(df, k=5, w=4).collect():
+        got.setdefault(r["id"], set()).add((r["pos"], r["fp"]))
+    for i, t in texts:
+        want = _py_winnow(t)
+        assert got.get(i, set()) == want, i
+    assert 3 not in got and got[4] and got[5]
+    # identical docs -> identical fingerprints (the clone guarantee)
+    assert got[0] == got[1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0).collect()
+
+
+def test_winnow_clone_pairs(spark):
+    from lucene_plugin_spark.ops.code import winnow_clone_pairs
+    boiler = ("permission is hereby granted free of charge to any person "
+              "obtaining a copy of this software")
+    rows = [
+        (0, boiler + " alpha beta gamma delta"),
+        (1, boiler + " epsilon zeta eta theta"),
+        (2, "nothing in common with anybody else at all in this one text"),
+        (3, boiler + " alpha beta gamma delta"),   # exact clone of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in winnow_clone_pairs(df, min_shared=2).collect()}
+    # boilerplate family pairs present, the unrelated doc in none
+    assert (0, 1) in got and (0, 3) in got and (1, 3) in got
+    assert not any(2 in p for p in got)
+    # the exact clone shares every fingerprint; the boilerplate-only pair
+    # shares strictly fewer
+    assert got[(0, 3)] == len(_py_winnow(rows[0][1]) | set()) - 0 \
+        or got[(0, 3)] == len({f for _, f in _py_winnow(rows[0][1])})
+    assert got[(0, 1)] < got[(0, 3)]
+    # brute-force count identity for every pair
+    fps = {i: {f for _, f in _py_winnow(t)} for i, t in rows}
+    for (a, b), n in got.items():
+        assert n == len(fps[a] & fps[b]), (a, b)
