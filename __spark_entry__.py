@@ -663,6 +663,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               .otherwise(F.col("facet")))
                 .orderBy("facet", "value"))
 
+    def ft_passages(spark, sf):
+        # PostingsHighlighter analogue: best idf-weighted 16-token passage
+        # per top-10 hit, snippet = the winning word window
+        from lucene_plugin_spark.query.results import best_passages
+        _, eng = _engine(spark, sf)
+        out = best_passages(eng, None, ["spark", "join"], width=16,
+                            limit=10)
+        return (out.select(
+                    F.col("path").cast("int").cast("bigint").alias("doc_id"),
+                    "passage", F.round("p_score", 6).alias("p_score"),
+                    "snippet")
+                .orderBy("doc_id"))
+
     def ft_drill_sideways(spark, sf):
         # DrillSideways (lucene-facet): drilled dim counts drop their own
         # filter, un-drilled dims count over the drilled-down set
@@ -694,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_spellcheck_gram=ft_spellcheck_gram,
              ft_fuzzy_gram=ft_fuzzy_gram, ft_wildcard_gram=ft_wildcard_gram,
              ft_facets=ft_facets, ft_drill_sideways=ft_drill_sideways,
+             ft_passages=ft_passages,
              ft_group_topk=ft_group_topk)
 
     def ft_span_near(spark, sf):  # SpanNearQuery analogue, unordered slop=3
@@ -1954,7 +1968,7 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_simple_qp", "ft_classify_nb", "ft_classify_knn",
         "ft_geo_distance", "ft_expr_sort", "ft_suggest_infix",
         "ft_drill_sideways", "ft_block_join_child", "text_suggest_free",
-        "ft_replica_search", "code_winnow_pairs",
+        "ft_replica_search", "code_winnow_pairs", "ft_passages",
         "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
@@ -2211,6 +2225,32 @@ WITH {_TOK}
 SELECT term, sum(tf)::bigint AS cf
 FROM tf WHERE term LIKE 's%'
 GROUP BY term ORDER BY cf DESC, term LIMIT 10
+"""
+
+    # PostingsHighlighter analogue: passage = floor(pos/16) over analyzed
+    # positions (pre-stop ordinals), score = Σ idf per occurrence,
+    # rightmost tie goes to the EARLIEST passage, snippet = word slice
+    o["ft_passages"] = f"""
+WITH {_TOK},
+idf AS (SELECT term, ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) AS idf
+        FROM dfx CROSS JOIN st WHERE term IN ('spark', 'join')),
+base AS (SELECT tf.doc_id, sum({_BM25}) AS score
+         FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         WHERE tf.term IN ('spark', 'join') GROUP BY tf.doc_id),
+topk AS (SELECT doc_id FROM base ORDER BY score DESC, doc_id LIMIT 10),
+occ AS (SELECT t.doc_id, CAST(floor(t.pos / 16.0) AS int) AS passage, i.idf
+        FROM tok t JOIN idf i ON t.term = i.term JOIN topk USING (doc_id)),
+ps AS (SELECT doc_id, passage, sum(idf) AS p_score FROM occ GROUP BY 1, 2),
+rk AS (SELECT doc_id, passage, p_score,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY p_score DESC, passage) AS r
+       FROM ps),
+best AS (SELECT doc_id, passage, p_score FROM rk WHERE r = 1)
+SELECT b.doc_id, b.passage, round(b.p_score, 6) AS p_score,
+       array_to_string(list_slice(string_split(d.text, ' '),
+                                  b.passage * 16 + 1, b.passage * 16 + 16),
+                       ' ') AS snippet
+FROM best b JOIN documents d USING (doc_id) ORDER BY b.doc_id
 """
 
     # DrillSideways: 'lang' counts ignore the lang drill (sideways — the

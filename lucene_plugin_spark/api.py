@@ -273,6 +273,22 @@ class LuceneFacade:
         return [(r["term"], r["cf"])
                 for r in eng.suggest(prefix, limit=limit).collect()]
 
+    def search_passages(self, collection: str, terms: list[str],
+                        width: int = 16, limit: int = 10) -> list[dict]:
+        """Best-passage highlighting (PostingsHighlighter analogue):
+        [{'id', 'externalId', 'passage', 'score', 'snippet'}] — the top
+        idf-weighted ``width``-token window per top-``limit`` hit."""
+        from lucene_plugin_spark.query.results import best_passages
+        self._check(collection, "collection")
+        eng = self._live_engine()
+        if eng is None or not terms:
+            return []
+        out = best_passages(eng, sanitize_collection(collection), terms,
+                            width=width, limit=limit)
+        return [{"id": r["doc_id"], "externalId": r["path"],
+                 "passage": r["passage"], "score": r["p_score"],
+                 "snippet": r["snippet"]} for r in out.collect()]
+
     def drill_sideways(self, collection: str, query: str,
                        drill: dict[str, str],
                        facets: list[str]) -> list[dict]:

@@ -87,6 +87,76 @@ def facet_counts(engine, hits: DataFrame,
     return out.orderBy("facet", "value")
 
 
+def best_passages(engine, repo, terms: list[str], field: str = "text",
+                  width: int = 16, limit: int = 10) -> DataFrame:
+    """Best-passage extraction (``PostingsHighlighter`` /
+    ``UnifiedHighlighter`` analogue): for each of the query's top
+    ``limit`` docs, rank PASSAGES — fixed ``width``-token windows over the
+    document — by the summed idf-weighted occurrence count of the query
+    terms inside the window, and return the winning window with its text.
+    Lucene's PassageScorer reads term positions/offsets straight off the
+    postings; ours reads the SAME per-doc position arrays the phrase
+    scorer decodes, so no re-analysis happens — the passage index is
+    ``floor(position / width)`` and the snippet is the corresponding word
+    slice of the stored text.
+
+    Scorer: ``score(passage) = Σ_t idf(t) · occurrences_t(passage)`` (the
+    linear-tf instance of the PassageScorer family), tie-break earliest
+    passage.  Returns DataFrame(doc_id, path, passage, p_score, snippet)
+    ordered by the base ranking.
+
+    Scale shape: positions come from the term-pruned postings scan
+    semi-joined to the broadcast top-k docIDs (k rows, never the corpus);
+    the snippet join broadcasts the k winners against the stored docs
+    table — the S7 stored-field-fetch pattern, same as :func:`highlight`.
+    """
+    from lucene_plugin_spark.index.builder import flat_postings_view
+    from lucene_plugin_spark.query import bm25
+    toks = sorted({t.lower() for t in terms if t})
+    hits = engine.search(repo, " ".join(toks), limit=limit)
+    k = hits.select("doc_id", "path", "score")
+    stats = engine._field_stats()
+    n_docs, _avgdl = stats.get(field, (0.0, 1.0))
+    dfs = engine._df_for_pairs([(field, t) for t in toks])
+    idf = {t: float(bm25.idf(float(dfs.get((field, t), 0.0)), n_docs))
+           for t in toks if dfs.get((field, t))}
+    if not idf or n_docs == 0.0:
+        return engine.spark.createDataFrame(
+            [], "doc_id long, path string, passage int, p_score double, "
+                "snippet string")
+    idf_df = engine.spark.createDataFrame(
+        list(idf.items()), "term string, idf double")
+    flat = (flat_postings_view(engine.spark, engine.catalog,
+                               terms=sorted(idf))
+            .where(F.col("field") == field)
+            .join(F.broadcast(k.select("doc_id")), "doc_id")
+            .join(F.broadcast(idf_df), "term"))
+    occ = flat.select(
+        "doc_id", "idf",
+        F.explode("positions").alias("pos"))
+    scored = (occ.withColumn("passage",
+                             F.floor(F.col("pos") / width).cast("int"))
+              .groupBy("doc_id", "passage")
+              .agg(F.sum("idf").alias("p_score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("p_score"),
+                                             F.asc("passage"))
+    best = (scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1).select("doc_id", "passage", "p_score"))
+    docs = engine.catalog.table("docs").read(engine.spark)
+    j = (docs.select("repo", "path", F.col("content").alias("_content"))
+         .join(F.broadcast(
+             k.join(best, "doc_id")
+             .join(_docs_meta(engine, ["repo"]), "doc_id")),
+             ["repo", "path"]))
+    words = F.split(F.col("_content"), " ")
+    snip = F.concat_ws(
+        " ", F.slice(words, F.col("passage") * width + 1, width))
+    return (j.select("doc_id", "path", "passage", "p_score",
+                     snip.alias("snippet"), "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .drop("score"))
+
+
 def drill_sideways(engine, hits: DataFrame, drill: dict[str, str],
                    facets: list[str]) -> DataFrame:
     """``DrillSideways`` (lucene-facet): facet counts for a base match set

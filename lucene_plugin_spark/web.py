@@ -71,6 +71,13 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                         out = facade.suggest(q.get("prefix", ""),
                                              int(q.get("limit", 10)))
                     self._reply(200, [{"term": t, "cf": c} for t, c in out])
+                elif u.path == "/lucene/passages":
+                    terms = [t for t in q.get("terms", "").split(",") if t]
+                    with lock:
+                        self._reply(200, facade.search_passages(
+                            q.get("collection", ""), terms,
+                            int(q.get("width", 16)),
+                            int(q.get("limit", 10))))
                 elif u.path == "/lucene/drill-sideways":
                     drill = dict(kv.split(":", 1) for kv in
                                  q.get("drill", "").split(",") if ":" in kv)

@@ -10,7 +10,8 @@ from lucene_plugin_spark.analysis.tokenizer import tokenize_text
 from lucene_plugin_spark.corpus import generate_rows
 from lucene_plugin_spark.index.builder import IndexBuilder
 from lucene_plugin_spark.query.executor import SearchEngine
-from lucene_plugin_spark.query.results import (drill_down_hits,
+from lucene_plugin_spark.query.results import (best_passages,
+                                               drill_down_hits,
                                                drill_sideways, facet_counts,
                                                group_top_k, highlight)
 from lucene_plugin_spark.storage.catalog import Catalog
@@ -101,6 +102,42 @@ def test_suggest_infix_matches_brute_cf(spark, built):
                  for r in eng.suggest_infix("nde", limit=10).collect()]
     assert eng.suggest_infix("zzqx", limit=10).count() == 0
     assert eng.suggest_infix("", limit=10).count() == 0
+
+
+# ------------------------------------------------------------ best passages
+def test_best_passages_vs_brute(spark, built):
+    import math
+
+    from lucene_plugin_spark.query import bm25
+    eng = _engine(spark, built)
+    catalog, rows = built
+    terms, width, k = ["index", "query"], 16, 10
+    got = {r["doc_id"]: (r["passage"], round(r["p_score"], 9), r["snippet"])
+           for r in best_passages(eng, None, terms, width=width,
+                                  limit=k).collect()}
+    # brute force over the same analyzed positions + raw word slices
+    by_path = {r["path"]: r["content"] for r in rows}
+    hits = [(r["doc_id"], r["path"]) for r in
+            eng.search(None, "index query", limit=k).collect()]
+    n_docs = len(rows)
+    dfs = {t: sum(1 for r in rows
+                  if t in {x for x, _ in tokenize_text(r["content"])})
+           for t in terms}
+    idf = {t: float(bm25.idf(float(d), float(n_docs)))
+           for t, d in dfs.items() if d}
+    assert got and set(got) == {d for d, _ in hits}
+    for doc_id, path in hits:
+        content = by_path[path]
+        scores = {}
+        for t, pos in tokenize_text(content):
+            if t in idf:
+                scores[pos // width] = scores.get(pos // width, 0.0) + idf[t]
+        want_p = min(sorted(scores, key=lambda p: (-scores[p], p))[:1])
+        words = content.split(" ")
+        want_snip = " ".join(words[want_p * width:(want_p + 1) * width])
+        gp, gs, gsnip = got[doc_id]
+        assert gp == want_p and gsnip == want_snip, doc_id
+        assert math.isclose(gs, round(scores[want_p], 9), rel_tol=1e-9)
 
 
 # ------------------------------------------------------------ drill-sideways
