@@ -1415,6 +1415,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              "n_chars", "doc_id")
                 .select("doc_id", "lang", "n_chars"))
 
+    def sample_temperature(spark, sf):
+        # temperature-resampled data mix (p_g ∝ n_g^0.5): per-lang quotas
+        # filled by seeded-hash rank — deterministic, partition-independent
+        from lucene_plugin_spark.ops import sampling as S
+        return (S.temperature_sample(_documents(spark, sf), 100, alpha=0.5,
+                                     group_col="lang", seed=17)
+                .select("doc_id", "lang").orderBy("doc_id"))
+
+    q.update(sample_temperature=sample_temperature)
     q.update(sample_hash=sample_hash, sample_stratified=sample_stratified,
              sample_split=sample_split, sample_quota=sample_quota)
 
@@ -1969,7 +1978,7 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_geo_distance", "ft_expr_sort", "ft_suggest_infix",
         "ft_drill_sideways", "ft_block_join_child", "text_suggest_free",
         "ft_replica_search", "code_winnow_pairs", "ft_passages",
-        "ft_explain", "ft_fuzzy_gram",
+        "sample_temperature", "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
@@ -3168,6 +3177,23 @@ SELECT term, CAST(tf AS bigint) AS tf FROM tf WHERE doc_id = 7 ORDER BY term
     def _bkt(seed):
         from lucene_plugin_spark.ops.hashing import md5_long_sql as _m
         return f"{_m('cast(doc_id as varchar)', seed=seed)} % 1000000"
+
+    # temperature resampling: quota_g = min(floor(100 * n^0.5 / Σ n^0.5),
+    # n_g), filled by seeded-hash rank (hash asc, doc_id asc)
+    o["sample_temperature"] = f"""
+WITH c AS (SELECT lang, count(*)::double AS n FROM documents GROUP BY 1),
+w AS (SELECT lang, n, pow(n, 0.5) AS w FROM c),
+q AS (SELECT lang,
+             least(CAST(floor(100.0 * w / (SELECT sum(w) FROM w)) AS bigint),
+                   CAST(n AS bigint)) AS quota
+      FROM w),
+r AS (SELECT d.doc_id, d.lang,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY {_bkt(17)}, d.doc_id) AS rk
+      FROM documents d)
+SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+WHERE r.rk <= q.quota ORDER BY r.doc_id
+"""
 
     o["sample_hash"] = f"""
 SELECT doc_id, lang FROM documents

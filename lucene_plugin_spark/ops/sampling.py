@@ -111,3 +111,38 @@ def hash_sample_sql(fraction: float, key_expr: str = "doc_id",
                     seed: int = 42) -> str:
     """DuckDB predicate equivalent of :func:`hash_sample`'s filter."""
     return f"{_bucket_sql(key_expr, seed)} < {int(fraction * SAMPLE_MOD)}"
+
+
+def temperature_sample(df: DataFrame, n_target: int, alpha: float = 0.5,
+                       group_col: str = "lang", key_col: str = "doc_id",
+                       seed: int = 17) -> DataFrame:
+    """Temperature-resampled corpus mix: per-group quotas proportional to
+    ``n_g ** alpha`` — the multilingual/data-mixing sampling rule
+    (``p_g ∝ n_g^α``, α<1 upsamples the tail relative to raw frequency;
+    mT5/XLM-R style), realized DETERMINISTICALLY: quota_g =
+    ``min(floor(n_target · w_g / Σw), n_g)`` and the group's quota is
+    filled by seeded-hash rank (hash asc, key asc) — retry-stable and
+    partition-independent like every sampler here, no ``rand()``.
+
+    Scale shape: the group-size aggregate and quota computation are a
+    |groups|-row frame broadcast back onto the corpus; the in-group rank
+    is ONE window shuffle on the group key (the same shape as
+    :func:`quota_topk`, and the same skew note applies).
+    """
+    from pyspark.sql.window import Window
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    w_col = F.pow(F.col("_n").cast("double"), float(alpha))
+    weights = counts.withColumn("_w", w_col)
+    tot = weights.agg(F.sum("_w").alias("_tw"))
+    quotas = (weights.crossJoin(F.broadcast(tot))
+              .select(group_col,
+                      F.least(
+                          F.floor(F.lit(float(n_target)) * F.col("_w")
+                                  / F.col("_tw")).cast("long"),
+                          F.col("_n")).alias("_quota")))
+    rk = Window.partitionBy(group_col).orderBy(
+        _bucket(key_col, seed).asc(), F.asc(key_col))
+    return (df.join(F.broadcast(quotas), group_col)
+            .withColumn("_r", F.row_number().over(rk))
+            .where(F.col("_r") <= F.col("_quota"))
+            .drop("_r", "_quota"))

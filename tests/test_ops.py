@@ -483,3 +483,47 @@ def test_token_entropy(spark):
     assert abs(out[1]["entropy"] - math.log(4)) < 1e-6   # uniform over 4
     assert abs(out[2]["entropy"] - math.log(2)) < 1e-6   # two 50/50 tokens
     assert out[0]["n_tokens"] == 4
+
+
+def test_temperature_sample_quotas_and_determinism(spark):
+    import hashlib
+    import math
+
+    from lucene_plugin_spark.ops.sampling import (SAMPLE_MOD,
+                                                  temperature_sample)
+    # skewed groups: en dominates, zz is tiny
+    sizes = {"en": 600, "de": 150, "fr": 40, "zz": 5}
+    rows, i = [], 0
+    for g, n in sorted(sizes.items()):
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    n_target, alpha, seed = 200, 0.5, 17
+    out = temperature_sample(df, n_target, alpha=alpha, seed=seed).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    # exact python mirror
+    w = {g: n ** alpha for g, n in sizes.items()}
+    tw = sum(w.values())
+    quota = {g: min(int(math.floor(n_target * w[g] / tw)), sizes[g])
+             for g in sizes}
+    assert {g: len(s) for g, s in got.items()} == \
+           {g: q for g, q in quota.items() if q > 0}
+    # alpha < 1 flattens the mix: the dominant group's SHARE shrinks,
+    # the tail group's grows, vs raw-frequency sampling
+    assert quota["en"] / n_target < sizes["en"] / sum(sizes.values())
+    assert quota["fr"] / n_target > sizes["fr"] / sum(sizes.values())
+    # selection is the seeded-hash rank, mirrored exactly
+    def bucket(doc_id):
+        h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:15]
+        return int(h, 16) % SAMPLE_MOD
+    for g in got:
+        ids = [i for i, gg in rows if gg == g]
+        want = set(sorted(ids, key=lambda d: (bucket(d), d))[:quota[g]])
+        assert got[g] == want, g
+    # partition-independent
+    out2 = temperature_sample(df.repartition(13), n_target, alpha=alpha,
+                              seed=seed).collect()
+    assert {(r["doc_id"]) for r in out2} == {(r["doc_id"]) for r in out}
