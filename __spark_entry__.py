@@ -663,6 +663,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               .otherwise(F.col("facet")))
                 .orderBy("facet", "value"))
 
+    def ft_surround(spark, sf):
+        # surround query language: explicit AND over a term and an
+        # unordered distance-3 span (slop 2); untruncated row set
+        from lucene_plugin_spark.query.surround import surround_search
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(surround_search(
+            eng, None, "spark AND 3N(join, table)", limit=1_000_000))
+
     def ft_passages(spark, sf):
         # PostingsHighlighter analogue: best idf-weighted 16-token passage
         # per top-10 hit, snippet = the winning word window
@@ -707,7 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_spellcheck_gram=ft_spellcheck_gram,
              ft_fuzzy_gram=ft_fuzzy_gram, ft_wildcard_gram=ft_wildcard_gram,
              ft_facets=ft_facets, ft_drill_sideways=ft_drill_sideways,
-             ft_passages=ft_passages,
+             ft_passages=ft_passages, ft_surround=ft_surround,
              ft_group_topk=ft_group_topk)
 
     def ft_span_near(spark, sf):  # SpanNearQuery analogue, unordered slop=3
@@ -1978,7 +1986,8 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_geo_distance", "ft_expr_sort", "ft_suggest_infix",
         "ft_drill_sideways", "ft_block_join_child", "text_suggest_free",
         "ft_replica_search", "code_winnow_pairs", "ft_passages",
-        "sample_temperature", "ft_explain", "ft_fuzzy_gram",
+        "sample_temperature", "ft_surround",
+        "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
@@ -2234,6 +2243,31 @@ WITH {_TOK}
 SELECT term, sum(tf)::bigint AS cf
 FROM tf WHERE term LIKE 's%'
 GROUP BY term ORDER BY cf DESC, term LIMIT 10
+"""
+
+    # surround: Bool(must=(spark, span_near(join, table, slop=2,
+    # unordered))) — score = bm25(spark) + blended span score (anchor =
+    # first term's occurrences, displacement <= slop, 1/(1+d) sloppyFreq)
+    o["ft_surround"] = f"""
+WITH {_TOK},
+p0 AS (SELECT doc_id, pos FROM tok WHERE term = 'join'),
+p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+anch AS (SELECT p0.doc_id, p0.pos, min(abs(p1.pos - p0.pos))::double AS d
+         FROM p0 JOIN p1 USING (doc_id) GROUP BY p0.doc_id, p0.pos),
+ph AS (SELECT doc_id, sum(1.0 / (1.0 + d)) AS ptf
+       FROM anch WHERE d <= 2 GROUP BY doc_id),
+idfs AS (SELECT sum(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)))
+           AS idf_sum
+         FROM dfx CROSS JOIN st WHERE dfx.term IN ('join', 'table')),
+sp AS (SELECT ph.doc_id,
+              idfs.idf_sum * ph.ptf * 2.2
+              / (ph.ptf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+       FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs),
+tq AS (SELECT tf.doc_id, {_BM25} AS s
+       FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       WHERE tf.term = 'spark')
+SELECT sp.doc_id, round(sp.s + tq.s, 6) AS score
+FROM sp JOIN tq USING (doc_id) ORDER BY score DESC, sp.doc_id
 """
 
     # PostingsHighlighter analogue: passage = floor(pos/16) over analyzed

@@ -273,6 +273,20 @@ class LuceneFacade:
         return [(r["term"], r["cf"])
                 for r in eng.suggest(prefix, limit=limit).collect()]
 
+    def search_surround(self, collection: str, query: str,
+                        limit: int = 255) -> list[LuceneEntry]:
+        """Surround query language (queryparser ``surround`` package):
+        explicit ``AND``/``OR``/``NOT`` plus ``3N(a,b)`` / ``3W(a,b)``
+        span-distance operators, strict grammar."""
+        from lucene_plugin_spark.query.surround import surround_search
+        self._check(collection, "collection")
+        self._check(query, "query")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return self._entries(surround_search(
+            eng, sanitize_collection(collection), query, limit=limit))
+
     def search_passages(self, collection: str, terms: list[str],
                         width: int = 16, limit: int = 10) -> list[dict]:
         """Best-passage highlighting (PostingsHighlighter analogue):

@@ -71,6 +71,14 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                         out = facade.suggest(q.get("prefix", ""),
                                              int(q.get("limit", 10)))
                     self._reply(200, [{"term": t, "cf": c} for t, c in out])
+                elif u.path == "/lucene/search-surround":
+                    with lock:
+                        hits = facade.search_surround(
+                            q.get("collection", ""), q.get("query", ""),
+                            int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
                 elif u.path == "/lucene/passages":
                     terms = [t for t in q.get("terms", "").split(",") if t]
                     with lock:
