@@ -1494,7 +1494,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
                           "frame_sha256")
 
-    q.update(mm_features=mm_features, mm_resize=mm_resize, mm_frames=mm_frames)
+    def mm_phash(spark, sf):
+        # perceptual average-hash over the REAL decoded 16x8 rasters:
+        # 8x4 block grid, bit = 32*block_sum > total_sum (integer-exact,
+        # no float mean boundaries), fake=False end-to-end
+        from lucene_plugin_spark.ops.multimodal import image_ahash
+        out = image_ahash(_ppm_media(_documents(spark, sf)), fake=False)
+        return (out.select(F.col("media_id").alias("doc_id"), "ahash")
+                .orderBy("doc_id"))
+
+    q.update(mm_features=mm_features, mm_resize=mm_resize,
+             mm_frames=mm_frames, mm_phash=mm_phash)
 
     # ---- round-3 eighth block: advanced scoring family (QueryRescorer,
     # ConstantScoreQuery, FunctionScoreQuery, ClassicSimilarity, SpanFirst),
@@ -1986,7 +1996,7 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_geo_distance", "ft_expr_sort", "ft_suggest_infix",
         "ft_drill_sideways", "ft_block_join_child", "text_suggest_free",
         "ft_replica_search", "code_winnow_pairs", "ft_passages",
-        "sample_temperature", "ft_surround",
+        "sample_temperature", "ft_surround", "mm_phash",
         "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
@@ -3305,6 +3315,24 @@ WITH px AS (
 SELECT doc_id, u.ts::bigint AS frame_ts_ms,
        sha256(substr(p144, 1 + 48*(u.ts//1000), 48)) AS frame_sha256
 FROM px, UNNEST([0, 1000, 2000]) u(ts)
+"""
+
+    # perceptual aHash: pixel (y, x, c) = raster byte 48y + 3x + c; block
+    # bit (y//2)*8 + (x//2); integer comparison 32*block_sum > total
+    o["mm_phash"] = """
+WITH pay AS (
+  SELECT doc_id, rpad(substr(text, 1, 384), 384, ' ') AS px FROM documents),
+b AS (SELECT doc_id, u.i, ascii(substr(px, u.i + 1, 1))::bigint AS v
+      FROM pay, UNNEST(generate_series(0, 383)) u(i)),
+blk AS (SELECT doc_id,
+               ((i // 48) // 2) * 8 + ((i % 48) // 3) // 2 AS bit,
+               sum(v) AS bs
+        FROM b GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(v) AS ts FROM b GROUP BY 1)
+SELECT blk.doc_id,
+       sum(CASE WHEN 32 * blk.bs > tot.ts
+                THEN (1::bigint << blk.bit) ELSE 0 END)::bigint AS ahash
+FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id ORDER BY doc_id
 """
 
     o["tpch_q6"] = """

@@ -449,3 +449,72 @@ def synthetic_media(spark, n: int = 64, seed: int = 42,
             mime = "video/x-yuv4mpeg"
         rows.append((i, kind, mime, bytearray(payload), w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("ahash", LongType()),
+    StructField("n_bits", IntegerType()),
+])
+
+
+def image_ahash(media: DataFrame, blocks_x: int = 8, blocks_y: int = 4,
+                fake: bool = False) -> DataFrame:
+    """(media_id, ahash, n_bits): PERCEPTUAL average-hash over REAL decoded
+    rasters — the classic image near-dup fingerprint (block-mean aHash):
+    partition the image into ``blocks_y x blocks_x`` blocks, set bit
+    ``by*blocks_x + bx`` iff the block's mean exceeds the image mean.
+
+    The comparison is INTEGER-EXACT: with ``B = blocks_x * blocks_y``
+    equal-sized blocks, ``block_mean > image_mean`` iff
+    ``B * block_sum > total_sum`` — pure int64 arithmetic, so the hash is
+    bit-identical across engines and runs (no float mean boundaries).
+    Identical hashes = perceptual duplicates; Hamming neighbours are the
+    near-dups, and the pigeonhole block join (ops/dedup) applies to these
+    hashes exactly as it does to SimHash.
+
+    Scale shape: one ``mapInPandas`` decode pass over the (rebalanced)
+    binary column — the inherent per-payload Python of every real codec —
+    emitting 16 bytes per image; everything downstream is columnar.
+    Requires image dims divisible by the grid (raises otherwise);
+    non-image rows are ignored, unknown formats follow ``fake``.
+    """
+    imgs = media.where(F.col("kind") == "image")
+    nb = blocks_x * blocks_y
+    if nb > 63:
+        raise ValueError("grid must fit in an int64 hash (<= 63 bits)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "ahash", "n_bits")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                fmt = sniff_format(raw)
+                if fmt in ("ppm", "bmp"):
+                    px = decode_image(raw).astype(np.int64)
+                else:
+                    flat = _decode_stream(raw, "image", fake)
+                    if flat.size % 3:
+                        flat = flat[:flat.size - flat.size % 3]
+                    px = flat.astype(np.int64).reshape(-1, 1, 3)
+                h, w = px.shape[0], px.shape[1]
+                if h % blocks_y or w % blocks_x:
+                    raise ValueError(
+                        f"image {h}x{w} not divisible by the "
+                        f"{blocks_y}x{blocks_x} grid")
+                by, bx = h // blocks_y, w // blocks_x
+                sums = (px.reshape(blocks_y, by, blocks_x, bx, 3)
+                        .sum(axis=(1, 3, 4)))
+                total = int(px.sum())
+                bits = (nb * sums > total)
+                val = 0
+                for r in range(blocks_y):
+                    for c in range(blocks_x):
+                        if bits[r, c]:
+                            val |= 1 << (r * blocks_x + c)
+                rows["media_id"].append(mid)
+                rows["ahash"].append(val)
+                rows["n_bits"].append(nb)
+            yield pd.DataFrame(rows)
+
+    return imgs.mapInPandas(run, schema=AHASH_SCHEMA)

@@ -155,3 +155,43 @@ def test_real_pipeline_frame_sampling_seeks_y4m(spark):
             planar = np.ascontiguousarray(
                 decoded[fi].transpose(2, 0, 1)).tobytes()
             assert by_key[(mid, ts)] == hashlib.sha256(planar).hexdigest()
+
+
+def test_image_ahash_integer_exact(spark):
+    from lucene_plugin_spark.ops.multimodal import encode_bmp, image_ahash
+
+    def py_ahash(px, by=4, bx=8):
+        p = px.astype(np.int64)
+        h, w = p.shape[0], p.shape[1]
+        sums = p.reshape(by, h // by, bx, w // bx, 3).sum(axis=(1, 3, 4))
+        total = int(p.sum())
+        val = 0
+        for r in range(by):
+            for c in range(bx):
+                if by * bx * sums[r, c] > total:
+                    val |= 1 << (r * bx + c)
+        return val
+
+    imgs = [_px(8, 16, seed=s) for s in range(6)]
+    imgs.append(imgs[0].copy())               # exact perceptual duplicate
+    flat = np.full((8, 16, 3), 77, dtype=np.uint8)
+    imgs.append(flat)                         # uniform: every bit off (>)
+    rows = [(i, "image", "image/x-ms-bmp", bytearray(encode_ppm(px)
+             if i % 2 else encode_bmp(px)), 16, 8, None)
+            for i, px in enumerate(imgs)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, payload binary, "
+              "meta_width int, meta_height int, meta_duration_ms int")
+    got = {r["media_id"]: (r["ahash"], r["n_bits"])
+           for r in image_ahash(media).collect()}
+    for i, px in enumerate(imgs):
+        assert got[i] == (py_ahash(px), 32), i
+    assert got[0][0] == got[6][0]             # duplicate detected
+    assert got[7][0] == 0                     # strict > on the uniform image
+    # indivisible grid raises
+    bad = spark.createDataFrame(
+        [(0, "image", "m", bytearray(encode_ppm(_px(5, 7))), 7, 5, None)],
+        "media_id long, kind string, mime string, payload binary, "
+        "meta_width int, meta_height int, meta_duration_ms int")
+    with pytest.raises(Exception):
+        image_ahash(bad).collect()
