@@ -1503,8 +1503,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (out.select(F.col("media_id").alias("doc_id"), "ahash")
                 .orderBy("doc_id"))
 
+    def mm_audio_fp(spark, sf):
+        # sign-of-delta acoustic fingerprint over REAL RIFF/WAV payloads
+        # (44-byte header + 128 text bytes as PCM16 little-endian): the
+        # chunk walk, sample decode, and integer bit rule all gate-checked
+        import numpy as np
+
+        from lucene_plugin_spark.ops.multimodal import (audio_fingerprint,
+                                                        encode_wav)
+        hdr = encode_wav(np.zeros(64, dtype=np.int16))[:44]
+        d = _documents(spark, sf)
+        payload = F.concat(
+            F.lit(bytearray(hdr)),
+            F.encode(F.rpad(F.substring("text", 1, 128), 128, " "),
+                     "utf-8"))
+        media = d.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("audio").alias("kind"), F.lit("audio/wav").alias("mime"),
+            payload.alias("payload"),
+            F.lit(None).cast("int").alias("meta_width"),
+            F.lit(None).cast("int").alias("meta_height"),
+            F.lit(None).cast("int").alias("meta_duration_ms"))
+        out = audio_fingerprint(media, n_samples=64, fake=False)
+        return (out.select(F.col("media_id").alias("doc_id"), "afp")
+                .orderBy("doc_id"))
+
     q.update(mm_features=mm_features, mm_resize=mm_resize,
-             mm_frames=mm_frames, mm_phash=mm_phash)
+             mm_frames=mm_frames, mm_phash=mm_phash,
+             mm_audio_fp=mm_audio_fp)
 
     # ---- round-3 eighth block: advanced scoring family (QueryRescorer,
     # ConstantScoreQuery, FunctionScoreQuery, ClassicSimilarity, SpanFirst),
@@ -1996,7 +2022,7 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_geo_distance", "ft_expr_sort", "ft_suggest_infix",
         "ft_drill_sideways", "ft_block_join_child", "text_suggest_free",
         "ft_replica_search", "code_winnow_pairs", "ft_passages",
-        "sample_temperature", "ft_surround", "mm_phash",
+        "sample_temperature", "ft_surround", "mm_phash", "mm_audio_fp",
         "ft_explain", "ft_fuzzy_gram",
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
@@ -3333,6 +3359,23 @@ SELECT blk.doc_id,
        sum(CASE WHEN 32 * blk.bs > tot.ts
                 THEN (1::bigint << blk.bit) ELSE 0 END)::bigint AS ahash
 FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id ORDER BY doc_id
+"""
+
+    # acoustic fingerprint: PCM16 LE sample k = lo + 256*hi from text byte
+    # pair (2k, 2k+1); bit_i = s[i+1] > s[i] (ASCII < 128 keeps samples
+    # positive, the int16 sign never engages)
+    o["mm_audio_fp"] = """
+WITH pay AS (
+  SELECT doc_id, rpad(substr(text, 1, 128), 128, ' ') AS p FROM documents),
+s AS (SELECT doc_id, u.k,
+             ascii(substr(p, 2*u.k + 1, 1))
+             + 256 * ascii(substr(p, 2*u.k + 2, 1)) AS v
+      FROM pay, UNNEST(generate_series(0, 63)) u(k)),
+b AS (SELECT a.doc_id,
+             CASE WHEN nx.v > a.v THEN (1::bigint << a.k) ELSE 0 END AS bit
+      FROM s a JOIN s nx ON a.doc_id = nx.doc_id AND nx.k = a.k + 1)
+SELECT doc_id, sum(bit)::bigint AS afp FROM b GROUP BY doc_id
+ORDER BY doc_id
 """
 
     o["tpch_q6"] = """

@@ -518,3 +518,62 @@ def image_ahash(media: DataFrame, blocks_x: int = 8, blocks_y: int = 4,
             yield pd.DataFrame(rows)
 
     return imgs.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("afp", LongType()),
+    StructField("n_bits", IntegerType()),
+])
+
+
+def audio_fingerprint(media: DataFrame, n_samples: int = 64,
+                      fake: bool = False) -> DataFrame:
+    """(media_id, afp, n_bits): sign-of-delta acoustic fingerprint over
+    REAL decoded PCM — the integer-exact audio analogue of
+    :func:`image_ahash` (the spectral-delta bit rule of Chromaprint/
+    Shazam-style fingerprints reduced to the time domain, which needs no
+    FFT dependency): uniformly stride ``n_samples`` samples from the
+    decoded stream and set bit ``i`` iff ``s[i+1] > s[i]`` — pure int16
+    comparisons, so the fingerprint is bit-identical across engines and
+    runs.  ``n_samples - 1`` bits must fit an int64.
+
+    Identical fingerprints = same coarse waveform shape; Hamming
+    neighbours via the pigeonhole block join, like the image and SimHash
+    paths.  One ``mapInPandas`` decode (RIFF chunk walk) per payload.
+    """
+    if not (2 <= n_samples <= 64):
+        raise ValueError(f"n_samples must be 2..64, got {n_samples}")
+    auds = media.where(F.col("kind") == "audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "afp", "n_bits")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if sniff_format(raw) == "wav":
+                    samples, _rate = decode_wav(raw)
+                    if samples.ndim > 1:
+                        samples = samples[:, 0]
+                    s = samples.astype(np.int64)
+                else:
+                    s = _decode_stream(raw, "audio", fake).astype(np.int64)
+                if s.size < 2:
+                    rows["media_id"].append(mid)
+                    rows["afp"].append(0)
+                    rows["n_bits"].append(0)
+                    continue
+                idx = np.minimum((np.arange(n_samples) * s.size)
+                                 // n_samples, s.size - 1)
+                sel = s[idx]
+                bits = sel[1:] > sel[:-1]
+                val = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        val |= 1 << i
+                rows["media_id"].append(mid)
+                rows["afp"].append(val)
+                rows["n_bits"].append(int(bits.size))
+            yield pd.DataFrame(rows)
+
+    return auds.mapInPandas(run, schema=AUDIO_FP_SCHEMA)

@@ -195,3 +195,36 @@ def test_image_ahash_integer_exact(spark):
         "meta_width int, meta_height int, meta_duration_ms int")
     with pytest.raises(Exception):
         image_ahash(bad).collect()
+
+
+def test_audio_fingerprint_integer_exact(spark):
+    from lucene_plugin_spark.ops.multimodal import (audio_fingerprint,
+                                                    encode_wav)
+    rng = np.random.default_rng(5)
+    streams = [rng.integers(-3000, 3000, size=n).astype(np.int16)
+               for n in (64, 200, 64, 2)]
+    streams.append(streams[0].copy())         # duplicate waveform
+    rows = [(i, "audio", "audio/wav", bytearray(encode_wav(s)), None, None,
+             None) for i, s in enumerate(streams)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, payload binary, "
+              "meta_width int, meta_height int, meta_duration_ms int")
+    got = {r["media_id"]: (r["afp"], r["n_bits"])
+           for r in audio_fingerprint(media, n_samples=64).collect()}
+
+    def py_fp(s, n=64):
+        s = s.astype(np.int64)
+        idx = np.minimum((np.arange(n) * s.size) // n, s.size - 1)
+        sel = s[idx]
+        val = 0
+        for i, b in enumerate(sel[1:] > sel[:-1]):
+            if b:
+                val |= 1 << i
+        return val
+
+    for i, s in enumerate(streams):
+        assert got[i] == (py_fp(s), 63), i
+    assert got[0][0] == got[4][0]             # duplicate detected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        audio_fingerprint(media, n_samples=65)
