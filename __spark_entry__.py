@@ -1970,13 +1970,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Every entry keeps its queries()+oracle_sql() pair — this is check-slot
 # scheduling, not coverage reduction.
 #
-# Round-4 window (50): the 9 entries with no driver row in any round
-# (incl. the new stream_percolate), the one red r3 row (sample_split,
-# fixed this round), the 4 entries whose machinery or oracle changed in
-# r4 (spellcheck strategies; search_sorted probe fix; rescore semantics;
-# federated rounding parity), then 36 of the 50 entries last checked in
-# r1/r2 — prioritizing everything that rides the shared executor,
-# mutations, dedup and text paths.
+# Round-4 window (exactly 50): the 9 entries with no driver row in any
+# round (incl. the new stream_percolate), the 35 entries ADDED in round 4
+# (span/terms-set/simple-parser/surround/expressions/classification/
+# spatial/suggester/facet/join/replicator/winnowing/sampling/multimodal
+# families — none has ever had a driver row), the one red r3 row
+# (sample_split, aggregates cast on both sides this round), and the 5
+# entries whose machinery or oracle changed in r4 (spellcheck strategies;
+# search_sorted probe fix; rescore semantics; federated rounding parity).
+# The r1/r2-green re-checks that r3's plan earmarked are deliberately
+# displaced to round 5: they hold prior driver-green rows, their modules
+# are untouched this round, and the full local sf0.001/0.01/0.1 sweeps at
+# r4 HEAD (BENCH/SWEEPS_r4.md) re-confirm every one of them against
+# current code.
 _GATE_TAIL = [
     # r3-green, machinery unchanged in r4 (45 of r3's 49 green rows)
     "sample_hash", "sample_stratified", "sample_quota",
@@ -2034,9 +2040,10 @@ def _rotate_for_gate(q: dict) -> dict:
         # new forced-gram-strategy entry)
         "ft_spellcheck", "ft_spellcheck_gram", "ft_sort_field",
         "ft_rescore", "ft_federated",
-        # 36 of the 50 entries last driver-checked in r1/r2, oldest proofs
-        # first within each machinery group: the full classic-query surface
-        # over the shared executor, mutations, dedup, tpch, text stats
+        # beyond slot 50 from here down (the head above fills the window
+        # exactly): r1/r2-green entries queued FIRST for the round-5
+        # window — the full classic-query surface over the shared
+        # executor, mutations, dedup, tpch
         "ft_term_topk", "ft_or_topk", "ft_and", "ft_not", "ft_phrase",
         "ft_range", "ft_wildcard", "ft_fuzzy", "ft_boost", "ft_phrase_slop",
         "ft_range_excl", "ft_more_like", "ft_regexp", "ft_field_lang",
