@@ -1598,6 +1598,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_as_orig_ids(ib_search(
             eng, None, ["spark", "join", "table"], limit=10))
 
+    def ft_sweetspot(spark, sf):
+        # SweetSpotSimilarity (lucene-misc): classic TF-IDF with a plateau
+        # length norm over [60, 100] at steepness 0.5
+        from lucene_plugin_spark.query.advanced import sweetspot_search
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(sweetspot_search(
+            eng, None, ["spark", "join", "table"], ln_min=60, ln_max=100,
+            steepness=0.5, limit=10))
+
     def ft_span_first(spark, sf):
         from lucene_plugin_spark.query.advanced import span_first
         _, eng = _engine(spark, sf)
@@ -1801,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_ib=ft_ib,
              ft_simple_qp=ft_simple_qp, ft_expr_sort=ft_expr_sort,
              ft_replica_search=ft_replica_search,
+             ft_sweetspot=ft_sweetspot,
              ft_span_first=ft_span_first, ft_span_range=ft_span_range,
              ft_terms_set=ft_terms_set, ft_span_or=ft_span_or,
              ft_span_not=ft_span_not,
@@ -2033,17 +2043,20 @@ def _rotate_for_gate(q: dict) -> dict:
         "ft_wildcard_gram", "ft_multi_field", "ft_phrase_prefix",
         "ft_common_terms", "ft_boosting", "ft_join", "ft_complex_phrase",
         "ft_span_containing", "ft_span_within",
-        "ft_lmdirichlet", "ft_lmjm", "ft_dfr", "ft_ib",
+        "ft_lmdirichlet", "ft_lmjm", "ft_dfr", "ft_ib", "ft_sweetspot",
         # the one red r3 row — aggregates cast to bigint on both sides in r4
         "sample_split",
         # r4 code/oracle churn: re-prove against current code (plus the
         # new forced-gram-strategy entry)
-        "ft_spellcheck", "ft_spellcheck_gram", "ft_sort_field",
+        "ft_spellcheck", "ft_spellcheck_gram",
         "ft_rescore", "ft_federated",
         # beyond slot 50 from here down (the head above fills the window
-        # exactly): r1/r2-green entries queued FIRST for the round-5
-        # window — the full classic-query surface over the shared
-        # executor, mutations, dedup, tpch
+        # exactly): ft_sort_field leads the round-5 queue — its r4 probe
+        # fix is exercised in-window by ft_index_sort on the same
+        # search_sorted machinery — followed by the r1/r2-green re-checks:
+        # the full classic-query surface over the shared executor,
+        # mutations, dedup, tpch
+        "ft_sort_field",
         "ft_term_topk", "ft_or_topk", "ft_and", "ft_not", "ft_phrase",
         "ft_range", "ft_wildcard", "ft_fuzzy", "ft_boost", "ft_phrase_slop",
         "ft_range_excl", "ft_more_like", "ft_regexp", "ft_field_lang",
@@ -3529,6 +3542,22 @@ ORDER BY score DESC, base.doc_id LIMIT 10
 
     # ClassicSimilarity (Lucene <= 5 default TF-IDF, the similarity the
     # reference binary actually ran): sqrt(tf) * (1+ln(N/(df+1)))^2 / sqrt(dl)
+    # SweetSpotSimilarity: classic tf/idf with the plateau length norm
+    # 1/sqrt(s*(|dl-lo| + |dl-hi| - (hi-lo)) + 1), lo=60 hi=100 s=0.5
+    o["ft_sweetspot"] = f"""
+WITH {_TOK},
+scores AS (
+  SELECT tf.doc_id,
+         sum(sqrt(tf.tf) * pow(1.0 + ln(st.n / (dfx.df + 1.0)), 2)
+             / sqrt(0.5 * (abs(dl.dl - 60.0) + abs(dl.dl - 100.0) - 40.0)
+                    + 1.0)) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('spark', 'join', 'table')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
     o["ft_tfidf"] = f"""
 WITH {_TOK},
 scores AS (

@@ -565,6 +565,21 @@ class LuceneFacade:
         return self._entries(ib_search(
             eng, sanitize_collection(collection), terms, c=c, limit=limit))
 
+    def search_sweetspot(self, collection: str, terms: list[str],
+                         ln_min: int = 8, ln_max: int = 32,
+                         steepness: float = 0.5,
+                         limit: int = 10) -> list[LuceneEntry]:
+        """``SweetSpotSimilarity`` (lucene-misc) ranking: classic TF-IDF
+        with a plateau length norm over ``[ln_min, ln_max]``."""
+        from lucene_plugin_spark.query.advanced import sweetspot_search
+        self._check(collection, "collection")
+        eng = self._live_engine()
+        if eng is None or not terms:
+            return []
+        return self._entries(sweetspot_search(
+            eng, sanitize_collection(collection), terms, ln_min=ln_min,
+            ln_max=ln_max, steepness=steepness, limit=limit))
+
     def search_span_first(self, collection: str, term: str, end: int,
                           limit: int = 255) -> list[LuceneEntry]:
         """``SpanFirstQuery``: ``term`` within the first ``end`` positions."""

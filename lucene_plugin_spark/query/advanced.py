@@ -286,6 +286,86 @@ def tfidf_search(engine, repo: str | None, terms: list[str],
             .select("doc_id", "path", "score"))
 
 
+def sweetspot_search(engine, repo: str | None, terms: list[str],
+                     field: str = "text", ln_min: int = 8, ln_max: int = 32,
+                     steepness: float = 0.5, limit: int = 10) -> DataFrame:
+    """Top-k under ``SweetSpotSimilarity`` (lucene-misc 5.2 — the tunable
+    ClassicSimilarity whose length norm is a PLATEAU instead of 1/sqrt(dl):
+    docs whose field length falls in the sweet spot ``[ln_min, ln_max]``
+    get norm 1.0, lengths outside decay as
+
+        1 / sqrt(steepness * (|dl-min| + |dl-max| - (max-min)) + 1)
+
+    — ``computeLengthNorm``; tf/idf keep the classic shape, so the score
+    is ``Σ_t sqrt(tf) * (1 + ln(N/(df+1)))² * plateau(dl)``.  The
+    baseline-tf hyperbola is left at its identity defaults, like Lucene's.
+
+    Two-path shape identical to :func:`tfidf_search`: resident driver
+    block cache when predicted postings are small, else the term-pruned
+    postings scan with broadcast stats and codegen arithmetic.
+    """
+    if not (0 < ln_min <= ln_max):
+        raise ValueError(f"need 0 < ln_min <= ln_max, got [{ln_min},"
+                         f" {ln_max}]")
+    ts = sorted({t.lower() for t in terms})
+    pairs = [(field, t) for t in ts]
+    dfm = engine._df_for_pairs(pairs)
+    n_docs0, _a = engine._field_stats().get(field, (0.0, 1.0))
+    lo, hi, s = float(ln_min), float(ln_max), float(steepness)
+    if (engine._path_map is not None
+            and sum(dfm.values()) <= engine.driver_exec_max_postings):
+        idx, slices = engine._blocks_for(pairs)
+        norms_dirs, _td = engine._sidecar_dirs()
+        norm_lookup = engine._norm_lookup_for(tuple(slices), (field,),
+                                              norms_dirs)
+        id_parts, s_parts = [], []
+        for t in ts:
+            ids, tfs, _ = idx.decoded(field, t, False)
+            if not ids.size:
+                continue
+            nd, dls = norm_lookup[field]
+            dl = dls[np.searchsorted(nd, ids)].astype(np.float64)
+            norm = 1.0 / np.sqrt(
+                s * (np.abs(dl - lo) + np.abs(dl - hi) - (hi - lo)) + 1.0)
+            idf_t = 1.0 + np.log(n_docs0 / (dfm.get((field, t), 0.0) + 1.0))
+            id_parts.append(ids)
+            s_parts.append(np.sqrt(tfs.astype(np.float64))
+                           * idf_t * idf_t * norm)
+        if not id_parts:
+            return engine.spark.createDataFrame(
+                [], "doc_id long, path string, score double")
+        all_ids = np.concatenate(id_parts)
+        all_s = np.concatenate(s_parts)
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        agg = np.zeros(uids.shape, dtype=np.float64)
+        np.add.at(agg, inv, all_s)
+        live = _driver_live_mask(engine, uids, slices, repo)
+        return _driver_topk_df(engine, uids[live], agg[live], limit)
+    flat = (flat_postings_view(engine.spark, engine.catalog, terms=ts)
+            .where(F.col("field") == field))
+    td = (engine._tbl("term_dict")
+          .where((F.col("field") == field) & F.col("term").isin(ts))
+          .select("term", "df"))
+    n_docs, _avgdl = engine._field_stats().get(field, (0.0, 1.0))
+    if n_docs == 0.0:
+        return engine.spark.createDataFrame(
+            [], "doc_id long, path string, score double")
+    dl = F.col("dl").cast("double")
+    norm = 1.0 / F.sqrt(F.lit(s) * (F.abs(dl - lo) + F.abs(dl - hi)
+                                    - (hi - lo)) + 1.0)
+    idf = F.lit(1.0) + F.log(F.lit(float(n_docs)) / (F.col("df") + 1.0))
+    per_term = F.sqrt(F.col("tf").cast("double")) * idf * idf * norm
+    agg = (flat.join(F.broadcast(td), "term")
+           .select("doc_id", per_term.alias("s"))
+           .groupBy("doc_id").agg(F.sum("s").alias("score")))
+    agg = engine._finalize_df_hits(agg, repo)
+    meta = engine._meta_path_df()
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+    return (meta.join(F.broadcast(topk), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "path", "score"))
+
+
 def _lm_search(engine, repo: str | None, terms: list[str], field: str,
                limit: int, kind: str, mu: float, lam: float) -> DataFrame:
     """Shared core of :func:`lm_dirichlet_search` / :func:`lm_jm_search`

@@ -247,6 +247,17 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                     self._reply(200, [{"id": h.id, "score": h.score,
                                        "externalId": h.external_id}
                                       for h in hits])
+                elif u.path == "/lucene/search-sweetspot":
+                    terms = [t for t in q.get("terms", "").split(",") if t]
+                    with lock:
+                        hits = facade.search_sweetspot(
+                            q.get("collection", ""), terms,
+                            int(q.get("min", 8)), int(q.get("max", 32)),
+                            float(q.get("steepness", 0.5)),
+                            int(q.get("limit", 10)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
                 elif u.path == "/lucene/search-span-first":
                     with lock:
                         hits = facade.search_span_first(

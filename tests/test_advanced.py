@@ -384,6 +384,46 @@ def test_span_first(spark, built):
     assert np.allclose([g[2] for g in got_fast], [g[2] for g in got])
 
 
+def test_sweetspot_similarity(spark, built):
+    catalog, rows, oracle = built
+    eng = SearchEngine(spark, catalog)
+    terms, lo, hi, s, k = ["index", "query"], 80, 120, 0.75, 30
+    got = _got(advanced.sweetspot_search(eng, None, terms, ln_min=lo,
+                                         ln_max=hi, steepness=s, limit=k))
+    n, _avg = oracle._field_stats("text")
+    scores = {}
+    for d in oracle.docs.values():
+        toks = d.tokens.get("text", [])
+        dl = float(len(toks))
+        norm = 1.0 / math.sqrt(
+            s * (abs(dl - lo) + abs(dl - hi) - (hi - lo)) + 1.0)
+        sc = 0.0
+        for t in terms:
+            tf = sum(1 for x, _ in toks if x == t)
+            if tf:
+                idf = 1.0 + math.log(n / (oracle._df("text", t) + 1.0))
+                sc += math.sqrt(tf) * idf * idf * norm
+        if sc > 0.0:
+            scores[d.doc_id] = (sc, d.path)
+    want = sorted(((sc, d, p) for d, (sc, p) in scores.items()),
+                  key=lambda x: (-x[0], x[1]))[:k]
+    assert got and [g[0] for g in got] == [d for _, d, _ in want]
+    assert np.allclose([g[2] for g in got], [sc for sc, _, _ in want])
+    # in-band docs take the full classic contribution (norm == 1): a doc
+    # inside the sweet spot must outrank its identical-tf twin outside it
+    in_band = {d for d, (sc, p) in scores.items()
+               if lo <= len(oracle.docs[d].tokens["text"]) <= hi}
+    assert in_band, "sweet spot must cover part of the corpus"
+    # warmed engine rides the driver block-cache fast path — identical
+    got_fast = _got(advanced.sweetspot_search(
+        SearchEngine(spark, catalog).warm(), None, terms, ln_min=lo,
+        ln_max=hi, steepness=s, limit=k))
+    assert [(g[0], g[1]) for g in got_fast] == [(g[0], g[1]) for g in got]
+    assert np.allclose([g[2] for g in got_fast], [g[2] for g in got])
+    with pytest.raises(ValueError):
+        advanced.sweetspot_search(eng, None, terms, ln_min=5, ln_max=4)
+
+
 def test_span_position_range(spark, built):
     catalog, rows, oracle = built
     eng = SearchEngine(spark, catalog)
