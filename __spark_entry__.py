@@ -1598,6 +1598,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_as_orig_ids(ib_search(
             eng, None, ["spark", "join", "table"], limit=10))
 
+    def ft_phonetic(spark, sf):
+        # phonetic matching: 'sparc' -> Soundex S162 -> the spark class;
+        # constant-score untruncated match set, docID order
+        _, eng = _engine(spark, sf)
+        return _hits_as_orig_ids(eng.phonetic_search(
+            None, "sparc", limit=1_000_000))
+
     def ft_sweetspot(spark, sf):
         # SweetSpotSimilarity (lucene-misc): classic TF-IDF with a plateau
         # length norm over [60, 100] at steepness 0.5
@@ -1810,7 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_ib=ft_ib,
              ft_simple_qp=ft_simple_qp, ft_expr_sort=ft_expr_sort,
              ft_replica_search=ft_replica_search,
-             ft_sweetspot=ft_sweetspot,
+             ft_sweetspot=ft_sweetspot, ft_phonetic=ft_phonetic,
              ft_span_first=ft_span_first, ft_span_range=ft_span_range,
              ft_terms_set=ft_terms_set, ft_span_or=ft_span_or,
              ft_span_not=ft_span_not,
@@ -2055,8 +2062,9 @@ def _rotate_for_gate(q: dict) -> dict:
         # fix is exercised in-window by ft_index_sort on the same
         # search_sorted machinery — followed by the r1/r2-green re-checks:
         # the full classic-query surface over the shared executor,
-        # mutations, dedup, tpch
-        "ft_sort_field",
+        # mutations, dedup, tpch.  ft_phonetic joins it: added after the
+        # window filled, locally 3-SF green like everything above.
+        "ft_sort_field", "ft_phonetic",
         "ft_term_topk", "ft_or_topk", "ft_and", "ft_not", "ft_phrase",
         "ft_range", "ft_wildcard", "ft_fuzzy", "ft_boost", "ft_phrase_slop",
         "ft_range_excl", "ft_more_like", "ft_regexp", "ft_field_lang",
@@ -3542,6 +3550,21 @@ ORDER BY score DESC, base.doc_id LIMIT 10
 
     # ClassicSimilarity (Lucene <= 5 default TF-IDF, the similarity the
     # reference binary actually ran): sqrt(tf) * (1+ln(N/(df+1)))^2 / sqrt(dl)
+    # phonetic class of 'sparc' (Soundex S162) — the oracle recomputes the
+    # IDENTICAL regex pipeline in SQL (analysis/phonetic.py twins); the
+    # engine's first-letter prune is an optimization, not a semantic
+    from lucene_plugin_spark.analysis.phonetic import soundex as _sx
+    from lucene_plugin_spark.analysis.phonetic import soundex_sql as _sx_sql
+    _sx_term = _sx_sql("regexp_replace(term, '[^a-z]', '', 'g')")
+    o["ft_phonetic"] = f"""
+WITH {_TOK},
+cls AS (SELECT DISTINCT term FROM dfx
+        WHERE regexp_replace(term, '[^a-z]', '', 'g') <> ''
+          AND {_sx_term} = '{_sx("sparc")}'),
+m AS (SELECT DISTINCT doc_id FROM tok JOIN cls USING (term))
+SELECT doc_id, cast(1.0 AS double) AS score FROM m ORDER BY doc_id
+"""
+
     # SweetSpotSimilarity: classic tf/idf with the plateau length norm
     # 1/sqrt(s*(|dl-lo| + |dl-hi| - (hi-lo)) + 1), lo=60 hi=100 s=0.5
     o["ft_sweetspot"] = f"""

@@ -565,6 +565,18 @@ class LuceneFacade:
         return self._entries(ib_search(
             eng, sanitize_collection(collection), terms, c=c, limit=limit))
 
+    def search_phonetic(self, collection: str, term: str,
+                        limit: int = 255) -> list[LuceneEntry]:
+        """Phonetic matching (analyzers-phonetic / commons-codec Soundex):
+        docs containing any term that SOUNDS like ``term``."""
+        self._check(collection, "collection")
+        self._check(term, "term")
+        eng = self._live_engine()
+        if eng is None:
+            return []
+        return self._entries(eng.phonetic_search(
+            sanitize_collection(collection), term, limit=limit))
+
     def search_sweetspot(self, collection: str, terms: list[str],
                          ln_min: int = 8, ln_max: int = 32,
                          steepness: float = 0.5,

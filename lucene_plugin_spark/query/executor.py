@@ -1137,6 +1137,40 @@ class SearchEngine:
                 .orderBy(F.desc("cf"), F.asc("term"))
                 .limit(limit))
 
+    def phonetic_search(self, repo: str | None, term: str,
+                        field: str = "text", limit: int = 255) -> DataFrame:
+        """Phonetic matching (analyzers-phonetic module analogue —
+        ``PhoneticFilter`` with the commons-codec Soundex encoder, applied
+        at QUERY time): docs containing ANY dictionary term whose American
+        Soundex equals the query term's, as a constant-score expansion
+        (the MultiTermQuery shape every other expansion here uses).
+
+        Scale: Soundex preserves the first letter, so the candidate scan
+        is a SARGABLE ``startswith`` range over the term-sorted dictionary
+        (1/26th of the vocabulary), with codes computed columnar on the
+        pruned slice; a persisted (field, soundex) sidecar generalizes
+        this to exact pushdown like ``spell_grams`` does for fuzzy.  The
+        phonetic class itself is query-sized (one code bucket) — it
+        materializes like every other MultiTermQuery expansion.
+        """
+        from lucene_plugin_spark.analysis.phonetic import (soundex,
+                                                           soundex_col)
+        from lucene_plugin_spark.query.advanced import terms_set_query
+        code = soundex(term)
+        if not code:
+            return self.spark.createDataFrame(
+                [], "doc_id long, path string, score double")
+        td = (self._term_dict_df()
+              .where((F.col("field") == field)
+                     & F.col("term").startswith(code[0].lower())))
+        terms = [r["term"] for r in
+                 td.where(soundex_col(F.col("term")) == code)
+                 .select("term").collect()]
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, path string, score double")
+        return terms_set_query(self, repo, terms, field=field, limit=limit)
+
     #: character-n-gram blocking parameters for spellcheck candidate
     #: generation.  Pigeonhole (q-gram count filter): ed(a,b) <= d implies
     #: the strings share >= max(|a|,|b|) - n + 1 - d*n n-grams, so whenever

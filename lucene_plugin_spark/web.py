@@ -247,6 +247,14 @@ def make_server(facade, host: str = "127.0.0.1", port: int = 0):
                     self._reply(200, [{"id": h.id, "score": h.score,
                                        "externalId": h.external_id}
                                       for h in hits])
+                elif u.path == "/lucene/search-phonetic":
+                    with lock:
+                        hits = facade.search_phonetic(
+                            q.get("collection", ""), q.get("term", ""),
+                            int(q.get("limit", 255)))
+                    self._reply(200, [{"id": h.id, "score": h.score,
+                                       "externalId": h.external_id}
+                                      for h in hits])
                 elif u.path == "/lucene/search-sweetspot":
                     terms = [t for t in q.get("terms", "").split(",") if t]
                     with lock:
