@@ -180,6 +180,54 @@ def main() -> None:
     timed("p_gopher",
           lambda: T.gopher_repetition(docs, "doc_id", "text").count(), runs=1)
 
+    # round-4 session additions: one latency point per new query family
+    # and one pipeline point per new corpus operator
+    from lucene_plugin_spark.query.expressions import expression_sort_search
+    from lucene_plugin_spark.query.simple import simple_query_search
+    from lucene_plugin_spark.query.surround import surround_search
+    timed("q_simple_qp",
+          lambda: simple_query_search(engine, None, "table + join | merge",
+                                      limit=10).collect())
+    timed("q_surround",
+          lambda: surround_search(engine, None, "spark AND 3N(join, table)",
+                                  limit=10).collect())
+    timed("q_terms_set",
+          lambda: A.terms_set_query(engine, None,
+                                    ["join", "hash", "scan", "merge"],
+                                    limit=255).collect())
+    timed("q_sweetspot",
+          lambda: A.sweetspot_search(engine, None,
+                                     ["spark", "join", "table"],
+                                     ln_min=60, ln_max=100,
+                                     limit=10).collect())
+    timed("q_expr_sort",
+          lambda: expression_sort_search(
+              engine, None, "join hash",
+              "0.5 * _score + 2 * ln(1 + dl)", limit=10).collect())
+    timed("q_phonetic",
+          lambda: engine.phonetic_search(None, "sparc",
+                                         limit=255).collect())
+    from lucene_plugin_spark.ops import classify as CL
+    from lucene_plugin_spark.ops import spatial as SP
+    from lucene_plugin_spark.ops.code import winnow_clone_pairs
+    timed("p_classify_nb",
+          lambda: CL.naive_bayes_classify(
+              docs.select("doc_id", "lang",
+                          F.concat(F.col("text"), F.lit(" mk"),
+                                   F.col("lang")).alias("st")),
+              "doc_id", "st", "lang").count(), runs=1)
+    did = F.col("doc_id")
+    pts = docs.select(
+        "doc_id", (((did * 9973) % 18001) / 100.0 - 90.0).alias("lat"),
+        (((did * 7919) % 36000) / 100.0 - 180.0).alias("lon"))
+    timed("p_geo",
+          lambda: SP.geo_distance_search(pts, "lat", "lon", 42.3, 12.5,
+                                         5000.0).count(), runs=1)
+    timed("p_winnow",
+          lambda: winnow_clone_pairs(
+              docs.select("doc_id", F.col("text").alias("content")),
+              k=5, w=4, min_shared=2).count(), runs=1)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "index-build + BM25 top-k query suite (lucene_plugin_spark)",

@@ -171,6 +171,27 @@ def terms_set_query(engine, repo: str | None, terms: list[str],
     if not toks:
         return engine.spark.createDataFrame(
             [], "doc_id long, path string, score double")
+    pairs = [(field, t) for t in toks]
+    dfm = engine._df_for_pairs(pairs)
+    if (engine._path_map is not None
+            and 0 < sum(dfm.values()) <= engine.driver_exec_max_postings):
+        # driver fast path (same block cache as term queries): union the
+        # decoded docID vectors, constant score, docID-order cut — zero
+        # scoring arithmetic, like Lucene's bitset union
+        present = [(field, t) for t in toks if dfm.get((field, t))]
+        idx, slices = engine._blocks_for(present)
+        parts = []
+        for f, t in present:
+            ids, _tfs, _ = idx.decoded(f, t, False)
+            if ids.size:
+                parts.append(ids)
+        if not parts:
+            return engine.spark.createDataFrame(
+                [], "doc_id long, path string, score double")
+        ids = np.unique(np.concatenate(parts))
+        ids = ids[_driver_live_mask(engine, ids, slices, repo)][:limit]
+        return _driver_topk_df(engine, ids,
+                               np.full(ids.shape, float(boost)), limit)
     if len(toks) <= _TERMS_SET_LITERAL_MAX:
         flat = (flat_postings_view(engine.spark, engine.catalog, terms=toks)
                 .where(F.col("field") == field))

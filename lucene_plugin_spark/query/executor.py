@@ -1160,12 +1160,18 @@ class SearchEngine:
         if not code:
             return self.spark.createDataFrame(
                 [], "doc_id long, path string, score double")
-        td = (self._term_dict_df()
-              .where((F.col("field") == field)
-                     & F.col("term").startswith(code[0].lower())))
-        terms = [r["term"] for r in
-                 td.where(soundex_col(F.col("term")) == code)
-                 .select("term").collect()]
+        cache = getattr(self, "_phonetic_cache", None)
+        if cache is None:
+            cache = self._phonetic_cache = {}
+        key = (field, code)
+        if key not in cache:       # per-snapshot, like the expansion caches
+            td = (self._term_dict_df()
+                  .where((F.col("field") == field)
+                         & F.col("term").startswith(code[0].lower())))
+            cache[key] = [r["term"] for r in
+                          td.where(soundex_col(F.col("term")) == code)
+                          .select("term").collect()]
+        terms = cache[key]
         if not terms:
             return self.spark.createDataFrame(
                 [], "doc_id long, path string, score double")

@@ -490,6 +490,13 @@ def test_terms_set_query(spark, built):
     got_k = _got(advanced.terms_set_query(eng, None, terms, boost=boost,
                                           limit=5))
     assert [g[0] for g in got_k] == want_ids[:5]
+    # warmed engine rides the driver bitset-union fast path — identical
+    weng = SearchEngine(spark, catalog).warm()
+    got_fast = _got(advanced.terms_set_query(weng, None, terms, boost=boost,
+                                             limit=1_000_000))
+    assert got_fast == got
+    assert [g[0] for g in _got(advanced.terms_set_query(
+        weng, None, terms, boost=boost, limit=5))] == want_ids[:5]
     # empty/blank term sets degrade to an empty, correctly-typed frame
     e = advanced.terms_set_query(eng, None, ["", ""], limit=5)
     assert e.count() == 0
