@@ -421,14 +421,16 @@ def main() -> None:
            "  at 32 cores; round 3 cut the serial compile a further 2.5x",
            "  (SQL-string filters replace per-literal py4j isin round-trips:",
            "  warm 64-query prep 185-475 ms -> 71-91 ms), which lifted the",
-           "  2->8 batch pair from 0.784 to >=0.8.  On final round-4 code",
-           "  the 2->8 batch epochs straddle the target (0.712-0.84,",
-           "  median 0.775 over 4 same-epoch reps) while build (median",
-           "  1.08) and the stream deployment shape (median 0.858) hold",
-           "  >=0.8 — consistent with the residual being the Arrow-volume",
-           "  bandwidth floor, not a serial-code regression (the r2-vs-r4",
-           "  interleaved A/B below shows r4 faster on every absolute",
-           "  metric).",
+           "  2->8 batch pair from 0.784 to >=0.8.  Across round-4 code",
+           "  revisions the 2->8 batch epochs straddle the target (the",
+           "  current-revision table above gives the same-epoch median and",
+           "  spread; successive revisions read 0.712-0.84 and 0.646-0.80)",
+           "  while build and the stream deployment shape hold >=0.8 at",
+           "  their medians — consistent with the residual being the",
+           "  Arrow-volume bandwidth floor plus +-20-40% host-epoch drift,",
+           "  not a serial-code regression (the r2-vs-r4 interleaved A/B",
+           "  below shows r4 faster on every absolute metric, and the",
+           "  1->4 pair, whose baseline the host penalizes, sits >= 1.0).",
            "- **stream column is the deployment shape**: serve_stream",
            "  admission-batches the term_dict prefetch (one job per stream),",
            "  compiles batch i+1 while batch i executes, and keeps 2 jobs in",
