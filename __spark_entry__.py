@@ -1914,6 +1914,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def stream_window_counts(spark, sf):
+        # REAL watermarked streaming windowed aggregation (the brief's
+        # "watermarks + windowed aggs for late data"): the finite events
+        # table replays as a single-file JSON stream under availableNow —
+        # one data micro-batch (no mid-stream drops), then the no-data
+        # flush batch advances the watermark to max(ts) - 30min and
+        # append-mode emits every window whose END <= that watermark,
+        # exactly once.  The oracle is the batch windowing restricted by
+        # the same closed-window rule — full value-hash equality.
+        import shutil
+        import tempfile
+        import uuid
+
+        from lucene_plugin_spark.streaming.windows import (
+            stream_tumbling_counts)
+        ev = (spark.read.parquet(os.path.join(sf, "events.parquet"))
+              .select("ts", "event_type", "value"))
+        tmp = tempfile.mkdtemp(prefix="lps_swin_")
+        qname = f"swin_{uuid.uuid4().hex[:8]}"
+        try:
+            src = os.path.join(tmp, "in")
+            ev.coalesce(1).write.mode("overwrite").json(src)
+            stream = (spark.readStream
+                      .schema("ts timestamp, event_type string, "
+                              "value double")
+                      .json(src))
+            out = stream_tumbling_counts(stream, window="1 hour",
+                                         watermark="30 minutes")
+            qy = (out.writeStream.format("memory").queryName(qname)
+                  .outputMode("append")
+                  .trigger(availableNow=True).start())
+            qy.awaitTermination(600)
+            return (spark.table(qname)
+                    .select(F.col("window_start").cast("long")
+                            .alias("window_start"),
+                            "event_type",
+                            F.col("n_events").cast("bigint")
+                            .alias("n_events"),
+                            F.round("sum_value", 6).alias("sum_value"))
+                    .orderBy("window_start", "event_type"))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def ft_multi_phrase(spark, sf):
         # MultiPhraseQuery "(table|query) hash" — r4: exact Lucene blended
         # semantics (ONE scorer: tf over slot-UNIONED positions, idf summed
@@ -1974,7 +2017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              code_identifiers=code_identifiers, text_tfidf_sim=text_tfidf_sim,
              ft_index_sort=ft_index_sort, stream_dedup=stream_dedup,
              ft_multi_phrase=ft_multi_phrase, ft_percolate=ft_percolate,
-             stream_percolate=stream_percolate)
+             stream_percolate=stream_percolate,
+             stream_window_counts=stream_window_counts)
     return _rotate_for_gate(q)
 
 
@@ -2064,7 +2108,7 @@ def _rotate_for_gate(q: dict) -> dict:
         # the full classic-query surface over the shared executor,
         # mutations, dedup, tpch.  ft_phonetic joins it: added after the
         # window filled, locally 3-SF green like everything above.
-        "ft_sort_field", "ft_phonetic",
+        "ft_sort_field", "ft_phonetic", "stream_window_counts",
         "ft_term_topk", "ft_or_topk", "ft_and", "ft_not", "ft_phrase",
         "ft_range", "ft_wildcard", "ft_fuzzy", "ft_boost", "ft_phrase_slop",
         "ft_range_excl", "ft_more_like", "ft_regexp", "ft_field_lang",
@@ -2830,6 +2874,18 @@ scored AS (
                                      e.vec_id) AS rk
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
 SELECT query_id, id, round(cosine, 6) AS cosine FROM scored WHERE rk <= 5
+"""
+
+    # streaming tumbling windows under availableNow: append mode emits a
+    # window iff its END <= the final watermark (max ts - 30 min)
+    o["stream_window_counts"] = """
+WITH wm AS (SELECT max(ts) - INTERVAL '30 minutes' AS w FROM events),
+b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+             count(*)::bigint AS n_events, round(sum(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2)
+SELECT epoch(ws)::bigint AS window_start, event_type, n_events, sum_value
+FROM b CROSS JOIN wm WHERE ws + INTERVAL '1 hour' <= wm.w
+ORDER BY 1, 2
 """
 
     o["ev_window_counts"] = """
