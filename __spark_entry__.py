@@ -1957,6 +1957,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def stream_sessionize(spark, sf):
+        # the brief's applyInPandasWithState custom stateful operator,
+        # driven END-TO-END through the gate: per-user gap sessions over a
+        # single-file JSON replay under availableNow.  Emission rule:
+        # sessions closed by a later same-user event emit in the data
+        # batch; each user's LAST session emits iff its event-time timeout
+        # (last_ts + gap) fell strictly below the final watermark
+        # (max ts - 30min) when the no-data flush batch ran.  The oracle
+        # is the batch sessionization restricted by that exact rule.
+        import shutil
+        import tempfile
+        import uuid
+
+        from lucene_plugin_spark.streaming.windows import stream_sessionize
+        ev = (spark.read.parquet(os.path.join(sf, "events.parquet"))
+              .select("user_id", "ts", "value"))
+        tmp = tempfile.mkdtemp(prefix="lps_ssess_")
+        qname = f"ssess_{uuid.uuid4().hex[:8]}"
+        try:
+            src = os.path.join(tmp, "in")
+            ev.coalesce(1).write.mode("overwrite").json(src)
+            stream = (spark.readStream
+                      .schema("user_id long, ts timestamp, value double")
+                      .json(src))
+            out = stream_sessionize(stream, gap="30 minutes",
+                                    watermark="30 minutes")
+            qy = (out.writeStream.format("memory").queryName(qname)
+                  .outputMode("append")
+                  .trigger(availableNow=True).start())
+            qy.awaitTermination(600)
+            return (spark.table(qname)
+                    .select("user_id",
+                            F.col("session_start").cast("long")
+                            .alias("session_start"),
+                            F.col("n_events").cast("bigint")
+                            .alias("n_events"),
+                            F.round("sum_value", 6).alias("sum_value"))
+                    .orderBy("user_id", "session_start"))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def ft_multi_phrase(spark, sf):
         # MultiPhraseQuery "(table|query) hash" — r4: exact Lucene blended
         # semantics (ONE scorer: tf over slot-UNIONED positions, idf summed
@@ -2018,7 +2059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ft_index_sort=ft_index_sort, stream_dedup=stream_dedup,
              ft_multi_phrase=ft_multi_phrase, ft_percolate=ft_percolate,
              stream_percolate=stream_percolate,
-             stream_window_counts=stream_window_counts)
+             stream_window_counts=stream_window_counts,
+             stream_sessionize=stream_sessionize)
     return _rotate_for_gate(q)
 
 
@@ -2109,6 +2151,7 @@ def _rotate_for_gate(q: dict) -> dict:
         # mutations, dedup, tpch.  ft_phonetic joins it: added after the
         # window filled, locally 3-SF green like everything above.
         "ft_sort_field", "ft_phonetic", "stream_window_counts",
+        "stream_sessionize",
         "ft_term_topk", "ft_or_topk", "ft_and", "ft_not", "ft_phrase",
         "ft_range", "ft_wildcard", "ft_fuzzy", "ft_boost", "ft_phrase_slop",
         "ft_range_excl", "ft_more_like", "ft_regexp", "ft_field_lang",
@@ -2893,6 +2936,33 @@ SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::bigint AS window_start,
        event_type, count(*)::bigint AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+    # streaming sessionizer under availableNow: batch sessions restricted
+    # to "closed by a later event" OR "timeout strictly below the final
+    # watermark" (GroupState fires when the watermark EXCEEDS the timeout)
+    o["stream_sessionize"] = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o),
+g AS (
+  SELECT user_id, sid, min(ts) AS st, max(ts) AS lt,
+         count(*)::bigint AS n_events, round(sum(value), 6) AS sum_value
+  FROM s GROUP BY user_id, sid),
+mx AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY user_id),
+wm AS (SELECT max(ts) - INTERVAL '30 minutes' AS w FROM events)
+SELECT g.user_id, floor(epoch(g.st))::bigint AS session_start,
+       g.n_events, g.sum_value
+FROM g JOIN mx USING (user_id) CROSS JOIN wm
+WHERE g.sid < mx.last_sid OR g.lt + INTERVAL '30 minutes' < wm.w
+ORDER BY 1, 2
 """
 
     o["ev_sessionize"] = """

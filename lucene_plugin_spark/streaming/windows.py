@@ -81,8 +81,12 @@ def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
             if state.exists:
                 start_s, last_s, cnt, sv = state.get
                 state.remove()
+                # micro-round the float-seconds state (float64 holds ~0.2 us
+                # at epoch magnitude; a raw *1e9 would grow ns noise Arrow
+                # refuses to cast away)
                 yield pd.DataFrame({"user_id": [uid],
-                                    "session_start": [pd.Timestamp(start_s, unit="s")],
+                                    "session_start": [pd.Timestamp(
+                                        round(start_s * 1e6), unit="us")],
                                     "n_events": [cnt], "sum_value": [sv]})
             return
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
@@ -116,7 +120,8 @@ def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
         if out_start:
             yield pd.DataFrame({"user_id": uid,
                                 "session_start": pd.to_datetime(
-                                    np.array(out_start) * 1e9),
+                                    (np.array(out_start) * 1e6).round()
+                                    .astype("int64"), unit="us"),
                                 "n_events": np.array(out_n, np.int64),
                                 "sum_value": np.array(out_sv, np.float64)})
 
