@@ -493,10 +493,17 @@ def image_ahash(media: DataFrame, blocks_x: int = 8, blocks_y: int = 4,
                 if fmt in ("ppm", "bmp"):
                     px = decode_image(raw).astype(np.int64)
                 else:
+                    # unknown format via the fake stream: stride-resample
+                    # into one pixel per grid cell so the grid check holds
+                    # for any blob (same trick as resize_images' fake path)
                     flat = _decode_stream(raw, "image", fake)
-                    if flat.size % 3:
-                        flat = flat[:flat.size - flat.size % 3]
-                    px = flat.astype(np.int64).reshape(-1, 1, 3)
+                    if flat.size == 0:
+                        flat = np.zeros(1)
+                    want = blocks_y * blocks_x * 3
+                    idxs = np.minimum((np.arange(want) * flat.size) // want,
+                                      flat.size - 1)
+                    px = (flat[idxs].astype(np.int64)
+                          .reshape(blocks_y, blocks_x, 3))
                 h, w = px.shape[0], px.shape[1]
                 if h % blocks_y or w % blocks_x:
                     raise ValueError(

@@ -266,7 +266,16 @@ def free_text_suggest(df: DataFrame, id_col: str, text_col: str,
           .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
     cont = (bg.where(F.col("w1") == ctx)
             .groupBy("w2").agg(F.count(F.lit(1)).alias("cb")))
-    head = bg.where(F.col("w1") == ctx).count()
+    # BOTH model scalars (context head mass + total token count) from ONE
+    # corpus pass — per-row higher-order counts, one aggregate job
+    heads_in_row = F.size(F.filter(
+        pairs, lambda p: p["w1"] == F.lit(ctx)))
+    stats = toks.select(F.size("toks").alias("n"),
+                        heads_in_row.alias("h")) \
+        .agg(F.sum("n").alias("total"), F.sum("h").alias("head")) \
+        .collect()[0]
+    head = int(stats["head"] or 0)
+    total = int(stats["total"] or 0)
     if prefix:
         cont = cont.where(F.col("w2").startswith(prefix.lower()))
     if head == 0:
@@ -277,8 +286,6 @@ def free_text_suggest(df: DataFrame, id_col: str, text_col: str,
     if prefix:
         uni = (toks.select(F.explode("toks").alias("token"))
                .where(F.col("token").startswith(prefix.lower())))
-        total = (toks.select(F.size("toks").alias("n"))
-                 .agg(F.sum("n")).collect()[0][0] or 0)
         backoff = (uni.groupBy("token")
                    .agg(F.count(F.lit(1)).alias("cu"))
                    .join(cont.select(F.col("w2").alias("token")),

@@ -328,6 +328,8 @@ def sweetspot_search(engine, repo: str | None, terms: list[str],
     if not (0 < ln_min <= ln_max):
         raise ValueError(f"need 0 < ln_min <= ln_max, got [{ln_min},"
                          f" {ln_max}]")
+    if steepness < 0:
+        raise ValueError(f"steepness must be >= 0, got {steepness}")
     ts = sorted({t.lower() for t in terms})
     pairs = [(field, t) for t in ts]
     dfm = engine._df_for_pairs(pairs)
@@ -658,8 +660,14 @@ def span_position_range(engine, repo: str | None, term: str, start: int,
     phrase; the position filter is a higher-order array function, no Python.
     """
     from lucene_plugin_spark.query import bm25
-    if not (0 <= int(start) < int(end)):
-        raise ValueError(f"need 0 <= start < end, got [{start}, {end})")
+    if int(start) < 0:
+        raise ValueError(f"start must be >= 0, got {start}")
+    if int(end) <= int(start):
+        # Lucene's SpanPositionRangeQuery with an empty window is
+        # valid-and-empty, not an error (and SpanFirstQuery(end=0) relies
+        # on it through the facade/HTTP surface)
+        return engine.spark.createDataFrame(
+            [], "doc_id long, path string, score double")
     start = int(start)
     t = term.lower()
     dfv0 = engine._df_for_pairs([(field, t)]).get((field, t), 0.0)

@@ -1165,9 +1165,14 @@ class SearchEngine:
             cache = self._phonetic_cache = {}
         key = (field, code)
         if key not in cache:       # per-snapshot, like the expansion caches
+            # the class is defined over the letters-STRIPPED term, so the
+            # sargable prune must admit terms whose raw first char is not a
+            # letter: in the sorted dictionary those all sort before 'a'
+            # (terms are lowercase alnum), a second sargable range
             td = (self._term_dict_df()
                   .where((F.col("field") == field)
-                         & F.col("term").startswith(code[0].lower())))
+                         & (F.col("term").startswith(code[0].lower())
+                            | (F.col("term") < "a"))))
             cache[key] = [r["term"] for r in
                           td.where(soundex_col(F.col("term")) == code)
                           .select("term").collect()]

@@ -174,6 +174,9 @@ def drill_sideways(engine, hits: DataFrame, drill: dict[str, str],
 
     Returns DataFrame(facet, value, doc_count) ordered by (facet, value).
     """
+    if not facets:
+        return engine.spark.createDataFrame(
+            [], "facet string, value string, doc_count bigint")
     cols = sorted({*drill, *facets})
     meta = _docs_meta(engine, cols)
     j = hits.select("doc_id").join(meta, "doc_id")

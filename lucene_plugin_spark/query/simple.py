@@ -103,7 +103,10 @@ def _analyzed_leaf(field: str, raw: str, variant: str,
 
 def _token_leaf(field: str, raw: str, variant: str) -> Node | None:
     """One raw token -> leaf: fuzzy suffix, then prefix suffix, else
-    analyzed term/phrase."""
+    analyzed term/phrase.  A LONE ``*`` is ``MatchAllDocsQuery``, like
+    SimpleQueryParser's special case (ES: "* returns all documents")."""
+    if raw == "*":
+        return MatchAll()
     fm = _FUZZY_SUFFIX.match(raw)
     if fm is not None:
         from lucene_plugin_spark.query.plan import Fuzzy

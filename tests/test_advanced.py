@@ -422,6 +422,8 @@ def test_sweetspot_similarity(spark, built):
     assert np.allclose([g[2] for g in got_fast], [g[2] for g in got])
     with pytest.raises(ValueError):
         advanced.sweetspot_search(eng, None, terms, ln_min=5, ln_max=4)
+    with pytest.raises(ValueError):
+        advanced.sweetspot_search(eng, None, terms, steepness=-0.1)
 
 
 def test_span_position_range(spark, built):
@@ -459,8 +461,10 @@ def test_span_position_range(spark, built):
         SearchEngine(spark, catalog).warm(), None, term, start, end, limit=k))
     assert [(g[0], g[1]) for g in got_fast] == [(g[0], g[1]) for g in got]
     assert np.allclose([g[2] for g in got_fast], [g[2] for g in got])
-    with pytest.raises(ValueError):
-        advanced.span_position_range(eng, None, term, 5, 5)
+    # empty window: valid-and-empty like Lucene, not an error (SpanFirst
+    # with end=0 reaches this through the facade)
+    assert advanced.span_position_range(eng, None, term, 5, 5).count() == 0
+    assert advanced.span_first(eng, None, term, 0).count() == 0
     with pytest.raises(ValueError):
         advanced.span_position_range(eng, None, term, -1, 5)
 

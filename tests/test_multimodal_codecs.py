@@ -195,6 +195,15 @@ def test_image_ahash_integer_exact(spark):
         "meta_width int, meta_height int, meta_duration_ms int")
     with pytest.raises(Exception):
         image_ahash(bad).collect()
+    # unknown-format blobs follow the fake stream (stride-resampled into
+    # the grid) instead of failing the job
+    blob = spark.createDataFrame(
+        [(0, "image", "application/octet-stream", bytearray(b"opaque" * 40),
+          None, None, None)],
+        "media_id long, kind string, mime string, payload binary, "
+        "meta_width int, meta_height int, meta_duration_ms int")
+    r = image_ahash(blob, fake=True).collect()
+    assert len(r) == 1 and r[0]["n_bits"] == 32
 
 
 def test_audio_fingerprint_integer_exact(spark):

@@ -77,3 +77,21 @@ def test_phonetic_search_vs_brute(spark, tmp_path_factory):
     assert all(r["score"] == 1.0 for r in out)
     assert eng.phonetic_search(None, "12", limit=10).count() == 0
     assert eng.phonetic_search(None, "zzzzqqq", limit=10).count() == 0
+
+
+def test_phonetic_matches_digit_led_terms(spark, tmp_path_factory):
+    # the phonetic class is over the letters-STRIPPED term: '2sparc' codes
+    # S162 like 'spark', and the sargable prune must not lose it
+    wh = str(tmp_path_factory.mktemp("wh-phon2"))
+    rows = [{"repo": "r", "path": f"d{i}", "commit": "c", "lang": "en",
+             "content": c}
+            for i, c in enumerate(["the spark engine", "token 2sparc here",
+                                   "unrelated words only"])]
+    catalog = Catalog(wh)
+    IndexBuilder(spark, catalog, docs_per_slice=8).build(
+        spark.createDataFrame(rows).select(
+            "repo", "path", "commit", "lang", "content"))
+    eng = SearchEngine(spark, catalog)
+    got = sorted(r["path"] for r in
+                 eng.phonetic_search(None, "sparc", limit=10).collect())
+    assert got == ["d0", "d1"], got

@@ -175,6 +175,10 @@ def test_drill_sideways_and_down(spark, built):
             want2.setdefault(("repo", r["repo"]), 0)
             want2[("repo", r["repo"])] += 1
     assert got2 == want2
+    # empty facet list degrades to an empty, correctly-typed frame
+    e = drill_sideways(eng, hits, drill, [])
+    assert e.count() == 0
+    assert e.columns == ["facet", "value", "doc_count"]
     # drill-down hit set: base hits restricted to the drilled values,
     # scores untouched
     dh = drill_down_hits(eng, hits, drill)

@@ -113,6 +113,11 @@ def test_lenient():
     assert parse_simple("-") is None
     # a vanished (all-stopword) clause drops its pending negation
     assert parse_simple("foo -the") == _t("foo")
+    # a LONE '*' is MatchAllDocsQuery (the SimpleQueryParser special case)
+    assert parse_simple("*") == MatchAll()
+    assert parse_simple("* -foo") == Bool(
+        should=(MatchAll(),
+                Bool(should=(MatchAll(),), must_not=(_t("foo"),))))
 
 
 # --------------------------------------------------------------------------
