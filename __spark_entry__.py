@@ -489,6 +489,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _, eng = _engine(spark, sf)
         return _hits_as_orig_ids(eng.search(None, "spark", limit=10))
 
+    def ft_batch(spark, sf):
+        # the BATCHED kernel through the hard gate: search_many evaluates
+        # four query shapes (term / OR / AND / phrase) in ONE distributed
+        # job over one union-term-pruned scan; oracle = the UNION ALL of
+        # the four proven per-query SQL shapes tagged by query_id
+        _, eng = _engine(spark, sf)
+        out = eng.search_many(
+            [("q_term", None, "spark"),
+             ("q_or", None, "join hash merge"),
+             ("q_and", None, "join AND hash AND merge"),
+             ("q_phrase", None, '"table hash"')], limit=10)
+        return out.select(
+            "query_id",
+            F.col("path").cast("int").cast("bigint").alias("doc_id"),
+            F.round("score", 6).alias("score"))
+
     def ft_or_topk(spark, sf):
         _, eng = _engine(spark, sf)
         return _hits_as_orig_ids(eng.search(None, "join hash merge", limit=10))
@@ -577,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select(F.col("path").cast("int").cast("bigint").alias("doc_id"),
                         "content_sha256")
 
+    q.update(ft_batch=ft_batch)
     q.update(ft_term_topk=ft_term_topk, ft_or_topk=ft_or_topk, ft_and=ft_and,
              ft_not=ft_not, ft_phrase=ft_phrase, ft_range=ft_range,
              ft_wildcard=ft_wildcard, ft_fuzzy=ft_fuzzy, ft_boost=ft_boost,
@@ -2151,7 +2168,7 @@ def _rotate_for_gate(q: dict) -> dict:
         # mutations, dedup, tpch.  ft_phonetic joins it: added after the
         # window filled, locally 3-SF green like everything above.
         "ft_sort_field", "ft_phonetic", "stream_window_counts",
-        "stream_sessionize",
+        "stream_sessionize", "ft_batch",
         "ft_term_topk", "ft_or_topk", "ft_and", "ft_not", "ft_phrase",
         "ft_range", "ft_wildcard", "ft_fuzzy", "ft_boost", "ft_phrase_slop",
         "ft_range_excl", "ft_more_like", "ft_regexp", "ft_field_lang",
@@ -2202,6 +2219,53 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 
     # phrase "table hash": tf = count of adjacent (pos, pos+1) occurrences over
     # ANALYZED positions (stopword gaps preserved); idf = idf(table)+idf(hash)
+    # batched kernel: UNION ALL of the four per-query shapes, each cut
+    # exactly like its standalone (green) oracle; the phrase branch keeps
+    # the (score, source, doc_id) tie-break because engine docID order is
+    # (source, zero-padded id)
+    o["ft_batch"] = f"""
+WITH {_TOK},
+b_term AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('spark') GROUP BY tf.doc_id
+  ORDER BY score DESC, doc_id LIMIT 10),
+b_or AS (
+  SELECT tf.doc_id, sum({_BM25}) AS score
+  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'hash', 'merge') GROUP BY tf.doc_id
+  ORDER BY score DESC, doc_id LIMIT 10),
+b_and AS (
+  SELECT doc_id, score FROM (
+    SELECT tf.doc_id, sum({_BM25}) AS score,
+           count(DISTINCT tf.term) AS nt
+    FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+    WHERE tf.term IN ('join', 'hash', 'merge') GROUP BY tf.doc_id)
+  WHERE nt = 3 ORDER BY score DESC, doc_id LIMIT 10),
+bp0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+bp1 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+bph AS (SELECT bp0.doc_id, count(*)::double ptf
+        FROM bp0 JOIN bp1 ON bp0.doc_id = bp1.doc_id
+                          AND bp1.pos = bp0.pos + 1
+        GROUP BY bp0.doc_id),
+bidf AS (SELECT sum(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)))
+           AS idf_sum
+         FROM dfx CROSS JOIN st WHERE dfx.term IN ('table', 'hash')),
+b_ph AS (
+  SELECT s.doc_id, s.score FROM (
+    SELECT bph.doc_id,
+           bidf.idf_sum * bph.ptf * 2.2
+           / (bph.ptf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+    FROM bph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN bidf) s
+  JOIN documents d USING (doc_id)
+  ORDER BY s.score DESC, d.source, s.doc_id LIMIT 10)
+SELECT 'q_term' AS query_id, doc_id, round(score, 6) AS score FROM b_term
+UNION ALL SELECT 'q_or', doc_id, round(score, 6) FROM b_or
+UNION ALL SELECT 'q_and', doc_id, round(score, 6) FROM b_and
+UNION ALL SELECT 'q_phrase', doc_id, round(score, 6) FROM b_ph
+ORDER BY query_id, score DESC, doc_id
+"""
+
     o["ft_phrase"] = f"""
 WITH {_TOK},
 p0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
