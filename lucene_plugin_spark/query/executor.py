@@ -1137,21 +1137,36 @@ class SearchEngine:
                 .orderBy(F.desc("cf"), F.asc("term"))
                 .limit(limit))
 
+    #: phonetic expansion strategy.  "auto": route through the persisted
+    #: ``phonetic_codes`` sidecar (pushed ``soundex = 'X000'`` equality,
+    #: the 10^12-vocabulary plan) whenever the reader is not tag-pinned
+    #: and the vocabulary exceeds the resident-dictionary bound; "scan"
+    #: forces the sargable first-letter range prune over term_dict (the
+    #: pinned-reader fallback — pins may predate the sidecar snapshot);
+    #: "sidecar" forces the sidecar (tests / driver gating).
+    phonetic_expand = "auto"
+
     def phonetic_search(self, repo: str | None, term: str,
                         field: str = "text", limit: int = 255) -> DataFrame:
-        """Phonetic matching (analyzers-phonetic module analogue —
-        ``PhoneticFilter`` with the commons-codec Soundex encoder, applied
-        at QUERY time): docs containing ANY dictionary term whose American
-        Soundex equals the query term's, as a constant-score expansion
-        (the MultiTermQuery shape every other expansion here uses).
+        """Phonetic matching (the lucene 5.2 analyzers-phonetic module
+        analogue — ``PhoneticFilter`` with the commons-codec Soundex
+        encoder, applied at QUERY time): docs containing ANY dictionary
+        term whose American Soundex equals the query term's, as a
+        constant-score expansion (the MultiTermQuery shape every other
+        expansion here uses).
 
-        Scale: Soundex preserves the first letter, so the candidate scan
-        is a SARGABLE ``startswith`` range over the term-sorted dictionary
-        (1/26th of the vocabulary), with codes computed columnar on the
-        pruned slice; a persisted (field, soundex) sidecar generalizes
-        this to exact pushdown like ``spell_grams`` does for fuzzy.  The
-        phonetic class itself is query-sized (one code bucket) — it
-        materializes like every other MultiTermQuery expansion.
+        Scale: the persisted ``phonetic_codes`` sidecar (one row per
+        (field, term, soundex), files range-partitioned + sorted by
+        (field, soundex)) turns the lookup into an exact pushed
+        ``soundex = 'X000'`` equality — the scan reads only the row-group
+        ranges covering the query's one code bucket, never the vocabulary,
+        exactly like ``spell_grams`` does for fuzzy.  Tag-pinned readers
+        fall back to the sargable first-letter range prune (Soundex
+        preserves the first letter, so ``startswith`` bounds the scan to
+        1/26th of the term-sorted dictionary) because their pins may
+        predate the sidecar snapshot.  The phonetic class itself is
+        query-sized (one code bucket) — it materializes like every other
+        MultiTermQuery expansion.
         """
         from lucene_plugin_spark.analysis.phonetic import (soundex,
                                                            soundex_col)
@@ -1165,22 +1180,72 @@ class SearchEngine:
             cache = self._phonetic_cache = {}
         key = (field, code)
         if key not in cache:       # per-snapshot, like the expansion caches
-            # the class is defined over the letters-STRIPPED term, so the
-            # sargable prune must admit terms whose raw first char is not a
-            # letter: in the sorted dictionary those all sort before 'a'
-            # (terms are lowercase alnum), a second sargable range
-            td = (self._term_dict_df()
-                  .where((F.col("field") == field)
-                         & (F.col("term").startswith(code[0].lower())
-                            | (F.col("term") < "a"))))
-            cache[key] = [r["term"] for r in
-                          td.where(soundex_col(F.col("term")) == code)
-                          .select("term").collect()]
+            if self._phonetic_route():
+                # sidecar route: pushed (field, soundex) equality — the
+                # plan shows EqualTo(soundex,...) in PushedFilters
+                pc = self._phonetic_codes_df()
+                cache[key] = sorted(
+                    r["term"] for r in
+                    pc.where((F.col("field") == field)
+                             & (F.col("soundex") == code))
+                    .select("term").collect())
+            else:
+                # the class is defined over the letters-STRIPPED term, so
+                # the sargable prune must admit terms whose raw first char
+                # is not a letter: in the sorted dictionary those all sort
+                # before 'a' (terms are lowercase alnum), a second
+                # sargable range
+                td = (self._term_dict_df()
+                      .where((F.col("field") == field)
+                             & (F.col("term").startswith(code[0].lower())
+                                | (F.col("term") < "a"))))
+                cache[key] = sorted(
+                    r["term"] for r in
+                    td.where(soundex_col(F.col("term")) == code)
+                    .select("term").collect())
         terms = cache[key]
         if not terms:
             return self.spark.createDataFrame(
                 [], "doc_id long, path string, score double")
         return terms_set_query(self, repo, terms, field=field, limit=limit)
+
+    def _phonetic_route(self) -> bool:
+        """True when phonetic lookups should use the ``phonetic_codes``
+        sidecar (mirrors :meth:`_gram_route`'s policy for spell_grams)."""
+        if self.phonetic_expand == "sidecar":
+            return True
+        if self.phonetic_expand == "scan":
+            return False
+        return self.pins is None and self._term_dict_local() is None
+
+    def _phonetic_codes_df(self) -> DataFrame:
+        """The persisted ``phonetic_codes`` sidecar: one row per (field,
+        term, soundex).  Built lazily ONCE per term_dict snapshot
+        (staleness tracked via a snapshot property), files
+        range-partitioned and sorted by (field, soundex) so the pushed
+        ``soundex = 'X000'`` equality prunes at file + row-group level —
+        a phonetic lookup reads only its own code bucket, never the
+        vocabulary.  This is the analyzers-phonetic analogue of the
+        ``spell_grams`` plan (PhoneticFilter over a term index instead of
+        per-query code computation; the 5.2 module family ships the
+        filter, reference module set: service/build.gradle:13-15)."""
+        from lucene_plugin_spark.analysis.phonetic import soundex_col
+        td_sid = self.catalog.table("term_dict").current_snapshot_id()
+        tbl = self.catalog.table("phonetic_codes")
+        if (tbl.exists()
+                and tbl.snapshot().properties.get("source_term_dict")
+                == td_sid):
+            return tbl.read(self.spark)
+        codes = (self._tbl("term_dict")
+                 .select("field", "term",
+                         soundex_col(F.col("term")).alias("soundex"))
+                 .where(F.col("soundex") != ""))
+        tbl.overwrite(
+            codes.repartitionByRange(F.col("field"), F.col("soundex"))
+            .sortWithinPartitions("field", "soundex", "term"),
+            lineage={"source": "term_dict", "snapshot": td_sid},
+            properties={"source_term_dict": td_sid})
+        return tbl.read(self.spark)
 
     #: character-n-gram blocking parameters for spellcheck candidate
     #: generation.  Pigeonhole (q-gram count filter): ed(a,b) <= d implies

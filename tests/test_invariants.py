@@ -130,3 +130,52 @@ def test_deterministic_rebuild(spark, tmp_path_factory):
                                b.flat_view()
                                .select("field", "term", "doc_id", "tf").collect())))
     assert outs[0] == outs[1]
+
+
+def test_sidecars_track_index_across_rebuild(spark, tmp_path_factory):
+    """A rebuilt (or resumed-then-advanced) index can never pair with a
+    stale expansion sidecar: spell_grams and phonetic_codes are pinned to
+    the term_dict snapshot they were derived from, so the first lookup
+    after term_dict moves rebuilds them and new vocabulary is visible."""
+    from lucene_plugin_spark.query.executor import SearchEngine
+
+    wh = str(tmp_path_factory.mktemp("wh-sidecar"))
+    rows = generate_rows(100, seed=13)
+    catalog = Catalog(wh)
+    builder = IndexBuilder(spark, catalog, docs_per_slice=64)
+    src = spark.createDataFrame(rows).select(
+        "repo", "path", "commit", "lang", "content")
+    builder.build(src)
+
+    eng = SearchEngine(spark, catalog)
+    eng.phonetic_expand = "sidecar"
+    eng.phonetic_search(None, "indx", limit=10).count()   # builds sidecar
+    eng._spell_grams_df().count()                         # builds sidecar
+    td_sid_1 = catalog.table("term_dict").current_snapshot_id()
+    for t in ("phonetic_codes", "spell_grams"):
+        assert (catalog.table(t).snapshot().properties["source_term_dict"]
+                == td_sid_1), t
+
+    # advance the index: new docs with vocabulary absent from build #1
+    extra = [{"repo": "r9", "path": f"zz{i}", "commit": "c", "lang": "py",
+              "content": "zanzibar zanzibar quorum flotilla"}
+             for i in range(3)]
+    docs_snap = builder.ingest_docs(spark.createDataFrame(rows + extra)
+                                    .select("repo", "path", "commit",
+                                            "lang", "content"))
+    builder.build_from_docs(docs_snap)
+    td_sid_2 = catalog.table("term_dict").current_snapshot_id()
+    assert td_sid_2 != td_sid_1
+
+    # a FRESH engine (new reader over the advanced catalog) must not serve
+    # the stale sidecars: both rebuild on first touch and carry the new
+    # vocabulary
+    eng2 = SearchEngine(spark, catalog)
+    eng2.phonetic_expand = "sidecar"
+    got = sorted(r["path"] for r in
+                 eng2.phonetic_search(None, "zanzybar", limit=100).collect())
+    assert got == ["zz0", "zz1", "zz2"], got
+    eng2._spell_grams_df()   # spell_grams rebuilds lazily on first touch
+    for t in ("phonetic_codes", "spell_grams"):
+        assert (catalog.table(t).snapshot().properties["source_term_dict"]
+                == td_sid_2), t

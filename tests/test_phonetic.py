@@ -79,6 +79,41 @@ def test_phonetic_search_vs_brute(spark, tmp_path_factory):
     assert eng.phonetic_search(None, "zzzzqqq", limit=10).count() == 0
 
 
+def test_phonetic_sidecar_identical_to_scan(spark, tmp_path_factory):
+    """The persisted (field, soundex) sidecar route returns the EXACT
+    result set of the term_dict range-prune route, and the sidecar is
+    rebuilt only when term_dict's snapshot moves."""
+    wh = str(tmp_path_factory.mktemp("wh-phon3"))
+    rows = generate_rows(150, seed=11)
+    catalog = Catalog(wh)
+    IndexBuilder(spark, catalog, docs_per_slice=64).build(
+        spark.createDataFrame(rows).select(
+            "repo", "path", "commit", "lang", "content"))
+    scan = SearchEngine(spark, catalog)
+    scan.phonetic_expand = "scan"
+    side = SearchEngine(spark, catalog)
+    side.phonetic_expand = "sidecar"
+    for q in ["indx", "quary", "cash", "sparc"]:
+        want = sorted((r["path"], r["score"]) for r in
+                      scan.phonetic_search(None, q, limit=10_000).collect())
+        got = sorted((r["path"], r["score"]) for r in
+                     side.phonetic_search(None, q, limit=10_000).collect())
+        assert got == want, q
+        if q != "sparc":         # the misspellings are known corpus hits
+            assert got, q
+    # staleness: the sidecar is pinned to the term_dict snapshot it was
+    # built from and reused (no rebuild) while that snapshot stands
+    tbl = catalog.table("phonetic_codes")
+    assert tbl.exists()
+    sid_before = tbl.current_snapshot_id()
+    side2 = SearchEngine(spark, catalog)
+    side2.phonetic_expand = "sidecar"
+    assert side2.phonetic_search(None, "indx", limit=10).count() > 0
+    assert tbl.current_snapshot_id() == sid_before
+    assert (tbl.snapshot().properties["source_term_dict"]
+            == catalog.table("term_dict").current_snapshot_id())
+
+
 def test_phonetic_matches_digit_led_terms(spark, tmp_path_factory):
     # the phonetic class is over the letters-STRIPPED term: '2sparc' codes
     # S162 like 'spark', and the sargable prune must not lose it
