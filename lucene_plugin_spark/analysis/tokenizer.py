@@ -326,3 +326,30 @@ def analyze_query_terms(text: str, variant: str = "standard") -> list[str]:
     query vanish, camelCase query tokens split into sub-terms.
     """
     return [t for t, _ in tokenize_text(text, variant=variant)]
+
+
+def token_array_col(col):
+    """Spark Column twin of :func:`tokenize_codes`' PRE-stop token stream:
+    an ``array<string>`` whose element at index ``pos`` is the token the
+    analyzer emitted at position ``pos`` (stopwords included — positions
+    count them; only empty split artifacts are dropped, exactly like the
+    Arrow kernel).  Used where stored text must be sliced by analyzer
+    positions (passage snippets): a literal whitespace split misaligns the
+    window on camelCase, punctuation-adjacent tokens, or runs of spaces.
+
+    Standard-variant only (mirrors the default chain: camel split, lower,
+    UAX#29 mid-word protect, class split, restore)."""
+    import pyspark.sql.functions as F
+    c = col if not isinstance(col, str) else F.col(col)
+    s = F.regexp_replace(c, "([a-z0-9])([A-Z])", "$1 $2")
+    s = F.regexp_replace(s, "([A-Z])([A-Z][a-z])", "$1 $2")
+    s = F.lower(s)
+    for pat, rep in _MID_PROTECT:
+        jrep = rep.replace("\\1", "$1").replace("\\2", "$2")
+        # twice: a consumed capture can hide an overlapping seam
+        s = F.regexp_replace(s, pat, jrep)
+        s = F.regexp_replace(s, pat, jrep)
+    toks = F.filter(F.split(s, _SPLIT_RE), lambda x: x != "")
+    for ph, ch in _MID_RESTORE:
+        toks = F.transform(toks, lambda x: F.regexp_replace(x, ph, ch))
+    return toks

@@ -1,7 +1,10 @@
-"""Geo-spatial search operators — the lucene-spatial module family (5.2
-ships point/distance strategies over an ``IndexReader``; the reference
-exposes the module on its classpath without unit-testing it).  Here the same
-queries run over (lat, lon) DOUBLE columns with DataFrame built-ins.
+"""Geo-spatial search operators — the lucene-spatial module family (the
+Lucene 5.2 line this engine tracks ships point/distance strategies over an
+``IndexReader``; the reference service itself bundles only lucene-core,
+analyzers-common and queryparser — service/build.gradle:13-15 — so this
+covers the module family the way classify.py does, not a reference
+classpath item).  Here the same queries run over (lat, lon) DOUBLE columns
+with DataFrame built-ins.
 
 Scale design: every distance query is a two-stage plan —
 

@@ -46,6 +46,21 @@ class ExpressionError(ValueError):
     pass
 
 
+def _java_div(lhs: Column, rhs: Column) -> Column:
+    """Division with Java double semantics, which Lucene's
+    ``JavascriptCompiler`` expressions follow: ``x/0`` is ±Infinity and
+    ``0/0`` is NaN.  Spark's SQL ``Divide`` yields NULL on a zero divisor,
+    and NULL sorts LAST under ``desc`` while Java's descending double
+    SortField puts NaN first, then +Infinity — so without this shim a
+    degenerate expression silently ranks OPPOSITE to the reference.
+    Spark orders NaN greater than every non-NaN double, so the emitted
+    NaN/±Infinity reproduce the Lucene sort exactly."""
+    return F.when(rhs != 0, lhs / rhs).otherwise(
+        F.when(lhs > 0, F.lit(float("inf")))
+        .when(lhs < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan"))))
+
+
 def _lex(src: str) -> list[tuple[str, str]]:
     out, i = [], 0
     while i < len(src):
@@ -121,7 +136,7 @@ def compile_expression(src: str, bindings: dict[str, Column]) -> Column:
         while peek() in (("op", "*"), ("op", "/")):
             _, op = take()
             rhs = atom()
-            e = e * rhs if op == "*" else e / rhs
+            e = e * rhs if op == "*" else _java_div(e, rhs)
         return e
 
     def expr() -> Column:

@@ -148,7 +148,13 @@ def best_passages(engine, repo, terms: list[str], field: str = "text",
              k.join(best, "doc_id")
              .join(_docs_meta(engine, ["repo"]), "doc_id")),
              ["repo", "path"]))
-    words = F.split(F.col("_content"), " ")
+    # slice by ANALYZER positions, not a whitespace split: the scored
+    # occurrences live at post-split pre-stop ordinals, so the window must
+    # be cut from the same token stream (token_array_col is the Column
+    # twin of the Arrow kernel's pre-stop output — camelCase splits,
+    # UAX#29 mid-word punctuation and empty-run artifacts all align)
+    from lucene_plugin_spark.analysis.tokenizer import token_array_col
+    words = token_array_col(F.col("_content"))
     snip = F.concat_ws(
         " ", F.slice(words, F.col("passage") * width + 1, width))
     return (j.select("doc_id", "path", "passage", "p_score",
@@ -266,7 +272,8 @@ def to_parent_join(engine, hits: DataFrame, parent_of,
             .orderBy(F.desc("score"), F.asc("parent")))
 
 
-def to_child_join(engine, parents: DataFrame, parent_of) -> DataFrame:
+def to_child_join(engine, parents: DataFrame, parent_of,
+                  repo: str | None = None) -> DataFrame:
     """Parent-hits -> child-hits join (``ToChildBlockJoinQuery`` analogue,
     the other direction of the lucene-join block join): every document in
     a matching parent's block becomes a hit and INHERITS the parent's score
@@ -275,10 +282,17 @@ def to_child_join(engine, parents: DataFrame, parent_of) -> DataFrame:
     ``parents`` is a (parent, score) frame — e.g. :func:`to_parent_join`
     output, or any parent-level match set; ``parent_of`` is the same
     monotone docID/path -> parent Column used to define the blocks.
+    ``repo`` scopes the CHILD side: unlike ``to_parent_join`` (inherently
+    scoped by its hits), the child direction expands against the corpus
+    meta frame, so without the scope a repo-filtered parent set could
+    inherit children from OTHER repos whose ``parent_of`` key collides —
+    pass the same repo the parent hits were computed under.
 
     Scale shape: one equi-join of the skinny docs_meta (doc_id, path) scan
     against the parent hit set on the block key — AQE broadcasts the
     parent side when the match set is small; no shuffle of the corpus.
+    The repo scope is the collection docID-range predicate (contiguous
+    ranges, parquet-prunable), applied by ``_finalize_df_hits``.
 
     Returns DataFrame(doc_id, path, parent, score) ordered
     (score desc, doc_id asc).
@@ -286,9 +300,9 @@ def to_child_join(engine, parents: DataFrame, parent_of) -> DataFrame:
     meta = engine._meta_path_df().withColumn("parent", parent_of)
     kids = (meta.join(parents.select("parent", "score"), "parent")
             .select("doc_id", "path", "parent", "score"))
-    # liveDocs: tombstoned children (deletes / superseded upserts) must not
-    # resurface through their block
-    kids = engine._finalize_df_hits(kids, None)
+    # liveDocs (tombstoned children must not resurface through their
+    # block) + the collection scope
+    kids = engine._finalize_df_hits(kids, repo)
     return kids.orderBy(F.desc("score"), F.asc("doc_id"))
 
 

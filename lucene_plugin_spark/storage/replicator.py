@@ -5,9 +5,10 @@ revision atomically, so a reader on the replica never sees a torn index).
 
 Our revision is the catalog's current snapshot set.  ``replicate`` walks the
 source warehouse, copies data files INCREMENTALLY (a file already present at
-the destination with the same size is skipped — parquet part files are
-immutable, snapshot dirs are content-unique by uuid, so name+size identity
-is sufficient), rewrites the absolute ``data_dirs`` in each manifest to the
+the destination with the same size and a destination mtime no older than the
+source's is skipped — parquet part files are immutable and uuid-named, and
+the mtime guard additionally catches any fixed-name file rewritten in place
+with unchanged length), rewrites the absolute ``data_dirs`` in each manifest to the
 destination root, and only THEN installs every table's ``CURRENT`` pointer
 with an atomic rename — the replica serves the previous revision throughout
 the copy and flips over in one step per table, exactly the replicator
@@ -58,12 +59,20 @@ def replicate(src_root: str, dst_root: str) -> dict:
         if base.startswith("manifest-") and base.endswith(".json"):
             manifests.append((src, dst))
             continue
+        # incremental identity = (relative path, size, mtime): size alone
+        # would silently keep a replica stale if a fixed-name file were
+        # ever rewritten in place with unchanged length (data files are
+        # uuid-named today, but the skip rule must not depend on that).
+        # copystat below makes the source mtime the replica's, so an
+        # unchanged file compares equal on the next run.
         if (os.path.exists(dst)
-                and os.path.getsize(dst) == os.path.getsize(src)):
+                and os.path.getsize(dst) == os.path.getsize(src)
+                and os.path.getmtime(dst) >= os.path.getmtime(src)):
             skipped += 1
             continue
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         shutil.copyfile(src, dst)
+        shutil.copystat(src, dst)
         copied += 1
         nbytes += os.path.getsize(src)
     # manifests: rewrite absolute data_dirs to the destination root

@@ -99,3 +99,34 @@ def test_score_only_expression_skips_docvalues_join(spark, built):
     df = expression_sort_search(eng, None, "index", "_score * 2", limit=5)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "field_lens" not in plan
+
+
+def test_division_by_zero_java_semantics(spark):
+    """x/0 must follow Java double semantics (Lucene JavascriptCompiler):
+    +Inf / -Inf / NaN — never NULL, which would sort LAST under desc while
+    Java's descending double SortField puts NaN first, then +Infinity."""
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [(1.0, 0.0), (-2.0, 0.0), (0.0, 0.0), (6.0, 3.0)],
+        "x double, y double")
+    col = compile_expression("x / y", {"x": F.col("x"), "y": F.col("y")})
+    got = [r["v"] for r in df.select(col.alias("v")).collect()]
+    assert got[0] == math.inf and got[1] == -math.inf
+    assert math.isnan(got[2]) and got[3] == 2.0
+    # descending order: NaN first, +Inf second, finite, -Inf last —
+    # exactly Java's Double.compare order reversed
+    ordered = [r["x"] for r in
+               df.select("x", col.alias("v"))
+               .orderBy(F.desc("v"), F.asc("x")).collect()]
+    assert ordered == [0.0, 1.0, 6.0, -2.0]
+
+
+def test_expression_sort_degenerate_divisor(spark, built):
+    """A degenerate expression (1 / (dl - dl)) ranks every hit NaN — the
+    full match set must still come back, in docID order (NaN ties)."""
+    catalog, oracle = built
+    eng = SearchEngine(spark, catalog)
+    got = [r["doc_id"] for r in expression_sort_search(
+        eng, None, "index", "1 / (dl - dl)", limit=10).collect()]
+    base = sorted(d for d, _, _ in oracle.search(None, "index", limit=10_000))
+    assert got == base[:10]

@@ -299,3 +299,27 @@ def test_dup_span_coverage_short_docs(spark):
            for r in dup_span_coverage(df, "doc_id", "text", n=5).collect()}
     # shorter than n: no shingles, zero coverage, still reported
     assert got == {0: (3, 0, 0.0), 1: (3, 0, 0.0), 2: (0, 0, 0.0)}
+
+
+def test_to_child_join_repo_scope(spark, built):
+    """Repo-scoped parent hits must not inherit children from OTHER repos
+    whose parent_of key collides (blocks of 8 straddle repo boundaries in
+    the (repo, path)-ordered docID space)."""
+    eng = _engine(spark, built)
+    repo = "repo-01"
+    parent_of = F.floor(F.col("doc_id") / 8)
+    hits = eng.search(repo, "index cache", limit=1_000_000)
+    parents = to_parent_join(eng, hits, parent_of, "total")
+    scoped = to_child_join(eng, parents, parent_of, repo=repo)
+    rows_s = scoped.collect()
+    assert rows_s, "scoped child set must be non-empty"
+    (lo, hi), = eng.repo_doc_ranges(repo)
+    assert all(lo <= r["doc_id"] <= hi for r in rows_s)
+    # the unscoped expansion over the same parents demonstrates the leak
+    # the scope exists to prevent (repo boundary inside a block)
+    unscoped = to_child_join(eng, parents, parent_of).collect()
+    assert {r["doc_id"] for r in rows_s} == {
+        r["doc_id"] for r in unscoped if lo <= r["doc_id"] <= hi}
+    if any(r["doc_id"] < lo or r["doc_id"] > hi for r in unscoped):
+        # scoping really filtered something on this corpus
+        assert len(rows_s) < len(unscoped)

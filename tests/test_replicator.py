@@ -80,3 +80,29 @@ def test_manifest_paths_rewritten(spark, tmp_path):
 def test_replicate_rejects_self(tmp_path):
     with pytest.raises(ValueError):
         replicate(str(tmp_path), str(tmp_path))
+
+
+def test_in_place_rewrite_detected_by_mtime(tmp_path):
+    """A fixed-name file rewritten in place with UNCHANGED size must still
+    re-replicate (identity = path+size+mtime, not path+size)."""
+    import time
+
+    src_wh, dst_wh = str(tmp_path / "s"), str(tmp_path / "d")
+    os.makedirs(os.path.join(src_wh, "t"))
+    f = os.path.join(src_wh, "t", "fixed.bin")
+    with open(f, "w") as fh:
+        fh.write("AAAA")
+    replicate(src_wh, dst_wh)
+    dstf = os.path.join(dst_wh, "t", "fixed.bin")
+    assert open(dstf).read() == "AAAA"
+    # idempotent second run copies nothing
+    assert replicate(src_wh, dst_wh)["copied"] == 0
+    # rewrite in place, same size, newer mtime
+    time.sleep(0.02)
+    with open(f, "w") as fh:
+        fh.write("BBBB")
+    os.utime(f, None)
+    stats = replicate(src_wh, dst_wh)
+    assert stats["copied"] == 1
+    assert open(dstf).read() == "BBBB"
+    assert replicate(src_wh, dst_wh)["copied"] == 0

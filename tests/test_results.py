@@ -133,11 +133,68 @@ def test_best_passages_vs_brute(spark, built):
             if t in idf:
                 scores[pos // width] = scores.get(pos // width, 0.0) + idf[t]
         want_p = min(sorted(scores, key=lambda p: (-scores[p], p))[:1])
-        words = content.split(" ")
+        words = _prestop_tokens(content)
         want_snip = " ".join(words[want_p * width:(want_p + 1) * width])
         gp, gs, gsnip = got[doc_id]
         assert gp == want_p and gsnip == want_snip, doc_id
         assert math.isclose(gs, round(scores[want_p], 9), rel_tol=1e-9)
+
+
+def _prestop_tokens(content: str) -> list[str]:
+    """The analyzer's PRE-stop token stream (position-aligned), derived
+    independently of the engine's Column twin."""
+    import re
+
+    from lucene_plugin_spark.analysis import tokenizer as T
+    s = re.sub(T._CAMEL_1[0], T._CAMEL_1[1], content)
+    s = re.sub(T._CAMEL_2[0], T._CAMEL_2[1], s)
+    s = s.lower()
+    for pat, rep in T._MID_PROTECT:
+        s = re.sub(pat, rep, s)
+        s = re.sub(pat, rep, s)
+    out = []
+    for x in re.split(T._SPLIT_RE, s):
+        if not x:
+            continue
+        for ph, ch in T._MID_RESTORE:
+            x = x.replace(ph, ch)
+        out.append(x)
+    return out
+
+
+def test_best_passages_snippet_aligns_on_messy_text(spark, tmp_path_factory):
+    """Snippets must be cut by ANALYZER positions: camelCase splits,
+    double spaces and edge punctuation shift a whitespace-word window off
+    the scored occurrences — the analyzed-token window never does."""
+    from lucene_plugin_spark.index.builder import IndexBuilder
+    from lucene_plugin_spark.query.executor import SearchEngine
+    from lucene_plugin_spark.storage.catalog import Catalog
+    filler = " ".join(f"w{i}" for i in range(20))
+    messy = ("someCamelCaseIdentifier  opens, the. file!  " + filler
+             + " then zebra quokka appear near zebra again " + filler)
+    rows = [{"repo": "r", "path": "messy", "commit": "c", "lang": "py",
+             "content": messy},
+            {"repo": "r", "path": "plain", "commit": "c", "lang": "py",
+             "content": "zebra sits alone here"}]
+    wh = str(tmp_path_factory.mktemp("wh-pass"))
+    catalog = Catalog(wh)
+    IndexBuilder(spark, catalog, docs_per_slice=8).build(
+        spark.createDataFrame(rows).select(
+            "repo", "path", "commit", "lang", "content"))
+    eng = SearchEngine(spark, catalog)
+    width = 8
+    out = {r["path"]: r for r in
+           best_passages(eng, None, ["zebra", "quokka"], width=width,
+                         limit=10).collect()}
+    for path, r in out.items():
+        content = next(x["content"] for x in rows if x["path"] == path)
+        toks = _prestop_tokens(content)
+        p = r["passage"]
+        want = " ".join(toks[p * width:(p + 1) * width])
+        assert r["snippet"] == want, (path, r["snippet"], want)
+        # the winning window really contains scored occurrences
+        assert "zebra" in r["snippet"].split(" "), path
+    assert "quokka" in out["messy"]["snippet"].split(" ")
 
 
 # ------------------------------------------------------------ drill-sideways
