@@ -228,6 +228,112 @@ def main() -> None:
               docs.select("doc_id", F.col("text").alias("content")),
               k=5, w=4, min_shared=2).count(), runs=1)
 
+    # round-5 additions: the heaviest previously-uncovered families, so a
+    # regression in any of them is visible round-over-round
+    from lucene_plugin_spark.query.results import (best_passages,
+                                                   drill_sideways,
+                                                   to_child_join,
+                                                   to_parent_join)
+    timed("q_passages_k255",
+          lambda: best_passages(engine, None, ["spark", "join"], width=16,
+                                limit=255).count(), runs=1)
+    hits_qt = engine.search(None, "query table", limit=1_000_000)
+    timed("p_drill_sideways",
+          lambda: drill_sideways(engine, hits_qt, {"lang": "en"},
+                                 ["lang", "repo"]).count(), runs=1)
+    parent_of = F.floor(F.col("doc_id") / 16)
+    timed("q_block_join_child",
+          lambda: to_child_join(
+              engine,
+              to_parent_join(engine,
+                             engine.search(None, "spark merge",
+                                           limit=1_000_000),
+                             parent_of, "total"),
+              parent_of).count(), runs=1)
+
+    # phonetic via the persisted (field, soundex) sidecar — the pushed
+    # soundex-equality route; the class cache is cleared per run so the
+    # timing measures the sidecar scan, not a dict hit
+    peng = SearchEngine(spark, catalog).warm()
+    peng.phonetic_expand = "sidecar"
+    peng._phonetic_codes_df().head(1)  # materialize outside the timing
+    def _phon_sidecar():
+        peng._phonetic_cache = {}
+        peng.phonetic_search(None, "sparc", limit=255).collect()
+    timed("q_phonetic_sidecar", _phon_sidecar)
+
+    # replicator: full revision sync, then the incremental no-op re-run
+    from lucene_plugin_spark.storage.replicator import replicate
+    rep = wh + "_replica"
+    shutil.rmtree(rep, ignore_errors=True)
+    timed("p_replica_sync", lambda: replicate(wh, rep), runs=1)
+    timed("p_replica_incr", lambda: replicate(wh, rep), runs=1)
+    shutil.rmtree(rep, ignore_errors=True)
+
+    # gated stateful streaming: gap sessionizer end-to-end (JSON replay,
+    # availableNow, applyInPandasWithState) — timing includes the replay
+    # write, matching how the gate drives it
+    def _run_sessionize():
+        import tempfile
+        import uuid
+
+        from lucene_plugin_spark.streaming.windows import stream_sessionize
+        ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+              .select("user_id", "ts", "value"))
+        tmp = tempfile.mkdtemp(prefix="lps_bss_")
+        try:
+            jsrc = os.path.join(tmp, "in")
+            ev.coalesce(1).write.mode("overwrite").json(jsrc)
+            stream = (spark.readStream
+                      .schema("user_id long, ts timestamp, value double")
+                      .json(jsrc))
+            out = stream_sessionize(stream, gap="30 minutes",
+                                    watermark="30 minutes")
+            qname = f"bss_{uuid.uuid4().hex[:8]}"
+            qy = (out.writeStream.format("memory").queryName(qname)
+                  .outputMode("append").trigger(availableNow=True).start())
+            qy.awaitTermination(600)
+            n = spark.table(qname).count()
+            spark.catalog.dropTempView(qname)
+            return n
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    timed("p_stream_sessionize", _run_sessionize, runs=1)
+
+    # remaining corpus-operator families
+    from lucene_plugin_spark.ops import classify as CL2
+    from lucene_plugin_spark.ops import curation as CU
+    from lucene_plugin_spark.ops import sampling as SA
+    from lucene_plugin_spark.ops.multimodal import image_ahash
+    from lucene_plugin_spark.ops.similarity import tfidf_pairs
+    timed("p_sample_temperature",
+          lambda: SA.temperature_sample(docs, 1000, alpha=0.5,
+                                        group_col="lang",
+                                        seed=17).count(), runs=1)
+    timed("q_suggest_infix",
+          lambda: engine.suggest_infix("ar", limit=10).collect())
+    timed("p_classify_knn",
+          lambda: CL2.knn_classify_simhash(
+              docs.select("doc_id", "text", "lang"), "doc_id", "text",
+              "lang", k=5, max_hamming=11).count(), runs=1)
+    timed("p_tfidf_sim",
+          lambda: tfidf_pairs(docs, "doc_id", "text", max_df=50,
+                              min_sim=0.2, top_k=1_000_000).count(), runs=1)
+    timed("p_pii",
+          lambda: CU.pii_screen(docs, "doc_id", "text").count(), runs=1)
+    # perceptual hash over REAL PPM rasters (same container layout the
+    # gate's mm_phash drives)
+    raster = F.rpad(F.substring("text", 1, 384), 384, " ")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.encode(F.concat(F.lit("P6\n16 8\n255\n"), raster),
+                 "utf-8").alias("payload"),
+        F.lit(16).alias("meta_width"), F.lit(8).alias("meta_height"),
+        F.lit(None).cast("int").alias("meta_duration_ms"))
+    timed("p_mm_phash",
+          lambda: image_ahash(media, fake=False).count(), runs=1)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "index-build + BM25 top-k query suite (lucene_plugin_spark)",
