@@ -102,3 +102,63 @@ def test_non_ascii_falls_back_and_agrees():
         for variant in ("standard", "fold_stem"):
             assert tokenize_text(s, variant=variant) == \
                 _arrow_tokens(s, variant=variant), (s, variant)
+
+
+def test_token_array_col_matches_kernel_positions(spark):
+    """token_array_col (the Spark Column twin of the PRE-stop token
+    stream used to cut passage snippets) must agree with the Arrow kernel
+    token-for-token AND position-for-position: the element at index
+    ``pos`` is exactly the term the kernel emitted at position ``pos``."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from lucene_plugin_spark.analysis.tokenizer import (token_array_col,
+                                                        tokenize_codes)
+    texts = [
+        "parseQueryString and  snake_case_token values 42",
+        "don't split 3.14 or 1,024 but dogs' splits",
+        "a'b'c 1.2.3 XMLHttpRequest  trailing  ",
+        "", "   ", "ALLCAPS miXedUp42Case",
+        "the a an of stopwords keep their positions",
+        "x" * 300 + " yEndOfLongRun",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r["a"] for r in
+           df.select(token_array_col("t").alias("a")).collect()]
+    for t, arr in zip(texts, got):
+        row, code, pos, vocab = tokenize_codes(pd.Series([t]))
+        terms = vocab.take(pa.array(code)).to_pylist()
+        for term, p in zip(terms, pos):
+            assert arr[p] == term, (t, term, p, arr)
+
+
+def test_token_array_col_random(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from lucene_plugin_spark.analysis.tokenizer import (token_array_col,
+                                                        tokenize_codes)
+    chunk = st.one_of(
+        st.text(st.sampled_from("abcXYZ09 _'.,-!\t"), min_size=0,
+                max_size=8),
+        st.sampled_from(["don't", "3.14", "1,024", "aB", "XMLHttp"]))
+    texts_strategy = st.lists(
+        st.lists(chunk, min_size=0, max_size=5).map("".join),
+        min_size=1, max_size=12)
+
+    @settings(max_examples=25, deadline=None)
+    @given(texts_strategy)
+    def check(texts):
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        got = [r["a"] for r in
+               df.select(token_array_col("t").alias("a")).collect()]
+        for t, arr in zip(texts, got):
+            row, code, pos, vocab = tokenize_codes(pd.Series([t]))
+            terms = vocab.take(pa.array(code)).to_pylist()
+            for term, p in zip(terms, pos):
+                assert arr[p] == term, (t, term, p, arr)
+
+    check()
