@@ -1236,7 +1236,11 @@ class SearchEngine:
                 and tbl.snapshot().properties.get("source_term_dict")
                 == td_sid):
             return tbl.read(self.spark)
-        codes = (self._tbl("term_dict")
+        # build from the EXACT snapshot being stamped (not the reader's
+        # possibly-pinned view): a tag-pinned engine forced onto the
+        # sidecar must never persist pinned-vocabulary rows under the
+        # current snapshot's stamp, where unpinned readers would reuse them
+        codes = (self.catalog.table("term_dict").read(self.spark, td_sid)
                  .select("field", "term",
                          soundex_col(F.col("term")).alias("soundex"))
                  .where(F.col("soundex") != ""))
@@ -1281,8 +1285,10 @@ class SearchEngine:
                 f"i -> substring(term, i+1, {n}))"))
         ).otherwise(F.array(F.lit("")))
         # format 2 adds df so gram-leaf expansion (_expand_gram_leaves) can
-        # fill the df cache without a second term_dict scan
-        spell = (self._tbl("term_dict")
+        # fill the df cache without a second term_dict scan.  Read the
+        # EXACT snapshot being stamped, not the reader's possibly-pinned
+        # view (same poisoning guard as _phonetic_codes_df)
+        spell = (self.catalog.table("term_dict").read(self.spark, td_sid)
                  .select("field", "term", F.length("term").alias("len"),
                          F.col("df").cast("bigint").alias("df"),
                          F.col("cf").cast("bigint").alias("cf"),

@@ -130,3 +130,38 @@ def test_phonetic_matches_digit_led_terms(spark, tmp_path_factory):
     got = sorted(r["path"] for r in
                  eng.phonetic_search(None, "sparc", limit=10).collect())
     assert got == ["d0", "d1"], got
+
+
+def test_forced_sidecar_on_pinned_reader_never_poisons(spark,
+                                                       tmp_path_factory):
+    """A tag-pinned engine FORCED onto the sidecar route must not persist
+    pinned-vocabulary rows under the current snapshot's stamp: the sidecar
+    is always built from the exact snapshot it is stamped with, so a later
+    unpinned reader sees the current vocabulary."""
+    wh = str(tmp_path_factory.mktemp("wh-phon-pin"))
+    catalog = Catalog(wh)
+    v1 = [{"repo": "r", "path": "a", "commit": "c", "lang": "py",
+           "content": "alpha words only"}]
+    builder = IndexBuilder(spark, catalog, docs_per_slice=8)
+    builder.build(spark.createDataFrame(v1).select(
+        "repo", "path", "commit", "lang", "content"))
+    pins = catalog.tag("v1")
+    # advance: new doc with vocabulary absent from v1
+    v2 = v1 + [{"repo": "r", "path": "b", "commit": "c", "lang": "py",
+                "content": "zanzibar arrives later"}]
+    snap = builder.ingest_docs(spark.createDataFrame(v2).select(
+        "repo", "path", "commit", "lang", "content"))
+    builder.build_from_docs(snap)
+
+    pinned = SearchEngine(spark, catalog, pins=pins)
+    pinned.phonetic_expand = "sidecar"       # forced, overriding the guard
+    pinned.phonetic_search(None, "zanzybar", limit=10).count()
+
+    fresh = SearchEngine(spark, catalog)
+    fresh.phonetic_expand = "sidecar"
+    got = sorted(r["path"] for r in
+                 fresh.phonetic_search(None, "zanzybar", limit=10).collect())
+    assert got == ["b"], got   # current vocabulary, not the pinned one
+    assert (catalog.table("phonetic_codes").snapshot()
+            .properties["source_term_dict"]
+            == catalog.table("term_dict").current_snapshot_id())
