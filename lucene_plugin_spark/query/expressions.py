@@ -54,11 +54,16 @@ def _java_div(lhs: Column, rhs: Column) -> Column:
     SortField puts NaN first, then +Infinity — so without this shim a
     degenerate expression silently ranks OPPOSITE to the reference.
     Spark orders NaN greater than every non-NaN double, so the emitted
-    NaN/±Infinity reproduce the Lucene sort exactly."""
-    return F.when(rhs != 0, lhs / rhs).otherwise(
-        F.when(lhs > 0, F.lit(float("inf")))
-        .when(lhs < 0, F.lit(float("-inf")))
-        .otherwise(F.lit(float("nan"))))
+    NaN/±Infinity reproduce the Lucene sort exactly.  A NULL operand is
+    Spark's stand-in for an upstream NaN (e.g. ``ln`` of a negative
+    returns NULL where Java returns NaN) — in Java any NaN operand makes
+    the quotient NaN, so NULLs map to NaN here rather than leaking into
+    the sign branches."""
+    return (F.when(lhs.isNull() | rhs.isNull(), F.lit(float("nan")))
+            .when(rhs != 0, lhs / rhs)
+            .when(lhs > 0, F.lit(float("inf")))
+            .when(lhs < 0, F.lit(float("-inf")))
+            .otherwise(F.lit(float("nan"))))
 
 
 def _lex(src: str) -> list[tuple[str, str]]:

@@ -113,6 +113,14 @@ def test_division_by_zero_java_semantics(spark):
     got = [r["v"] for r in df.select(col.alias("v")).collect()]
     assert got[0] == math.inf and got[1] == -math.inf
     assert math.isnan(got[2]) and got[3] == 2.0
+    # a NULL operand is Spark's stand-in for an upstream NaN (ln of a
+    # negative): Java makes any NaN-operand quotient NaN — never Inf
+    import pyspark.sql.functions as F
+    ndf = spark.createDataFrame([(1.0,)], "x double")
+    ncol = compile_expression("x / ln(0 - 1)",
+                              {"x": F.col("x")})
+    nval = ndf.select(ncol.alias("v")).collect()[0]["v"]
+    assert nval is not None and math.isnan(nval), nval
     # descending order: NaN first, +Inf second, finite, -Inf last —
     # exactly Java's Double.compare order reversed
     ordered = [r["x"] for r in
